@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture readers + the deterministic `videos` synthesis.
+  *
+  * The reference analyzes a YouTube-crawl `videos` collection (nested schema,
+  * see `/root/reference/big_data/scripts/load_data/mongo_loader.py:103-122`).
+  * The driver fixtures have no such table, so we synthesize one — a pure,
+  * seedless column mapping from `orders` + `lineitem` (SURVEY §7.4 item 3)
+  * that DuckDB can reproduce verbatim (see [[Oracles.videosCte]]):
+  *
+  *   - one video per order row; `id = 'v' || o_orderkey`
+  *   - `related_ids` = sorted distinct `'v' || l_partkey` of the order's
+  *     lineitems. Since `max(l_partkey) < max(o_orderkey)` at every sf, every
+  *     related id refers to an existing video, and the low-key region is a
+  *     dense directed graph with real cycles — exactly what the reference's
+  *     SCC job needs.
+  *
+  * Scale: `videos` is built once per (session, sfDir) and cached. The
+  * groupBy(collect_set) is one shuffle over lineitem; at 100 TB this is a
+  * standard partial-aggregate shuffle on the join key and the left join with
+  * orders co-partitions on the same key, so AQE plans a single exchange pair.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cached(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(s"$key|$dir|${System.identityHashCode(spark)}",
+      _ => build.persist())
+
+  /** Flat videos table. Columns:
+    * id, uploader, age_days, category, length, rating, views, num_ratings,
+    * num_comments, related_ids, upload_date.
+    * Must stay in lock-step with [[Oracles.videosCte]].
+    */
+  def videos(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "videos") {
+      val o = orders(spark, dir)
+      val rel = lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(concat(lit("v"), col("l_partkey"))))
+          .as("related_ids"))
+      o.join(rel, o("o_orderkey") === rel("l_orderkey"), "left")
+        .select(
+          concat(lit("v"), col("o_orderkey")).as("id"),
+          concat(lit("u"), col("o_custkey") % 97).as("uploader"),
+          (col("o_orderkey") % 1461).as("age_days"),
+          col("o_orderpriority").as("category"),
+          (lit(30) + (col("o_orderkey") * 7) % 3900).as("length"),
+          ((col("o_orderkey") % 51) / 10.0).as("rating"),
+          floor(col("o_totalprice")).cast("long").as("views"),
+          (col("o_custkey") % 500).as("num_ratings"),
+          ((col("o_orderkey") * 3) % 211).as("num_comments"),
+          coalesce(col("related_ids"), array().cast("array<string>"))
+            .as("related_ids"),
+          col("o_orderdate").as("upload_date"))
+    }
+
+  /** Canonical nested shape of the reference's Mongo documents
+    * (`mongo_loader.py:103-122`): video_desc / video_attri /
+    * video_engagement structs + related_ids + upload_date.
+    */
+  def videosNested(spark: SparkSession, dir: String): DataFrame =
+    videos(spark, dir).select(
+      col("id"),
+      struct(col("uploader"), col("age_days"), col("category"))
+        .as("video_desc"),
+      struct(col("length"), col("rating")).as("video_attri"),
+      struct(col("views"), col("num_ratings"), col("num_comments"))
+        .as("video_engagement"),
+      col("related_ids"),
+      col("upload_date"))
+
+  /** Directed edge list of the video graph: (src video id, dst video id),
+    * distinct. Mirrors `graph_filter.py:120-123` (id → each related_id).
+    */
+  def videoEdges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "videoEdges") {
+      lineitem(spark, dir)
+        .select(concat(lit("v"), col("l_orderkey")).as("src"),
+                concat(lit("v"), col("l_partkey")).as("dst"))
+        .distinct()
+    }
+}
+
+/** Shared DuckDB-oracle SQL fragments. The driver registers each parquet
+  * fixture under its bare table name, so oracle SQL refers to `orders`,
+  * `lineitem`, … directly; queries over the synthesized `videos` prepend
+  * [[videosCte]].
+  */
+object Oracles {
+  /** DuckDB CTE reproducing [[Tables.videos]] exactly. */
+  val videosCte: String =
+    """_rel AS (
+      |  SELECT l_orderkey AS _k,
+      |         list_sort(list(DISTINCT 'v' || l_partkey)) AS related_ids
+      |  FROM lineitem GROUP BY 1
+      |), videos AS (
+      |  SELECT 'v' || o_orderkey AS id,
+      |         'u' || (o_custkey % 97) AS uploader,
+      |         o_orderkey % 1461 AS age_days,
+      |         o_orderpriority AS category,
+      |         30 + (o_orderkey * 7) % 3900 AS length,
+      |         (o_orderkey % 51) / 10.0 AS rating,
+      |         CAST(floor(o_totalprice) AS BIGINT) AS views,
+      |         o_custkey % 500 AS num_ratings,
+      |         (o_orderkey * 3) % 211 AS num_comments,
+      |         coalesce(related_ids, CAST([] AS VARCHAR[])) AS related_ids,
+      |         o_orderdate AS upload_date
+      |  FROM orders LEFT JOIN _rel ON o_orderkey = _k
+      |)""".stripMargin
+
+  def withVideos(sql: String): String = s"WITH $videosCte\n$sql"
+
+  /** Distinct video-graph edges, as a CTE body (src, dst). */
+  val edgesCte: String =
+    """edges AS (
+      |  SELECT DISTINCT 'v' || l_orderkey AS src, 'v' || l_partkey AS dst
+      |  FROM lineitem
+      |)""".stripMargin
+}

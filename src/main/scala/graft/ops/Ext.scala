@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 M — capability extensions absent from the reference: set
+  * operations, grouping sets, approximate distinct, JSON extraction, and
+  * event-time windows (tumbling / sliding / session) in batch mode. The
+  * batch window queries use the exact `window()`/`session_window()`
+  * operators Structured Streaming runs, so the streaming path (see
+  * `graft.streaming.Streams`) shares semantics with an oracle-checkable
+  * batch query.
+  */
+object Ext {
+
+  val all: Seq[Q] = Seq(
+
+    // ----- set ops: UNION ALL keeps duplicates
+    Q("m_union_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+          .unionByName(o.filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey")))
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+          .orderBy("o_custkey")
+      },
+      Some(
+        """SELECT o_custkey, count(*) AS cnt FROM (
+          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |  UNION ALL
+          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ----- INTERSECT (set semantics, deduplicated)
+    Q("m_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "P")
+            .select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some(
+        """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |INTERSECT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+          |ORDER BY o_custkey""".stripMargin)),
+
+    // ----- EXCEPT (set difference, deduplicated)
+    Q("m_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "P")
+            .select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some(
+        """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |EXCEPT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+          |ORDER BY o_custkey""".stripMargin)),
+
+    // ----- ROLLUP: subtotal hierarchy; grouping-null made explicit so both
+    // engines order identically
+    Q("m_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("_ALL_")).as("rf"),
+          coalesce(col("l_linestatus"), lit("_ALL_")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some(
+        """SELECT coalesce(l_returnflag, '_ALL_') AS rf,
+          |       coalesce(l_linestatus, '_ALL_') AS ls,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin)),
+
+    // ----- CUBE: all grouping combinations
+    Q("m_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("_ALL_")).as("st"),
+          coalesce(col("o_orderpriority"), lit("_ALL_")).as("pri"),
+          col("n"))
+        .orderBy("st", "pri"),
+      Some(
+        """SELECT coalesce(o_orderstatus, '_ALL_') AS st,
+          |       coalesce(o_orderpriority, '_ALL_') AS pri, count(*) AS n
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY st, pri""".stripMargin)),
+
+    // ----- approx_count_distinct (HLL++): algorithm-specific result, so no
+    // SQL oracle (rows-only check); accuracy is pinned by a ScalaTest
+    // against exact countDistinct.
+    Q("m_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+      None),
+
+    // ----- JSON extraction from string column (events.props)
+    Q("m_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some(
+        """SELECT count(*) AS n,
+          |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+          |       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+          |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+          |FROM events""".stripMargin)),
+
+    // ----- tumbling event-time window (batch mode of the streaming op).
+    // Spark's window() aligns to the epoch, so 1-day tumbling ≡ date_trunc.
+    Q("m_window_tumbling",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start_us", "event_type"),
+      Some(
+        """SELECT epoch_us(date_trunc('day', ts)) AS win_start_us, event_type,
+          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type"""
+          .stripMargin)),
+
+    // ----- sliding event-time window (1 day every 12 h ⇒ each event in 2
+    // windows). Oracle enumerates the two epoch-aligned candidate starts.
+    Q("m_window_sliding",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start_us"),
+      Some(
+        """WITH cand AS (
+          |  SELECT ts, value,
+          |    (CAST(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200000000
+          |      AS win_start_us
+          |  FROM events, (SELECT unnest([0, 1]) AS k)
+          |), w AS (
+          |  SELECT * FROM cand
+          |  WHERE epoch(ts) * 1000000 >= win_start_us
+          |    AND epoch(ts) * 1000000 < win_start_us + 86400000000)
+          |SELECT win_start_us, count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM w GROUP BY win_start_us ORDER BY win_start_us""".stripMargin)),
+
+    // ----- session window (1 h inactivity gap) per user — the batch twin
+    // of the streaming session_window; oracle is the classic
+    // gaps-and-islands rewrite.
+    Q("m_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "sess_start_us"),
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |              IS NULL THEN 1
+          |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+          |              PARTITION BY user_id ORDER BY ts)) >= 3600000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |), sess AS (
+          |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          |  FROM flagged)
+          |SELECT user_id, min(epoch_us(ts)) AS sess_start_us, count(*) AS n,
+          |       round(sum(value), 4) AS sum_value
+          |FROM sess GROUP BY user_id, sess_id
+          |ORDER BY user_id, sess_start_us""".stripMargin)),
+  )
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (LLM-pipeline surface):
+  * tokenization + counting, quality scoring, heuristic language ID, and
+  * positional document fingerprinting. All pure `functions._` column
+  * expressions (codegen'd, no UDFs); everything is oracle-checked.
+  */
+object Text {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Marker function-words per language for the n-gram-free language-ID
+    * heuristic. The fixture corpus is synthetic English-ish tokens, so 'en'
+    * wins on real markers; ties break by the fixed language order below —
+    * deterministic on both engines.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("shi", "de", "le", "bu"))
+
+  private def inList(x: org.apache.spark.sql.Column, xs: Seq[String]) =
+    xs.map(x === _).reduce(_ || _)
+
+  val all: Seq[Q] = Seq(
+
+    // ----- token counting: whitespace tokenization + distinct + avg length
+    Q("t_tokens",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+            / size(col("toks")), 4).as("avg_token_len"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          |           FROM documents)
+          |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+          |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+          |  round(list_sum(list_transform(toks, x -> len(x)))
+          |        * 1.0 / len(toks), 4) AS avg_token_len
+          |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ----- quality scoring: stopword ratio, type-token ratio, length flags
+    Q("t_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("n_chars"),
+          round(size(filter(col("toks"), x => inList(x, stopwords)))
+            / size(col("toks")).cast("double"), 4).as("stopword_ratio"),
+          round(size(array_distinct(col("toks")))
+            / size(col("toks")).cast("double"), 4).as("type_token_ratio"),
+          when(col("n_chars") < 200, "short")
+            .when(col("n_chars") > 800, "long")
+            .otherwise("ok").as("length_class"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+           |           FROM documents)
+           |SELECT doc_id, n_chars,
+           |  round(len(list_filter(toks, x -> x IN
+           |    (${stopwords.map("'" + _ + "'").mkString(",")})))
+           |    * 1.0 / len(toks), 4) AS stopword_ratio,
+           |  round(len(list_distinct(toks)) * 1.0 / len(toks), 4)
+           |    AS type_token_ratio,
+           |  CASE WHEN n_chars < 200 THEN 'short'
+           |       WHEN n_chars > 800 THEN 'long'
+           |       ELSE 'ok' END AS length_class
+           |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ----- heuristic language ID by marker function-words
+    Q("t_langid",
+      (s, d) => {
+        var df = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+        for ((lang, ms) <- markers)
+          df = df.withColumn(s"s_$lang",
+            size(filter(col("toks"), x => inList(x, ms))))
+        val m = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+        val pred = markers.foldRight(lit("und")) { case ((l, _), acc) =>
+          when(col(s"s_$l") === m && m > 0, l).otherwise(acc)
+        }
+        // foldRight keeps declared language order as tie-break priority
+        df.select(col("doc_id"), col("lang"),
+            pred.as("predicted_lang"),
+            col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = markers.map { case (l, ms) =>
+          s"CAST(len(list_filter(toks, x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS INT) AS s_$l"
+        }.mkString(",\n  ")
+        val m = s"greatest(${markers.map("s_" + _._1).mkString(", ")})"
+        val arms = markers.map { case (l, _) =>
+          s"WHEN s_$l = $m AND $m > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           |           FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |  $scores
+           |FROM t)
+           |SELECT doc_id, lang,
+           |  CASE $arms ELSE 'und' END AS predicted_lang,
+           |  s_en, s_de, s_es, s_fr, s_zh
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- positional document fingerprint (rolling-hash flavor): a
+    // position-weighted token hash, exactly reproducible in ANSI SQL.
+    // Spark side uses posexplode (Generate) + hash agg — distributed.
+    Q("t_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .groupBy("doc_id")
+        .agg((sum((col("pos") + 1) *
+          (length(col("tok")) * 31 + ascii(col("tok")))) % 1000003)
+          .as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+          |    unnest(string_split(text, ' ')) AS tok
+          |  FROM documents)
+          |SELECT doc_id,
+          |  sum(pos * (len(tok) * 31 + ascii(tok))) % 1000003 AS fingerprint
+          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.{Oracles, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 G — window functions.
+  *
+  * G1/G3 mirror `trending_predictor.py:164-191` (partitioned ranking +
+  * top-k-per-group); G2 the global `percent_rank` (single-partition window —
+  * kept for fidelity; at scale the rank filter (C3) runs first so only
+  * ≤ 50×|categories| rows ever cross the single-partition exchange — see
+  * [[Stats.trendingRanked]]). lag/lead + frame specs are the [EXT] surface
+  * over `events`.
+  */
+object Windows {
+
+  val all: Seq[Q] = Seq(
+
+    // ----- G1 + C3: row_number per category, top-5 (deterministic
+    // tie-break on id in both engines)
+    Q("g1_rank_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("category"))
+          .orderBy(desc("views"), col("id"))
+        Tables.videos(s, d)
+          .withColumn("category_rank", row_number().over(w))
+          .filter(col("category_rank") <= 5)
+          .select("category", "category_rank", "id", "views")
+          .orderBy("category", "category_rank")
+      },
+      Some(Oracles.withVideos(
+        """SELECT category, category_rank, id, views FROM (
+          |  SELECT category, id, views,
+          |    row_number() OVER (PARTITION BY category
+          |                       ORDER BY views DESC, id) AS category_rank
+          |  FROM videos)
+          |WHERE category_rank <= 5
+          |ORDER BY category, category_rank""".stripMargin))),
+
+    // ----- G2: global percent_rank (single partition, as in the reference)
+    Q("g2_percent_rank",
+      (s, d) => {
+        val w = Window.orderBy(desc("views"), col("id"))
+        Tables.videos(s, d)
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .filter(col("views") >= 400000)   // keep output small & selective
+          .select("id", "views", "pr")
+          .orderBy("id")
+      },
+      Some(Oracles.withVideos(
+        """SELECT id, views, pr FROM (
+          |  SELECT id, views,
+          |    round(percent_rank() OVER (ORDER BY views DESC, id), 6) AS pr
+          |  FROM videos)
+          |WHERE views >= 400000 ORDER BY id""".stripMargin))),
+
+    // ----- [EXT] lag/lead over event streams, per-user time order
+    Q("w_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, d)
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type"), col("value"), col("prev_value"),
+            col("next_type"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some(
+        """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+          |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
+          |    AS prev_value,
+          |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts)
+          |    AS next_type
+          |FROM events ORDER BY user_id, ts_us""".stripMargin)),
+
+    // ----- [EXT] sliding frame spec: running sum + moving average
+    Q("w_rows_between",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, d)
+          .withColumn("running_sum",
+            round(sum(col("value")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+          .withColumn("moving_avg3",
+            round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4))
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value"), col("running_sum"), col("moving_avg3"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some(
+        """SELECT user_id, epoch_us(ts) AS ts_us, value,
+          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+          |    AS running_sum,
+          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+          |FROM events ORDER BY user_id, ts_us""".stripMargin)),
+  )
+}
