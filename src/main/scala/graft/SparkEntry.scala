@@ -1,13 +1,29 @@
 package graft
+import graft.ops.{Ext, Graph, Ingest, Q, Relational, Similarity, Stats, Text, Windows}
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator module exposes `all: Seq[Q]`; this object folds them into
+  * the `queries` / `oracleSql` maps the driver consumes. A `Q` with
+  * `oracle = None` gets a rows-only check.
+  */
 object SparkEntry {
+
+  private val allQs: Seq[Q] =
+    Relational.all ++ Windows.all ++ Stats.all ++ Graph.all ++ Text.all ++
+      Ext.all ++ Similarity.all ++ Ingest.all ++ graft.streaming.Streams.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Stats.trendingRanked(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  val oracleSql: Map[String, String] =
+    allQs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

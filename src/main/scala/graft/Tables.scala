@@ -34,7 +34,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
+    * Spark 4's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read it
+    * with the legacy nanos-as-long conf, then convert once to microsecond
+    * timestamps via integral division — NOT `/1000` (double round-trip
+    * loses precision above 2^53, and epoch-nanos is ~1.7e18).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -121,7 +121,8 @@ object Ext {
           min(col("k")).as("min_k"), max(col("k")).as("max_k")),
       Some(
         """SELECT count(*) AS n,
-          |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+          |            AS BIGINT) AS sum_k,
           |       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
           |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
           |FROM events""".stripMargin)),

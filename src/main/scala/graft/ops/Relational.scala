@@ -147,7 +147,7 @@ object Relational {
         .select(col("id"), posexplode(col("related_ids")).as(Seq("pos", "rid")))
         .orderBy("id", "pos"),
       Some(Oracles.withVideos(
-        """SELECT id, generate_subscripts(related_ids, 1) - 1 AS pos,
+        """SELECT id, CAST(generate_subscripts(related_ids, 1) - 1 AS INT) AS pos,
           |       unnest(related_ids) AS rid
           |FROM videos ORDER BY id, pos""".stripMargin))),
 
@@ -171,7 +171,8 @@ object Relational {
         """, links AS (
           |  SELECT unnest(related_ids) AS id, 1 AS link_count FROM videos
           |), link_counts AS (
-          |  SELECT id, sum(link_count) AS sum_link_count FROM links GROUP BY id
+          |  SELECT id, CAST(sum(link_count) AS BIGINT) AS sum_link_count
+          |  FROM links GROUP BY id
           |)
           |SELECT l.id, l.sum_link_count, v.views, v.num_ratings,
           |       v.num_comments, v.age_days
@@ -187,7 +188,7 @@ object Relational {
         o.join(c, o("o_custkey") === c("c_custkey"), "left")
           .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
             col("c_mktsegment"))
-          .orderBy("o_orderkey"),
+          .orderBy("o_orderkey")
       },
       Some(
         """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
@@ -356,9 +357,14 @@ object Relational {
             .otherwise(date_format(col("o_orderdate"), "yyMMdd"))
             .as("dirname"))
         .withColumn("parsed_date",
-          when(length(col("dirname")) === 4,
-            to_date(concat(lit("07"), col("dirname")), "yyMMdd"))
-            .otherwise(to_date(col("dirname"), "yyMMdd")))
+          // string output: engine-neutral (DATE vs TIMESTAMP repr differs).
+          // try_to_date: a 4-digit MMDD of 0229 maps to 2007-02-29, which
+          // does not exist (2007 isn't a leap year) → NULL, not a crash.
+          date_format(
+            when(length(col("dirname")) === 4,
+              try_to_date(concat(lit("07"), col("dirname")), "yyMMdd"))
+              .otherwise(try_to_date(col("dirname"), "yyMMdd")),
+            "yyyy-MM-dd"))
         .orderBy("o_orderkey"),
       Some(
         """WITH t AS (
@@ -367,9 +373,12 @@ object Relational {
           |         ELSE strftime(o_orderdate, '%y%m%d') END AS dirname
           |  FROM orders)
           |SELECT o_orderkey, dirname,
-          |  CASE WHEN length(dirname) = 4
-          |       THEN strptime('07' || dirname, '%y%m%d')::DATE
-          |       ELSE strptime(dirname, '%y%m%d')::DATE END AS parsed_date
+          |  -- year rule is 2000+YY (mongo_loader.py:85-90), NOT POSIX %y
+          |  -- (which maps 69-99 to 19xx); 4-digit MMDD ⇒ year 2007
+          |  strftime(CASE WHEN length(dirname) = 4
+          |       THEN try_strptime('2007' || dirname, '%Y%m%d')
+          |       ELSE try_strptime('20' || dirname, '%Y%m%d') END, '%Y-%m-%d')
+          |    AS parsed_date
           |FROM t ORDER BY o_orderkey""".stripMargin)),
 
     // ----- I10: nested-JSON serialization (data_types.py:44-65 shape)
@@ -390,8 +399,11 @@ object Relational {
     Q("l1_dedup_firstwins",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // full tie-break: the fixture has duplicate (orderkey, linenumber)
+        // pairs at sf>=0.01, so "first" must be totally ordered
         val w = Window.partitionBy(col("l_orderkey"))
-          .orderBy(col("l_linenumber"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"))
         Tables.lineitem(s, d)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -400,8 +412,9 @@ object Relational {
       },
       Some(
         """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-          |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-          |                                   ORDER BY l_linenumber) AS rn
+          |FROM (SELECT *, row_number() OVER (
+          |        PARTITION BY l_orderkey
+          |        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
           |      FROM lineitem)
           |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
   )

@@ -1,0 +1,428 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline dedup + similarity operators over `documents` and
+  * `embeddings` (SURVEY §2 M; the two flagship capabilities VERDICT r1
+  * flagged as missing).
+  *
+  * Design rules for 100 TB:
+  *   - NEVER all-pairs. Candidate generation is always bucketed — MinHash
+  *     band buckets, sign-LSH buckets, or a bounded probe set joined
+  *     against a key-partitioned table. Every join here shuffles on a
+  *     bucket/band key or broadcasts a tiny probe side.
+  *   - All hashing is `md5` — identical in Spark and DuckDB, so the full
+  *     banded pipeline (not just its verified output) is replicated by the
+  *     oracle. Production note: at real scale `xxhash64` halves the hash
+  *     cost; md5 is chosen for cross-engine verifiability and swaps in
+  *     one place.
+  *   - Higher-order array functions (`transform`/`zip_with`/`aggregate`)
+  *     keep everything inside codegen; zero UDFs.
+  */
+object Similarity {
+
+  // ---------- shared text-side builders ----------
+
+  /** Distinct 3-token shingles per document (docs with <3 tokens dropped —
+    * guard keeps `sequence` ascending on both engines).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh",
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))))
+      .select(col("doc_id"), col("sh"))
+  }
+
+  /** DuckDB twin of [[shingled]] as a CTE chain ending in `sh(doc_id, sh)`. */
+  private val shingledSql: String =
+    """tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM tk WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  private val numHashes = 12 // 4 bands x 3 rows
+  private val numBands  = 4
+  private val rowsPerBand = numHashes / numBands
+
+  // ---------- embeddings-side builders ----------
+
+  /** Embeddings with float→double cast (IEEE-exact widening, matches
+    * DuckDB's FLOAT→DOUBLE) and the L2 norm precomputed once per vector.
+    */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("e", transform(col("embedding"), _.cast("double")))
+      .withColumn("nrm",
+        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  // Oracle note: every cosine oracle below CASTs the unnested floats to
+  // DOUBLE before multiplying — Spark multiplies doubles (per-element cast
+  // above), and DuckDB would otherwise multiply in FLOAT and land on the
+  // other side of a round-6 boundary.
+
+  val all: Seq[Q] = Seq(
+
+    // ----- exact dedup by content hash: canonical hash-groupBy first-wins.
+    // Survivor = min doc_id per md5(text); n_copies counts the group.
+    Q("m_exact_dedup",
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        h.groupBy("h")
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "h", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT min(doc_id) AS doc_id, md5(text) AS h,
+          |       count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin)),
+
+    // ----- MinHash + LSH banding near-dup detection. 12 md5 min-hashes,
+    // 4 bands of 3; candidates = pairs sharing a band key (shuffle on the
+    // band key — never a cartesian); verify stage computes exact Jaccard on
+    // the shingle sets and keeps pairs >= 0.5. The md5 hash family makes
+    // the banding itself deterministic, so the oracle replicates the whole
+    // pipeline, false negatives included.
+    Q("m_minhash_dedup",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val sigCols: Seq[Column] = (0 until numHashes).map { k =>
+          array_min(transform(col("sh"), x => md5(concat(lit(s"s${k}_"), x))))
+            .as(s"m$k")
+        }
+        val sig = sh.select(col("doc_id") +: sigCols: _*)
+        val bandCols: Seq[Column] = (0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat((0 until rowsPerBand)
+              .map(r => col(s"m${b * rowsPerBand + r}")): _*)).as("key"))
+        }
+        val bands = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.key").as("key"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+        val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+        cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+          .withColumn("jaccard",
+            round(size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+              / size(array_union(col("sh1"), col("sh2"))), 4))
+          .filter(col("jaccard") >= 0.5)
+          .select("d1", "d2", "jaccard")
+          .orderBy("d1", "d2")
+      },
+      Some {
+        val mins = (0 until numHashes).map { k =>
+          s"list_min(list_transform(sh, x -> md5('s${k}_' || x))) AS m$k"
+        }.mkString(",\n    ")
+        val bandRows = (0 until numBands).map { b =>
+          val cc = (0 until rowsPerBand)
+            .map(r => s"m${b * rowsPerBand + r}").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($cc) AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $shingledSql, sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh
+           |), bands AS (
+           |  $bandRows
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+           |n AS (SELECT doc_id, count(*) AS cnt FROM ex GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.d1, c.d2, count(*) AS i
+           |  FROM cand c JOIN ex e1 ON e1.doc_id = c.d1
+           |              JOIN ex e2 ON e2.doc_id = c.d2 AND e2.s = e1.s
+           |  GROUP BY c.d1, c.d2
+           |)
+           |SELECT d1, d2,
+           |  round(i * 1.0 / (n1.cnt + n2.cnt - i), 4) AS jaccard
+           |FROM inter JOIN n n1 ON n1.doc_id = d1
+           |           JOIN n n2 ON n2.doc_id = d2
+           |WHERE i * 1.0 / (n1.cnt + n2.cnt - i) >= 0.5
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
+    // ----- n-gram (bigram) Jaccard similarity, source-bucketed: a bounded
+    // probe set (doc_id % 50 = 0) joins only within its `source` bucket —
+    // candidate count is |probes| x bucket size, linear in corpus size.
+    // Output = each probe's top-3 most-similar bucket-mates. Ranking is on
+    // the raw i/u double (identical in both engines) with d2 tie-break.
+    Q("m_ngram_jaccard",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = split(col("text"), " ")
+        val grams = Tables.documents(s, d)
+          .withColumn("toks", toks)
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("source"),
+            array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1)))).as("g"))
+        val probes = grams.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("d1"), col("source"), col("g").as("g1"))
+        val w = Window.partitionBy(col("d1"))
+          .orderBy(desc("jaccard"), col("d2"))
+        probes.join(
+            grams.select(col("doc_id").as("d2"), col("source"),
+              col("g").as("g2")),
+            Seq("source"))
+          .filter(col("d1") =!= col("d2"))
+          .withColumn("jaccard",
+            size(array_intersect(col("g1"), col("g2"))).cast("double")
+              / size(array_union(col("g1"), col("g2"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("d1"), col("rk").as("rank"), col("d2"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("d1", "rank")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, source, string_split(text, ' ') AS toks
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id, source,
+          |    list_distinct(list_transform(range(1, len(toks)),
+          |      i -> toks[i] || ' ' || toks[i+1])) AS g
+          |  FROM tk WHERE len(toks) >= 2
+          |), ex AS (SELECT doc_id, source, unnest(g) AS s FROM g),
+          |n AS (SELECT doc_id, count(*) AS cnt FROM ex GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT p.doc_id AS d1, q.doc_id AS d2, p.source
+          |  FROM g p JOIN g q
+          |    ON p.source = q.source AND p.doc_id <> q.doc_id
+          |  WHERE p.doc_id % 50 = 0
+          |), inter AS (
+          |  SELECT p.doc_id AS d1, q.doc_id AS d2, count(*) AS i
+          |  FROM ex p JOIN ex q
+          |    ON p.source = q.source AND p.s = q.s AND p.doc_id <> q.doc_id
+          |  WHERE p.doc_id % 50 = 0
+          |  GROUP BY 1, 2
+          |), jac AS (
+          |  SELECT pr.source, pr.d1, pr.d2,
+          |    coalesce(i, 0) * 1.0 / (n1.cnt + n2.cnt - coalesce(i, 0))
+          |      AS jaccard
+          |  FROM pairs pr
+          |  LEFT JOIN inter ON inter.d1 = pr.d1 AND inter.d2 = pr.d2
+          |  JOIN n n1 ON n1.doc_id = pr.d1
+          |  JOIN n n2 ON n2.doc_id = pr.d2
+          |), rk AS (
+          |  SELECT source, d1, d2, jaccard,
+          |    CAST(row_number() OVER (PARTITION BY d1
+          |      ORDER BY jaccard DESC, d2) AS INT) AS rank
+          |  FROM jac)
+          |SELECT source, d1, rank, d2, round(jaccard, 4) AS jaccard
+          |FROM rk WHERE rank <= 3 ORDER BY d1, rank""".stripMargin)),
+
+    // ----- SimHash: 16-bit token-level fingerprint. Bit b of a token is
+    // the parity of hex digit b of md5(token); a doc's bit is the sign of
+    // the token-vote sum. One explode + one hash-agg — fully distributed.
+    // n_same counts docs sharing the fingerprint (near-dup grouping).
+    Q("m_simhash",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bits = 16
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val votes: Seq[Column] = (1 to bits).map { b =>
+          sum(when(ascii(substring(col("h"), b, 1)) % 2 === 1, 1)
+            .otherwise(-1)).as(s"v$b")
+        }
+        val fp = (1 to bits).map { b =>
+          when(col(s"v$b") >= 0, lit(1L << (b - 1))).otherwise(lit(0L))
+        }.reduce(_ + _)
+        tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .withColumn("simhash", fp)
+          .withColumn("n_same",
+            count(lit(1)).over(Window.partitionBy(col("simhash"))))
+          .select("doc_id", "simhash", "n_same")
+          .orderBy("doc_id")
+      },
+      Some {
+        val bits = 16
+        val votes = (1 to bits).map { b =>
+          s"sum(CASE WHEN ascii(substr(md5(tok), $b, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+        }.mkString(",\n    ")
+        val fp = (1 to bits).map { b =>
+          s"CASE WHEN v$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents
+           |), v AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM tok GROUP BY doc_id
+           |), f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)
+           |SELECT doc_id, simhash,
+           |  count(*) OVER (PARTITION BY simhash) AS n_same
+           |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- brute-force cosine top-k: the correctness baseline for ANN.
+    // The probe side (vec_id < 8) broadcasts; cost is linear in |table|.
+    // Ranking is on the ROUNDED cosine with vec_id tie-break so both
+    // engines order identically.
+    Q("m_cosine_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = normed(s, d)
+        val probes = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"))
+        val pairs = broadcast(probes).join(
+            e.select(col("vec_id").as("vid"), col("e").as("ee"),
+              col("nrm").as("vn")),
+            col("qid") =!= col("vid"))
+          .withColumn("cos",
+            round(dot(col("qe"), col("ee")) / (col("qn") * col("vn")), 6))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vid"))
+        pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("qid"), col("rk").as("rank"), col("vid"), col("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          |  WHERE vec_id < 8
+          |), p AS (
+          |  SELECT qid, e.vec_id AS vid, qe, e.embedding AS ee
+          |  FROM q JOIN embeddings e ON e.vec_id <> qid
+          |), u AS (
+          |  SELECT qid, vid, CAST(unnest(qe) AS DOUBLE) AS x,
+          |         CAST(unnest(ee) AS DOUBLE) AS y FROM p
+          |), cs AS (
+          |  SELECT qid, vid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+          |  FROM u GROUP BY qid, vid
+          |), rk AS (
+          |  SELECT qid, vid, cos,
+          |    CAST(row_number() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, vid) AS INT) AS rank
+          |  FROM cs)
+          |SELECT qid, rank, vid, cos FROM rk WHERE rank <= 10
+          |ORDER BY qid, rank""".stripMargin)),
+
+    // ----- sign-LSH approximate NN: bucket = sign bits of the first 8
+    // dims; probes only meet candidates in their own bucket (the join
+    // shuffles on the bucket key — candidate count drops ~2^8 vs brute
+    // force; the scale path for the query above).
+    Q("m_ann_lsh",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = normed(s, d)
+          .withColumn("bucket",
+            concat_ws("", transform(slice(col("e"), 1, 8),
+              x => when(x >= 0, "1").otherwise("0"))))
+        val probes = e.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"), col("bucket"))
+        val pairs = probes.join(
+            e.select(col("vec_id").as("vid"), col("e").as("ee"),
+              col("nrm").as("vn"), col("bucket")),
+            Seq("bucket"))
+          .filter(col("qid") =!= col("vid"))
+          .withColumn("cos",
+            round(dot(col("qe"), col("ee")) / (col("qn") * col("vn")), 6))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vid"))
+        pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").as("rank"), col("vid"),
+            col("bucket"), col("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT vec_id, embedding,
+          |    list_aggregate(list_transform(embedding[1:8],
+          |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+          |      'string_agg', '') AS bucket
+          |  FROM embeddings
+          |), p AS (
+          |  SELECT q.vec_id AS qid, e.vec_id AS vid, q.bucket,
+          |         q.embedding AS qe, e.embedding AS ee
+          |  FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+          |  WHERE q.vec_id < 64
+          |), u AS (
+          |  SELECT qid, vid, bucket, CAST(unnest(qe) AS DOUBLE) AS x,
+          |         CAST(unnest(ee) AS DOUBLE) AS y FROM p
+          |), cs AS (
+          |  SELECT qid, vid, bucket,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+          |  FROM u GROUP BY qid, vid, bucket
+          |), rk AS (
+          |  SELECT qid, vid, bucket, cos,
+          |    CAST(row_number() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, vid) AS INT) AS rank
+          |  FROM cs)
+          |SELECT qid, rank, vid, bucket, cos FROM rk WHERE rank <= 3
+          |ORDER BY qid, rank""".stripMargin)),
+
+    // ----- embedding-cosine near-dup: label-bucketed pair generation with
+    // a bounded probe set (vec_id % 10 = 0); emits pairs above 0.25.
+    Q("m_embed_neardup",
+      (s, d) => {
+        val e = normed(s, d)
+        val probes = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("v1"), col("label"), col("e").as("e1"),
+            col("nrm").as("n1"))
+        probes.join(
+            e.select(col("vec_id").as("v2"), col("label"), col("e").as("e2"),
+              col("nrm").as("n2")),
+            Seq("label"))
+          .filter(col("v1") < col("v2"))
+          .withColumn("cos",
+            round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+          .filter(col("cos") >= 0.25)
+          .select("label", "v1", "v2", "cos")
+          .orderBy("label", "v1", "v2")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+          |         a.embedding AS qe, b.embedding AS ee
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.label = b.label AND a.vec_id < b.vec_id
+          |  WHERE a.vec_id % 10 = 0
+          |), u AS (
+          |  SELECT label, v1, v2, CAST(unnest(qe) AS DOUBLE) AS x,
+          |         CAST(unnest(ee) AS DOUBLE) AS y FROM p
+          |), cs AS (
+          |  SELECT label, v1, v2,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+          |  FROM u GROUP BY label, v1, v2)
+          |SELECT label, v1, v2, cos FROM cs WHERE cos >= 0.25
+          |ORDER BY label, v1, v2""".stripMargin)),
+  )
+}

@@ -213,7 +213,7 @@ object Stats {
            |    AND rating BETWEEN 0 AND 5 AND num_ratings >= 0
            |    AND num_comments >= 0)
            |, topk AS (SELECT * FROM ranked WHERE category_rank <= 50)
-           |SELECT category, category_rank, id,
+           |SELECT category, CAST(category_rank AS INT) AS category_rank, id,
            |  round(trending_score, 4) AS trending_score,
            |  round(percent_rank() OVER (ORDER BY trending_score DESC, id), 6)
            |    AS overall_percentile

@@ -132,7 +132,8 @@ object Text {
           |    unnest(string_split(text, ' ')) AS tok
           |  FROM documents)
           |SELECT doc_id,
-          |  sum(pos * (len(tok) * 31 + ascii(tok))) % 1000003 AS fingerprint
+          |  CAST(sum(pos * (len(tok) * 31 + ascii(tok))) % 1000003 AS BIGINT)
+          |    AS fingerprint
           |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -31,7 +31,8 @@ object Windows {
           .orderBy("category", "category_rank")
       },
       Some(Oracles.withVideos(
-        """SELECT category, category_rank, id, views FROM (
+        """SELECT category, CAST(category_rank AS INT) AS category_rank, id,
+          |       views FROM (
           |  SELECT category, id, views,
           |    row_number() OVER (PARTITION BY category
           |                       ORDER BY views DESC, id) AS category_rank

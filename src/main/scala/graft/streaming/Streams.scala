@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` fixture (SURVEY §2 M streaming
+  * surface). Batch and stream share the SAME `window()` operator, so the
+  * tumbling-window stream is oracle-checked against the identical batch
+  * SQL (`m_window_tumbling`'s oracle).
+  *
+  * The file source reads `ts` as raw INT64 nanos (explicit schema — the
+  * parquet column is TIMESTAMP(NANOS), which Spark 4 only surfaces as
+  * long), converts once to microsecond timestamps, then applies a
+  * watermark. With an `availableNow` trigger the whole fixture arrives in
+  * order, so nothing is late and the result equals the batch aggregation —
+  * which is exactly what makes it checkable. At scale this is the standard
+  * incremental pipeline: stateful window aggregation + watermark eviction,
+  * state partitioned by (window, event_type).
+  */
+object Streams {
+
+  /** Raw parquet schema of `events` with nanos-as-long `ts`. */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source needs a DIRECTORY path; select the single
+    // fixture file via pathGlobFilter.
+    s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to completion (availableNow) into a memory sink
+    * and return the sink contents as a batch DataFrame.
+    */
+  private def runToMemory(s: SparkSession, df: DataFrame,
+                          mode: String): DataFrame = {
+    val sink = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** Tumbling 1-day window count/sum per event_type with a 1-hour
+    * watermark — the streaming twin of `m_window_tumbling`.
+    */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    runToMemory(s, agg, "complete")
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+  }
+
+  /** Stateful streaming dedup on event_id within the watermark horizon —
+    * the streaming form of exact dedup (L1). Returns the deduped count per
+    * event_type (equal to the batch distinct count, since fixture
+    * event_ids are unique).
+    */
+  def dedupCounts(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, deduped, "complete")
+      .orderBy("event_type")
+  }
+
+  /** Queries surfaced through SparkEntry (oracles are the batch twins). */
+  val all: Seq[graft.ops.Q] = Seq(
+    graft.ops.Q("m_stream_tumbling",
+      (s, d) => tumblingCounts(s, d),
+      Some(
+        """SELECT epoch_us(date_trunc('day', ts)) AS win_start_us, event_type,
+          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type"""
+          .stripMargin)),
+    graft.ops.Q("m_stream_dedup",
+      (s, d) => dedupCounts(s, d),
+      Some(
+        """SELECT event_type, count(DISTINCT event_id) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}
