@@ -75,13 +75,16 @@ object Ingest {
 
   /** Variadic-tail TSV parse (`data_types.py:26-39`): fields 1-9 typed,
     * 10+ → `related_ids`; short lines dropped (captured by [[rejects]]).
+    * A `file` column (from [[scanTree]]) is carried through when present
+    * so [[perFileStats]] can group on it.
     */
   def parse(lines: DataFrame): DataFrame =
     lines
       .withColumn("f", split(col("line"), "\t"))
       .filter(size(col("f")) >= 9)
       .select(
-        col("dirname"),
+        (if (lines.columns.contains("file")) Seq(col("file")) else Nil) ++
+        Seq(col("dirname"),
         element_at(col("f"), 1).as("id"),
         element_at(col("f"), 2).as("uploader"),
         element_at(col("f"), 3).cast("long").as("age_days"),
@@ -92,7 +95,7 @@ object Ingest {
         element_at(col("f"), 8).cast("long").as("num_ratings"),
         element_at(col("f"), 9).cast("long").as("num_comments"),
         slice(col("f"), lit(10), greatest(size(col("f")) - 9, lit(0)))
-          .as("related_ids"))
+          .as("related_ids")): _*)
 
   /** Reject capture (`load.py:22-26`): raw lines with <9 fields. */
   def rejects(lines: DataFrame): DataFrame =
@@ -114,11 +117,13 @@ object Ingest {
       .withColumn("dirname", element_at(split(col("file"), "/"), -2))
 
   /** I9 date rule on a dirname column: 4-digit `MMDD` ⇒ 2007, 6-digit
-    * `YYMMDD` ⇒ 2000+YY (`mongo_loader.py:73-94`). */
+    * `YYMMDD` ⇒ 2000+YY (`mongo_loader.py:73-94`). try_to_date: an
+    * impossible date (0229 ⇒ 2007-02-29, not a leap year) yields null
+    * instead of failing the whole load. */
   def dirDate(dirname: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(length(dirname) === 4,
-      to_date(concat(lit("07"), dirname), "yyMMdd"))
-      .otherwise(to_date(dirname, "yyMMdd"))
+      try_to_date(concat(lit("07"), dirname), "yyMMdd"))
+      .otherwise(try_to_date(dirname, "yyMMdd"))
 
   /** Nested-document construction (`mongo_loader.py:103-122` shape). */
   def toNested(parsed: DataFrame): DataFrame =

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the rows-only queries that the DuckDB oracle can't hash-check:
+  * approx_count_distinct accuracy and the streaming/batch agreement.
+  */
+class ApproxSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 10% of exact per event_type") {
+    val rows = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.10,
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
+  test("streaming tumbling-window agg equals the batch window() result") {
+    val stream = graft.streaming.Streams.tumblingCounts(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("w"), col("event_type"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(stream == batch)
+  }
+}
