@@ -1,5 +1,6 @@
 package graft
-import graft.ops.{Ext, Graph, Ingest, Q, Relational, Similarity, Stats, Text, Windows}
+import graft.ops.{Ext, Graph, Ingest, Multimodal, Q, Relational, Similarity,
+  Stats, Text, Windows}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +13,8 @@ object SparkEntry {
 
   private val allQs: Seq[Q] =
     Relational.all ++ Windows.all ++ Stats.all ++ Graph.all ++ Text.all ++
-      Ext.all ++ Similarity.all ++ Ingest.all ++ graft.streaming.Streams.all
+      Ext.all ++ Similarity.all ++ Ingest.all ++ Multimodal.all ++
+      graft.streaming.Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

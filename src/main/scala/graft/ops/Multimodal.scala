@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column surface (builder-prompt LLM-pipeline requirement):
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, plus a decode/feature-extract stage.
+  *
+  * The fixtures carry no binary column, so a deterministic one is
+  * synthesized from `documents.text` (the bytes ARE the utf-8 text —
+  * pure, reproducible in DuckDB as a BLOB cast). Two surfaces:
+  *
+  *   - metadata extraction with built-in expressions (oracle-checked);
+  *   - [[decodePartitions]] — the real `mapPartitions` plumbing a decode
+  *     stage needs (schema declared up front, per-partition iteration,
+  *     no driver collect). The "decoder" is a STUB: the image libs are
+  *     not in this container, so it derives deterministic fake
+  *     width/height/checksum from the bytes; swapping in a real codec
+  *     changes only the function body, not the plumbing. At scale this
+  *     is the standard shape: narrow per-partition transform, no
+  *     shuffle, codec state allocated once per partition (not per row).
+  */
+object Multimodal {
+
+  /** documents with a synthetic binary payload column. */
+  def withBlob(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** mapPartitions decode stage (stub codec, real plumbing). One codec
+    * "allocation" per partition; rows stream through the iterator.
+    */
+  def decodePartitions(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    blobs.select("doc_id", "payload").mapPartitions { it =>
+      // real codec handle would be created HERE, once per partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // --- STUB decode: deterministic pseudo-metadata from the bytes
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        Row(id, bytes.length, (bytes.length % 640) + 1,
+          ((bytes.length * 3) % 480) + 1, sum % 1000003L)
+      }
+    }(enc)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ----- typed metadata over the binary column, pure built-ins
+    Q("m_multimodal_meta",
+      (s, d) => withBlob(s, d)
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          hex(substring(col("payload"), 1, 4)).as("magic"),
+          (length(col("payload")) % 640 + 1).as("width"),
+          ((length(col("payload")) * 3) % 480 + 1).as("height"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+          |  upper(hex(substr(text, 1, 4))) AS magic,
+          |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
+          |  CAST(octet_length(CAST(text AS BLOB)) * 3 % 480 + 1 AS INT)
+          |    AS height
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- the mapPartitions decode stage; checksum = sum of byte values
+    // mod 1000003, which ANSI SQL can replicate via per-char code points
+    // (ascii codes <= 127 in the fixture, so bytes == code points).
+    Q("m_multimodal_decode",
+      (s, d) => decodePartitions(withBlob(s, d)).orderBy("doc_id"),
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+          |    CAST(list_sum(list_transform(string_split(text, ''),
+          |      x -> ascii(x))) AS BIGINT) AS bytesum
+          |  FROM documents)
+          |SELECT doc_id, n_bytes,
+          |  CAST(n_bytes % 640 + 1 AS INT) AS width,
+          |  CAST(n_bytes * 3 % 480 + 1 AS INT) AS height,
+          |  bytesum % 1000003 AS checksum
+          |FROM c ORDER BY doc_id""".stripMargin)),
+  )
+}

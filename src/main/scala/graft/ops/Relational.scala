@@ -309,6 +309,56 @@ object Relational {
         """SELECT id, views, num_ratings FROM videos
           |ORDER BY views DESC, id""".stripMargin))),
 
+    // ----- H2: sort by collection-size expression (graph_filter.py:156
+    // orders cluster aggregates by size(collect_list(id)) desc)
+    Q("h2_sort_by_size",
+      (s, d) => Tables.videos(s, d)
+        .groupBy("uploader")
+        .agg(array_sort(collect_list(col("id"))).as("ids"),
+          round(avg("views"), 4).as("avg_views"))
+        .withColumn("n_ids", size(col("ids")))
+        .orderBy(desc("n_ids"), col("uploader")),
+      Some(Oracles.withVideos(
+        """SELECT uploader, list_sort(list(id)) AS ids,
+          |       round(avg(views), 4) AS avg_views,
+          |       CAST(len(list(id)) AS INT) AS n_ids
+          |FROM videos GROUP BY uploader
+          |ORDER BY n_ids DESC, uploader""".stripMargin))),
+
+    // ----- B4: withColumns(Map) — several derived columns in one call
+    // (graph_filter.py:149-155 adds 3 size columns at once)
+    Q("b4_withcolumns",
+      (s, d) => Tables.videos(s, d)
+        .select("id", "views", "rating", "age_days")
+        .withColumns(Map(
+          "views_k" -> round(col("views") / 1000.0, 4),
+          "rating_pct" -> round(col("rating") * 20, 4),
+          "age_years" -> round(col("age_days") / 365.25, 4)))
+        .orderBy("id"),
+      Some(Oracles.withVideos(
+        """SELECT id, views, rating, age_days,
+          |  round(views / 1000.0, 4) AS views_k,
+          |  round(rating * 20, 4) AS rating_pct,
+          |  round(age_days / 365.25, 4) AS age_years
+          |FROM videos ORDER BY id""".stripMargin))),
+
+    // ----- B6: Spark DEFAULT aggregate column name kept in the output
+    // schema — `sum(link_count)` — exactly as analyze_links.py:129
+    // publishes it (the plot reads x="sum(link_count)", :47-69)
+    Q("b6_default_agg_names",
+      (s, d) => Tables.videos(s, d)
+        .select(explode(col("related_ids")).as("id"))
+        .withColumn("link_count", lit(1))
+        .groupBy("id")
+        .sum("link_count")
+        .orderBy(desc("sum(link_count)"), col("id")),
+      Some(Oracles.withVideos(
+        """SELECT id,
+          |  CAST(sum(link_count) AS BIGINT) AS "sum(link_count)"
+          |FROM (SELECT unnest(related_ids) AS id, 1 AS link_count
+          |      FROM videos) t
+          |GROUP BY id ORDER BY "sum(link_count)" DESC, id""".stripMargin))),
+
     // ----- H3: top-N = orderBy.limit → TakeOrderedAndProject
     // (trending_predictor.py:200,300-314)
     Q("h3_topn",
