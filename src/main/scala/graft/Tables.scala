@@ -24,8 +24,35 @@ import org.apache.spark.sql.functions._
   * orders co-partitions on the same key, so AQE plans a single exchange pair.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+
+  /** Raw scan — used where a fresh un-cached plan is wanted. */
+  def rawTable(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Base-table reader. Two fixture-shape mitigations, both no-ops on
+    * properly laid-out production data:
+    *
+    *   1. The fixture files ship as a SINGLE parquet row group, so the
+    *      scan cannot split — every query would serialize on a 1-task
+    *      scan stage regardless of `maxPartitionBytes`. If the scan's
+    *      split count is degenerate vs the cluster's parallelism, the
+    *      table is re-spread once. (At 100 TB files have many row
+    *      groups and `parts * 2 < target` is never true.)
+    *   2. The re-spread table is persisted — the buffer-pool analogue
+    *      for a fixed working set queried 60+ times per session. At
+    *      production scale only dimensions would be pinned; fact tables
+    *      would rely on scan parallelism instead.
+    *
+    * Catalyst still prunes columns/filters through the cached relation
+    * (InMemoryRelation keeps per-batch stats).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cached(spark, dir, s"t:$name") {
+      val raw = rawTable(spark, dir, name)
+      val target = spark.sparkContext.defaultParallelism
+      val parts = raw.rdd.getNumPartitions
+      if (parts * 2 < target) raw.repartition(target) else raw
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -51,10 +78,22 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** get/putIfAbsent, NOT computeIfAbsent: builders nest (videos() calls
+    * table() on the same map) and a nested computeIfAbsent on one
+    * ConcurrentHashMap throws "Recursive update". A racing duplicate
+    * build is unpersisted and discarded.
+    */
   private def cached(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(s"$key|$dir|${System.identityHashCode(spark)}",
-      _ => build.persist())
+      build: => DataFrame): DataFrame = {
+    val k = s"$key|$dir|${System.identityHashCode(spark)}"
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val df = build.persist()
+      val prev = cache.putIfAbsent(k, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
+  }
 
   /** Flat videos table. Columns:
     * id, uploader, age_days, category, length, rating, views, num_ratings,

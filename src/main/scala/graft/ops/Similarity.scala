@@ -77,6 +77,52 @@ object Similarity {
   // above), and DuckDB would otherwise multiply in FLOAT and land on the
   // other side of a round-6 boundary.
 
+  /** Brute-force top-10 cosine neighbors for probes vec_id < 8, with a
+    * pluggable cosine column (HOF baseline vs native Expression). */
+  private def cosineTopk(s: SparkSession, d: String,
+      cosine: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normed(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val pairs = broadcast(probes).join(
+        e.select(col("vec_id").as("vid"), col("e").as("ee"),
+          col("nrm").as("vn")),
+        col("qid") =!= col("vid"))
+      .withColumn("cos", round(cosine(col("qe"), col("ee")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("vid"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("rk").as("rank"), col("vid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared DuckDB oracle for the brute-force cosine top-k (both the HOF
+    * and the native-Expression variant must produce exactly this). */
+  private val cosineTopkOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 8
+      |), p AS (
+      |  SELECT qid, e.vec_id AS vid, qe, e.embedding AS ee
+      |  FROM q JOIN embeddings e ON e.vec_id <> qid
+      |), u AS (
+      |  SELECT qid, vid, CAST(unnest(qe) AS DOUBLE) AS x,
+      |         CAST(unnest(ee) AS DOUBLE) AS y FROM p
+      |), cs AS (
+      |  SELECT qid, vid,
+      |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+      |  FROM u GROUP BY qid, vid
+      |), rk AS (
+      |  SELECT qid, vid, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, vid) AS INT) AS rank
+      |  FROM cs)
+      |SELECT qid, rank, vid, cos FROM rk WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----- exact dedup by content hash: canonical hash-groupBy first-wins.
@@ -104,11 +150,20 @@ object Similarity {
     Q("m_minhash_dedup",
       (s, d) => {
         val sh = shingled(s, d)
+        // ONE 96-hex-char hash per shingle (3 md5 calls), sliced into 12
+        // disjoint 8-char windows = 12 independent min-hash families —
+        // 4x fewer digest computations than 12 per-seed md5s
+        // (Kirsch–Mitzenmacher-style reuse).
+        val wide = concat(md5(concat(lit("a_"), col("x"))),
+          md5(concat(lit("b_"), col("x"))), md5(concat(lit("c_"), col("x"))))
         val sigCols: Seq[Column] = (0 until numHashes).map { k =>
-          array_min(transform(col("sh"), x => md5(concat(lit(s"s${k}_"), x))))
-            .as(s"m$k")
+          min(substring(col("w"), k * 8 + 1, 8)).as(s"m$k")
         }
-        val sig = sh.select(col("doc_id") +: sigCols: _*)
+        val sig = sh
+          .select(col("doc_id"), explode(col("sh")).as("x"))
+          .withColumn("w", wide)
+          .groupBy("doc_id")
+          .agg(sigCols.head, sigCols.tail: _*)
         val bandCols: Seq[Column] = (0 until numBands).map { b =>
           struct(lit(b).as("band"),
             md5(concat((0 until rowsPerBand)
@@ -136,17 +191,21 @@ object Similarity {
       },
       Some {
         val mins = (0 until numHashes).map { k =>
-          s"list_min(list_transform(sh, x -> md5('s${k}_' || x))) AS m$k"
+          s"min(substr(w, ${k * 8 + 1}, 8)) AS m$k"
         }.mkString(",\n    ")
         val bandRows = (0 until numBands).map { b =>
           val cc = (0 until rowsPerBand)
             .map(r => s"m${b * rowsPerBand + r}").mkString(" || ")
           s"SELECT doc_id, $b AS band, md5($cc) AS key FROM sig"
         }.mkString("\n  UNION ALL ")
-        s"""WITH $shingledSql, sig AS (
+        s"""WITH $shingledSql, wide AS (
+           |  SELECT doc_id,
+           |    md5('a_' || x) || md5('b_' || x) || md5('c_' || x) AS w
+           |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)
+           |), sig AS (
            |  SELECT doc_id,
            |    $mins
-           |  FROM sh
+           |  FROM wide GROUP BY doc_id
            |), bands AS (
            |  $bandRows
            |), cand AS (
@@ -292,46 +351,20 @@ object Similarity {
     // Ranking is on the ROUNDED cosine with vec_id tie-break so both
     // engines order identically.
     Q("m_cosine_topk",
+      (s, d) => cosineTopk(s, d,
+        (a, b) => dot(a, b) / (col("qn") * col("vn"))),
+      Some(cosineTopkOracle)),
+
+    // ----- same query through the native codegen'd Expression
+    // (graft.functions.CosineSim): one fused loop in whole-stage codegen
+    // instead of zip_with+aggregate's per-row intermediate array. Must
+    // hash-match the exact same oracle as the HOF baseline.
+    Q("m_cosine_topk_native",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = normed(s, d)
-        val probes = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("e").as("qe"),
-            col("nrm").as("qn"))
-        val pairs = broadcast(probes).join(
-            e.select(col("vec_id").as("vid"), col("e").as("ee"),
-              col("nrm").as("vn")),
-            col("qid") =!= col("vid"))
-          .withColumn("cos",
-            round(dot(col("qe"), col("ee")) / (col("qn") * col("vn")), 6))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(desc("cos"), col("vid"))
-        pairs.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 10)
-          .select(col("qid"), col("rk").as("rank"), col("vid"), col("cos"))
-          .orderBy("qid", "rank")
+        graft.functions.GraftFunctions.register(s)
+        cosineTopk(s, d, (a, b) => expr("cosine_sim(qe, ee)"))
       },
-      Some(
-        """WITH q AS (
-          |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-          |  WHERE vec_id < 8
-          |), p AS (
-          |  SELECT qid, e.vec_id AS vid, qe, e.embedding AS ee
-          |  FROM q JOIN embeddings e ON e.vec_id <> qid
-          |), u AS (
-          |  SELECT qid, vid, CAST(unnest(qe) AS DOUBLE) AS x,
-          |         CAST(unnest(ee) AS DOUBLE) AS y FROM p
-          |), cs AS (
-          |  SELECT qid, vid,
-          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
-          |  FROM u GROUP BY qid, vid
-          |), rk AS (
-          |  SELECT qid, vid, cos,
-          |    CAST(row_number() OVER (PARTITION BY qid
-          |      ORDER BY cos DESC, vid) AS INT) AS rank
-          |  FROM cs)
-          |SELECT qid, rank, vid, cos FROM rk WHERE rank <= 10
-          |ORDER BY qid, rank""".stripMargin)),
+      Some(cosineTopkOracle)),
 
     // ----- sign-LSH approximate NN: bucket = sign bits of the first 8
     // dims; probes only meet candidates in their own bucket (the join

@@ -193,6 +193,22 @@ object Stats {
            |  round(trending_score, 4) AS trending_score
            |FROM scored ORDER BY id""".stripMargin))),
 
+    // ----- I11: fixed-width report table of the top-20 by score
+    // (trending_predictor.py:316-324 prints the same printf-style table)
+    Q("i11_report_format",
+      (s, d) => trendingFeatures(Tables.videos(s, d))
+        .orderBy(desc("trending_score"), col("id"))
+        .limit(20)
+        .select(col("id"),
+          format_string("%-10s %-12s %12.3f",
+            col("id"), col("category"), col("trending_score")).as("line")),
+      Some(Oracles.withVideos(
+        s""", $featSql
+           |SELECT id, printf('%-10s %-12s %12.3f', id, category,
+           |                  trending_score) AS line
+           |FROM scored ORDER BY trending_score DESC, id LIMIT 20"""
+          .stripMargin))),
+
     // ----- G3: the whole trending pipeline (clean → score → top-50 per
     // category → global percentile), the reference's flagship query.
     Q("g3_topk_trending",

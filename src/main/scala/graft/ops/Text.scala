@@ -49,6 +49,30 @@ object Text {
           |        * 1.0 / len(toks), 4) AS avg_token_len
           |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ----- BPE-ish subword counting: greedy fixed-width piece regex (a
+    // stand-in for a learned BPE merge table — same plan shape: one
+    // regexp_extract_all + size, fully codegen'd). Identical greedy
+    // semantics in Java regex (Spark) and RE2 (DuckDB).
+    Q("t_tokens_bpe",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_words"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"), lit(0)))
+            .as("n_pieces"))
+        .withColumn("pieces_per_word",
+          round(col("n_pieces") / col("n_words").cast("double"), 4))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]')) AS INT) AS n_pieces,
+          |  round(len(regexp_extract_all(text,
+          |      '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]')) * 1.0
+          |    / len(string_split(text, ' ')), 4) AS pieces_per_word
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- quality scoring: stopword ratio, type-token ratio, length flags
     Q("t_quality",
       (s, d) => Tables.documents(s, d)

@@ -75,11 +75,18 @@ object Streams {
     * the streaming form of exact dedup (L1). Returns the deduped count per
     * event_type (equal to the batch distinct count, since fixture
     * event_ids are unique).
+    *
+    * Scale notes: the row is projected down to the three needed columns
+    * BEFORE the stateful operator (state stores whole rows per key — a
+    * stray JSON column would multiply state size), and the dedup is
+    * `dropDuplicatesWithinWatermark` so state is EVICTED as the watermark
+    * advances instead of growing forever.
     */
   def dedupCounts(s: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     runToMemory(s, deduped, "complete")

@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd cosine expression: exactness vs the HOF
+  * formulation, SQL registration, and null/edge behavior.
+  */
+class CosineSimSpec extends SparkSpec {
+
+  test("cosine_sim equals the zip_with/aggregate formulation bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(0.5, -0.5, 2.5), Seq(-1.0, 3.5, 0.25)))
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v) /
+      (sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x)) *
+        sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x * x)))
+    val rows = df.select(expr("cosine_sim(a, b)").as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // orthogonal vectors => exactly 0
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  test("null input propagates null; works via SQL text") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
+      .toDF("a", "b")
+    assert(df.selectExpr("cosine_sim(a, b)").collect().head.isNullAt(0))
+    df.createOrReplaceTempView("cs_t")
+    assert(s.sql("SELECT cosine_sim(a, a) FROM cs_t")
+      .collect().head.getDouble(0) > 0.9999999)
+  }
+}
