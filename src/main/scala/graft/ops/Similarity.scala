@@ -422,6 +422,86 @@ object Similarity {
           |SELECT qid, rank, vid, bucket, cos FROM rk WHERE rank <= 3
           |ORDER BY qid, rank""".stripMargin)),
 
+    // ----- IVF-style ANN: the second scale path besides sign-LSH.
+    // "Train" = pick 16 deterministic centroids (vec_id < 16); assign
+    // every vector to its nearest centroid (broadcast 16 centroids, one
+    // narrow pass — no shuffle); search = probes meet ONLY their own
+    // cell's members (join shuffles on the cell id). Real IVF swaps the
+    // centroid pick for k-means and adds nprobe>1; the plan shape — and
+    // that's what scales — is identical.
+    Q("m_ann_ivf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = normed(s, d)
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"),
+            col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(desc("ccos"), col("cid"))
+        val assigned = e.join(broadcast(cent), lit(true))
+          .withColumn("ccos",
+            round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cell"), col("e"),
+            col("nrm"))
+        val probes = assigned.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("cell"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vid"))
+        probes.join(
+            assigned.select(col("vec_id").as("vid"), col("cell"),
+              col("e").as("ve"), col("nrm").as("vn")),
+            Seq("cell"))
+          .filter(col("qid") =!= col("vid"))
+          .withColumn("cos",
+            round(dot(col("qe"), col("ve")) / (col("qn") * col("vn")), 6))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").as("rank"), col("vid"),
+            col("cell"), col("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH cent AS (
+          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          |  WHERE vec_id < 16
+          |), au AS (
+          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(ce) AS DOUBLE) AS y
+          |  FROM embeddings e, cent
+          |), ac AS (
+          |  SELECT vec_id, cid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
+          |  FROM au GROUP BY vec_id, cid
+          |), assign AS (
+          |  SELECT vec_id, cid AS cell FROM (
+          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY ccos DESC, cid) AS rn
+          |    FROM ac) WHERE rn = 1
+          |), p AS (
+          |  SELECT a.vec_id AS qid, b.vec_id AS vid, a.cell
+          |  FROM assign a JOIN assign b
+          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          |  WHERE a.vec_id % 25 = 0
+          |), u AS (
+          |  SELECT qid, vid, cell, CAST(unnest(q.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(v.embedding) AS DOUBLE) AS y
+          |  FROM p JOIN embeddings q ON q.vec_id = qid
+          |         JOIN embeddings v ON v.vec_id = vid
+          |), cs AS (
+          |  SELECT qid, vid, cell,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+          |  FROM u GROUP BY qid, vid, cell
+          |), rk AS (
+          |  SELECT qid, vid, cell, cos,
+          |    CAST(row_number() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, vid) AS INT) AS rank
+          |  FROM cs)
+          |SELECT qid, rank, vid, cell, cos FROM rk WHERE rank <= 3
+          |ORDER BY qid, rank""".stripMargin)),
+
     // ----- embedding-cosine near-dup: label-bucketed pair generation with
     // a bounded probe set (vec_id % 10 = 0); emits pairs above 0.25.
     Q("m_embed_neardup",

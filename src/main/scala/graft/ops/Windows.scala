@@ -57,6 +57,49 @@ object Windows {
           |  FROM videos)
           |WHERE views >= 400000 ORDER BY id""".stripMargin))),
 
+    // ----- [EXT] G2 at scale: global rank + percent_rank WITHOUT the
+    // single-partition window. Range-partition on the sort key, rank
+    // within each partition, then add broadcasted per-partition offsets —
+    // the standard distributed total-ordering pattern (what Spark's own
+    // sort does, surfaced as a rank). The only driver-side data is one
+    // row count per partition. Must hash-match the plain percent_rank
+    // oracle exactly.
+    Q("w_rank_distributed",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.videos(s, d).select("id", "views")
+        val parts = s.sparkContext.defaultParallelism
+        val ranged = v.repartitionByRange(parts, desc("views"), col("id"))
+          .withColumn("pid", spark_partition_id())
+        val local = ranged.withColumn("local_rn",
+          row_number().over(Window.partitionBy(col("pid"))
+            .orderBy(desc("views"), col("id"))))
+        // per-partition counts -> cumulative offsets (tiny: one row per
+        // partition), broadcast back
+        val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("pid"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "offset")
+        val n = v.count()
+        local.join(broadcast(offsets), Seq("pid"))
+          .withColumn("rank", (col("offset") + col("local_rn")).cast("long"))
+          .withColumn("pr",
+            round((col("rank") - 1).cast("double") / (n - 1), 6))
+          .filter(col("rank") <= 100)
+          .select("rank", "id", "views", "pr")
+          .orderBy("rank")
+      },
+      Some(Oracles.withVideos(
+        """SELECT rank, id, views, pr FROM (
+          |  SELECT id, views,
+          |    CAST(row_number() OVER (ORDER BY views DESC, id) AS BIGINT)
+          |      AS rank,
+          |    round(percent_rank() OVER (ORDER BY views DESC, id), 6) AS pr
+          |  FROM videos)
+          |WHERE rank <= 100 ORDER BY rank""".stripMargin))),
+
     // ----- [EXT] lag/lead over event streams, per-user time order
     Q("w_lag_lead",
       (s, d) => {
