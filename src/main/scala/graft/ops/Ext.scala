@@ -100,6 +100,43 @@ object Ext {
           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
           |ORDER BY st, pri""".stripMargin)),
 
+    // ----- salted two-stage top-k: l_returnflag has only 3 values, so a
+    // single window per key would funnel ~N/3 rows into 3 tasks at scale.
+    // Stage 1 ranks within (key, salt) — 16x more, even partitions; the
+    // global top-5 is provably inside the union of per-salt top-5s, so
+    // stage 2 ranks only 16x5 survivors per key. Oracle = the plain
+    // single-window top-5 (same tie-break), proving the rewrite exact.
+    Q("m_salted_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val order = Seq(desc("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        val salted = Tables.lineitem(s, d)
+          .withColumn("salt",
+            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        val w1 = Window.partitionBy(col("l_returnflag"), col("salt"))
+          .orderBy(order: _*)
+        val w2 = Window.partitionBy(col("l_returnflag"))
+          .orderBy(order: _*)
+        salted
+          .withColumn("rn1", row_number().over(w1))
+          .filter(col("rn1") <= 5)
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 5)
+          .select(col("l_returnflag"), col("rank"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
+          .orderBy("l_returnflag", "rank")
+      },
+      Some(
+        """SELECT l_returnflag, CAST(rank AS INT) AS rank, l_orderkey,
+          |       l_linenumber, l_extendedprice FROM (
+          |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+          |    row_number() OVER (PARTITION BY l_returnflag
+          |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+          |               l_partkey, l_suppkey) AS rank
+          |  FROM lineitem)
+          |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin)),
+
     // ----- approx_count_distinct (HLL++): algorithm-specific result, so no
     // SQL oracle (rows-only check); accuracy is pinned by a ScalaTest
     // against exact countDistinct.

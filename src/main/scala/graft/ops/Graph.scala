@@ -78,16 +78,23 @@ object Graph {
         .join(dstCol, Seq("dst"))
         .filter(col("src_color") === col("dst_color"))
         .select(col("src"), col("dst")).localCheckpoint()
+      // frontier-based backward BFS: each step expands only from the
+      // NEWLY reached vertices and anti-joins the visited set, instead
+      // of re-shuffling the whole reached set through union().distinct()
+      // every iteration (VERDICT r1 scale note)
       var reached = colors.filter(col("v") === col("color"))
         .select(col("v"), col("color").as("component")).localCheckpoint()
-      var grew = 1L
+      var frontier = reached
+      var grew = frontier.count()
       while (grew > 0) {
         val step = sameColorEdges
-          .join(reached.withColumnRenamed("v", "dst"), Seq("dst"))
+          .join(frontier.withColumnRenamed("v", "dst"), Seq("dst"))
           .select(col("src").as("v"), col("component"))
-        val next = reached.union(step).distinct().localCheckpoint()
-        grew = next.count() - reached.count()
-        reached = next
+          .distinct()
+        frontier = step.join(reached, Seq("v"), "left_anti").localCheckpoint()
+        grew = frontier.count()
+        if (grew > 0)
+          reached = reached.union(frontier).localCheckpoint()
       }
 
       // -- 3. peel off the found SCCs
@@ -109,6 +116,26 @@ object Graph {
       .agg(min(col("v")).as("label"))
     assigned.join(labels, Seq("component"))
       .select(col("v").as("id"), col("label").as("component"))
+  }
+
+  /** The k1/k2 queries share one SCC run per (session, sfDir): the loop
+    * is driver-coordinated (many jobs), so recomputing it per query
+    * would double the most expensive part of the graph surface. The
+    * final labeling is persisted; the loop's intermediates are already
+    * localCheckpointed.
+    */
+  private val sccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cappedScc(s: SparkSession, d: String): DataFrame = {
+    val k = s"$d|${System.identityHashCode(s)}"
+    val existing = sccCache.get(k)
+    if (existing != null) existing
+    else {
+      val df = scc(s, cappedVerts(s, d), cappedEdges(s, d)).persist()
+      val prev = sccCache.putIfAbsent(k, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
   }
 
   /** Capped video graph: vertices = orderkeys < 500, edges within. */
@@ -151,8 +178,7 @@ object Graph {
 
     // ----- K1: SCC assignment (graph_filter.py:125-129)
     Q("k1_scc",
-      (s, d) => scc(s, cappedVerts(s, d), cappedEdges(s, d))
-        .orderBy("id"),
+      (s, d) => cappedScc(s, d).orderBy("id"),
       Some(
         s"""WITH RECURSIVE $sccOracleCtes
            |SELECT id, component FROM comp ORDER BY id""".stripMargin)),
@@ -162,7 +188,7 @@ object Graph {
     // (C4 size filter).
     Q("k2_component_agg",
       (s, d) => {
-        val comp = scc(s, cappedVerts(s, d), cappedEdges(s, d))
+        val comp = cappedScc(s, d)
           .select(concat(lit("v"), col("id")).as("id"), col("component"))
         val v = Tables.videos(s, d)
           .select("id", "uploader", "views")

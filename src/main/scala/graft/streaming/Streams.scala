@@ -93,6 +93,42 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Per-user state for the mapGroupsWithState example. */
+  case class UserState(n: Long, sum: Double, lastUs: Long)
+  case class UserAgg(user_id: Long, n: Long, sum_value: Double,
+                     last_ts_us: Long)
+
+  /** Custom stateful aggregation via `mapGroupsWithState`
+    * (KeyValueGroupedDataset): per-user event count / value sum / last
+    * event time, with explicit GroupState the way a bespoke sessionizer
+    * or fraud counter would hold it. With availableNow the fixture is a
+    * single batch, so the emitted state equals the batch aggregate —
+    * which is what the DuckDB oracle checks.
+    */
+  def userStateCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Double, Long)]
+    val agg = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          rows.foreach { case (_, v, us) =>
+            st = UserState(st.n + 1, st.sum + v, math.max(st.lastUs, us))
+          }
+          state.update(st)
+          UserAgg(user, st.n, st.sum, st.lastUs)
+      }
+    runToMemory(s, agg.toDF(), "update")
+      .select(col("user_id"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"), col("last_ts_us"))
+      .orderBy("user_id")
+  }
+
   /** Queries surfaced through SparkEntry (oracles are the batch twins). */
   val all: Seq[graft.ops.Q] = Seq(
     graft.ops.Q("m_stream_tumbling",
@@ -107,5 +143,11 @@ object Streams {
       Some(
         """SELECT event_type, count(DISTINCT event_id) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    graft.ops.Q("m_stream_state",
+      (s, d) => userStateCounts(s, d),
+      Some(
+        """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+          |       max(epoch_us(ts)) AS last_ts_us
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }
