@@ -77,6 +77,60 @@ object Multimodal {
           |    AS height
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- resize: fit the (fake) decoded dimensions into a 224x224 box
+    // preserving aspect ratio — integer arithmetic only, so the "codec
+    // math" itself is oracle-checked; a real resize swaps the pixel op
+    // into the mapPartitions stage of m_multimodal_decode.
+    Q("m_multimodal_resize",
+      (s, d) => withBlob(s, d)
+        .select(col("doc_id"),
+          (length(col("payload")) % 640 + 1).as("width"),
+          ((length(col("payload")) * 3) % 480 + 1).as("height"))
+        .withColumn("scale_num", lit(224))
+        .withColumn("scale_den", greatest(col("width"), col("height")))
+        .select(col("doc_id"), col("width"), col("height"),
+          greatest((col("width") * col("scale_num")).cast("long")
+            / col("scale_den"), lit(1)).cast("int").as("out_w"),
+          greatest((col("height") * col("scale_num")).cast("long")
+            / col("scale_den"), lit(1)).cast("int").as("out_h"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT)
+          |      AS width,
+          |    CAST(octet_length(CAST(text AS BLOB)) * 3 % 480 + 1 AS INT)
+          |      AS height
+          |  FROM documents)
+          |SELECT doc_id, width, height,
+          |  CAST(greatest((width * 224) // greatest(width, height), 1)
+          |       AS INT) AS out_w,
+          |  CAST(greatest((height * 224) // greatest(width, height), 1)
+          |       AS INT) AS out_h
+          |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ----- frame sampling: every k-th byte of the payload is a "frame";
+    // emit (frame_no, frame_byte) rows — the plan shape of video frame
+    // extraction (generator over an opaque payload), all built-ins.
+    Q("m_multimodal_frames",
+      (s, d) => withBlob(s, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("chars", split(col("text"), ""))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), expr("cast((length(text) - 1) div 16 as int) + 1")),
+            i => ascii(element_at(col("chars"), (i - 1) * 16 + 1))))
+            .as(Seq("frame_no", "frame_byte")))
+        .orderBy("doc_id", "frame_no"),
+      Some(
+        """SELECT doc_id, CAST(i - 1 AS INT) AS frame_no,
+          |       ascii(substr(text, (i - 1) * 16 + 1, 1)) AS frame_byte
+          |FROM documents,
+          |  LATERAL (SELECT unnest(range(1,
+          |    (octet_length(CAST(text AS BLOB)) - 1) // 16 + 2)) AS i)
+          |WHERE doc_id < 50
+          |ORDER BY doc_id, frame_no""".stripMargin)),
+
     // ----- the mapPartitions decode stage; checksum = sum of byte values
     // mod 1000003, which ANSI SQL can replicate via per-char code points
     // (ascii codes <= 127 in the fixture, so bytes == code points).
