@@ -98,9 +98,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1)))
 
   /** Idempotent per-session registration of all native functions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSim(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "corr_matrix",
+      exprs => CorrMatrixAgg(exprs),
+      "built-in")
+  }
 }

@@ -193,6 +193,50 @@ object Stats {
            |  round(trending_score, 4) AS trending_score
            |FROM scored ORDER BY id""".stripMargin))),
 
+    // ----- F8 via the native single-pass TypedImperativeAggregate
+    // (graft.functions.CorrMatrixAgg): 45 accumulator doubles and one
+    // read per column instead of 28 independent corr aggs' 168 slots.
+    // Must hash-match the same oracle as f8_corr_matrix.
+    Q("f8_corr_matrix_native",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val pairs = for {
+          i <- corrCols.indices
+          j <- corrCols.indices if i < j
+        } yield (corrCols(i), corrCols(j))
+        val aNames = array(pairs.map(p => lit(p._1)): _*)
+        val bNames = array(pairs.map(p => lit(p._2)): _*)
+        corrInput(s, d)
+          .agg(expr(s"corr_matrix(${corrCols.mkString(", ")})").as("cm"))
+          .select(posexplode(col("cm")).as(Seq("idx", "r")))
+          .select(
+            element_at(aNames, col("idx") + 1).as("col_a"),
+            element_at(bNames, col("idx") + 1).as("col_b"),
+            round(col("r"), 4).as("pearson"))
+          .orderBy("col_a", "col_b")
+      },
+      Some {
+        val pairs = for {
+          i <- corrCols.indices
+          j <- corrCols.indices if i < j
+        } yield (corrCols(i), corrCols(j))
+        val selects = pairs.map { case (a, b) =>
+          s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) AS pearson FROM c"
+        }.mkString("\nUNION ALL ")
+        Oracles.withVideos(
+          s""", c AS (
+             |  SELECT CAST(age_days AS DOUBLE) AS age_days,
+             |         CAST(length AS DOUBLE) AS length, rating,
+             |         CAST(views AS DOUBLE) AS views,
+             |         CAST(num_ratings AS DOUBLE) AS num_ratings,
+             |         CAST(num_comments AS DOUBLE) AS num_comments,
+             |         CAST(dayofmonth(upload_date) AS DOUBLE) AS up_day,
+             |         CAST(month(upload_date) AS DOUBLE) AS up_month
+             |  FROM videos)
+             |$selects
+             |ORDER BY col_a, col_b""".stripMargin)
+      }),
+
     // ----- I11: fixed-width report table of the top-20 by score
     // (trending_predictor.py:316-324 prints the same printf-style table)
     Q("i11_report_format",
