@@ -86,8 +86,10 @@ case class CosineSim(left: Expression, right: Expression)
   * covers sessions built without the extension (the driver harness).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
 }
 
 object GraftFunctions {
@@ -108,4 +110,11 @@ object GraftFunctions {
       exprs => CorrMatrixAgg(exprs),
       "built-in")
   }
+
+  /** Install graft optimizer rules on a session built without the
+    * extensions conf (idempotent). */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
 }

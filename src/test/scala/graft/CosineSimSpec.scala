@@ -28,6 +28,26 @@ class CosineSimSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 0.0)
   }
 
+  test("RewriteHofDotProduct fuses aggregate(zip_with(*)) into dot_product") {
+    val s = spark
+    // non-literal source so constant folding can't collapse the plan
+    val e = Tables.embeddings(s, "/root/testdata/sf0.001")
+      .withColumn("a", transform(col("embedding"), _.cast("double")))
+    val hofDot = aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("dot")
+    val before = e.select(col("vec_id"), hofDot)
+    assert(before.queryExecution.optimizedPlan.toString
+      .contains("aggregate(zip_with"))
+    graft.functions.GraftFunctions.installOptimizations(s)
+    val after = e.select(col("vec_id"), hofDot)
+    val planStr = after.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("dot_product"), planStr)
+    // fused result identical to the unfused computation
+    val a = after.orderBy("vec_id").limit(5).collect().map(_.getDouble(1))
+    val b = before.orderBy("vec_id").limit(5).collect().map(_.getDouble(1))
+    assert(a.sameElements(b))
+  }
+
   test("null input propagates null; works via SQL text") {
     val s = spark
     import s.implicits._
