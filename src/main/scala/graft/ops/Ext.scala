@@ -164,6 +164,85 @@ object Ext {
           |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
           |FROM events""".stripMargin)),
 
+    // ----- as-of join (operator Spark lacks; composed scalably): for
+    // each 'error' event, the most recent 'click' AT OR BEFORE it by the
+    // same user. NOT a range join (quadratic): union both sides, one
+    // shuffle on user_id, and a running last_value window — ties break
+    // clicks-first so "at or before" includes same-instant clicks.
+    Q("m_asof_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+          .filter(col("event_type").isin("click", "error"))
+          .withColumn("is_click",
+            when(col("event_type") === "click", 1).otherwise(0))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), desc("is_click"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("asof_click_us",
+            last(when(col("is_click") === 1, unix_micros(col("ts"))),
+              ignoreNulls = true).over(w))
+          .filter(col("is_click") === 0)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("asof_click_us"))
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+          |  (SELECT max(epoch_us(c.ts)) FROM events c
+          |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+          |     AND c.ts <= e.ts) AS asof_click_us
+          |FROM events e WHERE e.event_type = 'error'
+          |ORDER BY e.event_id""".stripMargin)),
+
+    // ----- range join against a tiny bands dim: non-equi predicate over
+    // a BROADCAST side — the nested-loop stays bounded by |dim| per row.
+    // At scale this is the broadcast-range-join pattern (bands per row,
+    // never row x row).
+    Q("m_range_join",
+      (s, d) => {
+        val bands = (Seq((0.0, 25.0, "low"), (25.0, 75.0, "mid"),
+          (75.0, 1e9, "high")))
+        val dim = s.createDataFrame(bands).toDF("lo", "hi", "band")
+        Tables.events(s, d)
+          .join(broadcast(dim),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4)
+            .as("sum_value"))
+          .orderBy("band")
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT * FROM (VALUES (0.0, 25.0, 'low'), (25.0, 75.0, 'mid'),
+          |                        (75.0, 1e9, 'high')) AS t(lo, hi, band))
+          |SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events JOIN dim ON value >= lo AND value < hi
+          |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // ----- from_json: parse a JSON document string back into a typed
+    // struct (the inverse of i10; the shape every streaming pipeline
+    // uses for message payloads).
+    Q("m_from_json",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("k", IntegerType)))
+        Tables.events(s, d)
+          .select(col("event_id"),
+            from_json(col("props"), schema).getField("k").as("k"))
+          .filter(col("k") % 7 === 0)
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id,
+          |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+          |FROM events
+          |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+          |ORDER BY event_id""".stripMargin)),
+
     // ----- tumbling event-time window (batch mode of the streaming op).
     // Spark's window() aligns to the epoch, so 1-day tumbling ≡ date_trunc.
     Q("m_window_tumbling",
