@@ -100,6 +100,58 @@ object Ext {
           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
           |ORDER BY st, pri""".stripMargin)),
 
+    // ----- pivot: wide conditional aggregation (compiles to the same
+    // CASE-WHEN partial aggregate the oracle spells out — one shuffle)
+    Q("m_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))
+        .orderBy("l_linestatus"),
+      Some(
+        """SELECT l_linestatus,
+          |  CAST(sum(CASE WHEN l_returnflag = 'A'
+          |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+          |    AS qty_a,
+          |  CAST(sum(CASE WHEN l_returnflag = 'N'
+          |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+          |    AS qty_n,
+          |  CAST(sum(CASE WHEN l_returnflag = 'R'
+          |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+          |    AS qty_r
+          |FROM lineitem GROUP BY l_linestatus
+          |ORDER BY l_linestatus""".stripMargin)),
+
+    // ----- explode_outer: rows with EMPTY arrays survive with null
+    // (inner explode drops them — d1's contract; this is the other half)
+    Q("m_explode_outer",
+      (s, d) => graft.Tables.videos(s, d)
+        .select(col("id"), explode_outer(col("related_ids")).as("rid"))
+        .filter(col("rid").isNull)
+        .select("id")
+        .orderBy("id"),
+      Some(graft.Oracles.withVideos(
+        """SELECT id FROM videos WHERE len(related_ids) = 0
+          |ORDER BY id""".stripMargin))),
+
+    // ----- exact interpolated percentiles (both engines use linear
+    // interpolation: Spark percentile == DuckDB quantile_cont)
+    Q("m_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)),
+
     // ----- salted two-stage top-k: l_returnflag has only 3 values, so a
     // single window per key would funnel ~N/3 rows into 3 tasks at scale.
     // Stage 1 ranks within (key, salt) — 16x more, even partitions; the
