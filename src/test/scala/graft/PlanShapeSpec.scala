@@ -1,0 +1,30 @@
+package graft
+
+/** Scale-guard: the bucketed/keyed pipelines must never plan a
+  * cartesian product — at 100 TB that plan is an auto-fail regardless
+  * of fixture-scale timings. Plan-only (no execution); driver-loop and
+  * streaming queries are excluded because building their DataFrame runs
+  * jobs. `m_cosine_topk`/`m_cosine_topk_native` are exempt by design:
+  * their 8-row probe side crosses via BroadcastNestedLoopJoin, which is
+  * bounded by the broadcast side.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val guarded = Seq(
+    "e1_links_join", "e2_left_join", "e3_semi_join", "e4_anti_join",
+    "f1_groupby_agg", "f7_zscore", "g3_topk_trending",
+    "m_minhash_dedup", "m_ann_lsh", "m_ann_ivf", "m_ngram_jaccard",
+    "m_embed_neardup", "m_salted_topk", "m_asof_join", "m_exact_dedup",
+    "m_simhash", "w_rank_distributed")
+
+  test("no CartesianProduct in any bucketed/keyed pipeline plan") {
+    guarded.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+}
