@@ -35,10 +35,10 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val warmup = (System.nanoTime() - w0) / 1e9
-    // One timed run per query; queries whose first run exceeds 3 s get a
-    // second run and report the min — the host VM shows bursty CPU-steal
-    // noise, and min-of-2 keeps a single burst from mislabeling a healthy
-    // query as slow while bounding the added wall time.
+    // Median of 3 runs per query: the host VM shows bursty CPU steal with
+    // per-query swings up to 18x on identical binaries (VERDICT r3), and a
+    // median absorbs a single burst in either direction where min-of-2
+    // (r2/r3 scheme) silently kept the noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -47,8 +47,8 @@ object Bench {
       }
       val t =
         try {
-          val t1 = once()
-          if (t1 > 3.0) math.min(t1, once()) else t1
+          val runs = Seq(once(), once(), once()).sorted
+          runs(1)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
@@ -59,7 +59,15 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":$warmup,"runs_per_query":3,"stat":"median","sf":"$sfDir"}"""
+    // stdout for the driver's capture AND a file for when the captured
+    // tail truncates (VERDICT r3: "parsed": null on a long stdout line)
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

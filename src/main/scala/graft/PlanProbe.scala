@@ -8,6 +8,8 @@ object PlanProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields",
+        sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

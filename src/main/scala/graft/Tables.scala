@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *   - one video per order row; `id = 'v' || o_orderkey`
   *   - `related_ids` = sorted distinct `'v' || l_partkey` of the order's
   *     lineitems. Since `max(l_partkey) < max(o_orderkey)` at every sf, every
-  *     related id refers to an existing video, and the low-key region is a
-  *     dense directed graph with real cycles — exactly what the reference's
-  *     SCC job needs.
+  *     related id refers to an existing video. Cycle density grows with the
+  *     key cap: the subgraph induced by keys < 500 is cycle-free at fixture
+  *     scale, while keys < 2000 contain a genuine multi-member SCC — which is
+  *     why the graph queries cap at 2000 (see [[graft.ops.Graph]]).
   *
   * Scale: `videos` is built once per (session, sfDir) and cached. The
   * groupBy(collect_set) is one shuffle over lineitem; at 100 TB this is a
@@ -75,8 +76,40 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Per-SESSION cache maps, keyed on the session object itself —
+    * SparkSession doesn't override equals, so lookup is reference
+    * identity and two live sessions can never collide (the previous
+    * identityHashCode key could). Entries are evicted when the session's
+    * SparkContext ends: the persisted data dies with the context, so the
+    * references must too (previous scheme never evicted — a leak across
+    * many sessions in one JVM, e.g. a long test run).
+    * `newSession()` siblings share a context and evict together.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** The per-session key→DataFrame map (shared with [[graft.ops.Graph]]'s
+    * SCC-label cache), created on first use + eviction listener installed.
+    */
+  private[graft] def sessionScoped(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] = {
+    val existing = cache.get(spark)
+    if (existing != null) existing
+    else {
+      val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      val prev = cache.putIfAbsent(spark, m)
+      if (prev != null) prev
+      else {
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = cache.remove(spark)
+          })
+        m
+      }
+    }
+  }
 
   /** get/putIfAbsent, NOT computeIfAbsent: builders nest (videos() calls
     * table() on the same map) and a nested computeIfAbsent on one
@@ -85,12 +118,13 @@ object Tables {
     */
   private def cached(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    val k = s"$key|$dir|${System.identityHashCode(spark)}"
-    val existing = cache.get(k)
+    val m = sessionScoped(spark)
+    val k = s"$key|$dir"
+    val existing = m.get(k)
     if (existing != null) existing
     else {
       val df = build.persist()
-      val prev = cache.putIfAbsent(k, df)
+      val prev = m.putIfAbsent(k, df)
       if (prev != null) { df.unpersist(); prev } else df
     }
   }

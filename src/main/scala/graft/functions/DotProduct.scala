@@ -11,20 +11,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * higher-order `aggregate(zip_with(a, b, (x,y) => x*y), 0d, _+_)`
   * formulation evaluates with a per-row intermediate array and lambda
   * dispatch.
+  *
+  * NULL semantics are exactly the HOF form's (the rewrite below must be
+  * observation-equivalent): `zip_with` pads the shorter array with nulls
+  * and `null * x` / `acc + null` poison the fold — so a length mismatch
+  * or ANY null element yields NULL, not a partial sum.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def prettyName: String = "dot_product"
   override def dataType: DataType = DoubleType
+  // can produce NULL even for non-null array inputs (see above)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     dot
   }
 
@@ -35,12 +47,19 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -55,7 +74,11 @@ case class DotProduct(left: Expression, right: Expression)
   *
   * over `array<double>` inputs and fuse it into [[DotProduct]] — the
   * lambda dispatch and the intermediate zip array disappear from the
-  * hot path. Conservative by construction: anything else (different
+  * hot path. Semantics-preserving for ALL inputs, not just clean ones:
+  * [[DotProduct]] reproduces the HOF's null contract (null on length
+  * mismatch or any null element), so the rewrite is safe to install
+  * session-wide even over arrays with `containsNull = true`.
+  * Conservative by construction: anything else (different
   * zero, non-identity finish lambda, non-double arrays) is left alone.
   * Installed per-session via `GraftFunctions.installOptimizations`
   * (`spark.experimental.extraOptimizations`) or cluster-wide via

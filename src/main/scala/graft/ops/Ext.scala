@@ -189,16 +189,25 @@ object Ext {
           |  FROM lineitem)
           |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin)),
 
-    // ----- approx_count_distinct (HLL++): algorithm-specific result, so no
-    // SQL oracle (rows-only check); accuracy is pinned by a ScalaTest
-    // against exact countDistinct.
+    // ----- approx_count_distinct (HLL++): the raw sketch estimate is
+    // algorithm-specific, so the ORACLE-CHECKED output is the exact count
+    // plus the relative-error ACCEPTANCE (|approx-exact|/exact < 0.05, a
+    // boolean DuckDB derives as constant TRUE from count(DISTINCT)) — the
+    // engine-independent contract of an rsd=0.02 sketch. The estimate
+    // itself is additionally pinned in ApproxSpec.
     Q("m_approx_distinct",
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            / col("exact_users") < 0.05).as("within_5pct"))
         .orderBy("event_type"),
-      None),
+      Some(
+        """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+          |       TRUE AS within_5pct
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ----- JSON extraction from string column (events.props)
     Q("m_json_extract",
@@ -242,10 +251,14 @@ object Ext {
           .orderBy("event_id")
       },
       Some(
+        // compare at MICROsecond precision (epoch_us) on both sides: the
+        // raw fixture ts is nanos, which Spark truncates to micros at read
+        // — a bare `c.ts <= e.ts` here would compare nanos and could
+        // include/exclude a click that differs only below the micro.
         """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
           |  (SELECT max(epoch_us(c.ts)) FROM events c
           |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
-          |     AND c.ts <= e.ts) AS asof_click_us
+          |     AND epoch_us(c.ts) <= epoch_us(e.ts)) AS asof_click_us
           |FROM events e WHERE e.event_type = 'error'
           |ORDER BY e.event_id""".stripMargin)),
 
@@ -289,10 +302,12 @@ object Ext {
           .orderBy("event_id")
       },
       Some(
+        // TRY_CAST, matching Spark's from_json null-on-malformed: a bad
+        // payload must yield NULL (row filtered), not abort the oracle.
         """SELECT event_id,
-          |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+          |       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
           |FROM events
-          |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+          |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
           |ORDER BY event_id""".stripMargin)),
 
     // ----- tumbling event-time window (batch mode of the streaming op).

@@ -121,25 +121,30 @@ object Graph {
   /** The k1/k2 queries share one SCC run per (session, sfDir): the loop
     * is driver-coordinated (many jobs), so recomputing it per query
     * would double the most expensive part of the graph surface. The
-    * final labeling is persisted; the loop's intermediates are already
-    * localCheckpointed.
+    * final labeling is persisted in the session-scoped cache (identity-
+    * keyed, evicted at context end — see [[Tables.sessionScoped]]); the
+    * loop's intermediates are already localCheckpointed.
     */
-  private val sccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def cappedScc(s: SparkSession, d: String): DataFrame = {
-    val k = s"$d|${System.identityHashCode(s)}"
-    val existing = sccCache.get(k)
+    val m = Tables.sessionScoped(s)
+    val k = s"scc|$d"
+    val existing = m.get(k)
     if (existing != null) existing
     else {
       val df = scc(s, cappedVerts(s, d), cappedEdges(s, d)).persist()
-      val prev = sccCache.putIfAbsent(k, df)
+      val prev = m.putIfAbsent(k, df)
       if (prev != null) { df.unpersist(); prev } else df
     }
   }
 
-  /** Capped video graph: vertices = orderkeys < 500, edges within. */
-  private val cap = 500
+  /** Capped video graph: vertices = orderkeys < 2000, edges within.
+    * Cap 2000 (raised from 500 per VERDICT r2/r3): the denser low-key
+    * region contains a genuine multi-member giant SCC at every fixture
+    * sf, so k1/k2 exercise — and the oracle verifies — the mutual-
+    * reachability case the reference's graph job exists for
+    * (`graph_filter.py:143-157`), not an all-singleton labeling.
+    */
+  private val cap = 2000
 
   private def cappedVerts(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).filter(col("o_orderkey") < cap)
@@ -185,7 +190,8 @@ object Graph {
 
     // ----- K2: per-component rollup (graph_filter.py:143-157): member
     // list, distinct uploaders, avg views — over components with > 1 member
-    // (C4 size filter).
+    // (C4 size filter). Member list ships ','-joined (string) so the
+    // driver's pandas comparator can hash the row (VERDICT r2/r3).
     Q("k2_component_agg",
       (s, d) => {
         val comp = cappedScc(s, d)
@@ -194,16 +200,20 @@ object Graph {
           .select("id", "uploader", "views")
         comp.join(v, Seq("id"))
           .groupBy("component")
-          .agg(array_sort(collect_list(col("id"))).as("ids"),
+          .agg(array_sort(collect_list(col("id"))).as("ids_arr"),
             countDistinct(col("uploader")).as("n_uploaders"),
             round(avg(col("views")), 4).as("avg_views"))
-          .withColumn("n_members", size(col("ids")))
-          .filter(col("n_members") > 1)
+          .filter(size(col("ids_arr")) > 1)
+          .select(col("component"),
+            array_join(col("ids_arr"), ",").as("ids"),
+            col("n_uploaders"), col("avg_views"),
+            size(col("ids_arr")).as("n_members"))
           .orderBy("component")
       },
       Some(
         s"""WITH RECURSIVE $sccOracleCtes, ${Oracles.videosCte}
-           |SELECT component, list_sort(list(v.id)) AS ids,
+           |SELECT component,
+           |       array_to_string(list_sort(list(v.id)), ',') AS ids,
            |       count(DISTINCT v.uploader) AS n_uploaders,
            |       round(avg(v.views), 4) AS avg_views,
            |       CAST(len(list(v.id)) AS INT) AS n_members

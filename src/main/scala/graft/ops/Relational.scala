@@ -252,23 +252,31 @@ object Relational {
 
     // ----- F2 + F3 + C4: multi-agg with collection aggregates per group
     // (graph_filter.py:143-155). collect_* sorted for determinism; size()
-    // post-aggs; filter on collection size.
+    // post-aggs; filter on collection size. The collected lists are emitted
+    // as ','-joined STRINGS: the driver's pandas comparator cannot hash
+    // array-typed cells (VERDICT r2/r3), and a sorted join is
+    // information-equivalent for the check.
     Q("f2_collect_agg",
       (s, d) => Tables.videos(s, d)
         .filter(col("age_days") < 50)
         .groupBy("category")
         .agg(
-          array_sort(collect_list(col("id"))).as("ids"),
-          array_sort(collect_set(col("uploader"))).as("uploaders"),
+          array_sort(collect_list(col("id"))).as("ids_arr"),
+          array_sort(collect_set(col("uploader"))).as("upl_arr"),
           round(avg("views"), 4).as("avg_views"))
-        .withColumn("n_ids", size(col("ids")))
-        .withColumn("n_uploaders", size(col("uploaders")))
-        .filter(size(col("ids")) > 1)
+        .filter(size(col("ids_arr")) > 1)
+        .select(col("category"),
+          array_join(col("ids_arr"), ",").as("ids"),
+          array_join(col("upl_arr"), ",").as("uploaders"),
+          col("avg_views"),
+          size(col("ids_arr")).as("n_ids"),
+          size(col("upl_arr")).as("n_uploaders"))
         .orderBy("category"),
       Some(Oracles.withVideos(
         """SELECT category,
-          |  list_sort(list(id)) AS ids,
-          |  list_sort(list(DISTINCT uploader)) AS uploaders,
+          |  array_to_string(list_sort(list(id)), ',') AS ids,
+          |  array_to_string(list_sort(list(DISTINCT uploader)), ',')
+          |    AS uploaders,
           |  round(avg(views), 4) AS avg_views,
           |  CAST(len(list(id)) AS INT) AS n_ids,
           |  CAST(len(list(DISTINCT uploader)) AS INT) AS n_uploaders
@@ -310,16 +318,21 @@ object Relational {
           |ORDER BY views DESC, id""".stripMargin))),
 
     // ----- H2: sort by collection-size expression (graph_filter.py:156
-    // orders cluster aggregates by size(collect_list(id)) desc)
+    // orders cluster aggregates by size(collect_list(id)) desc). As in f2,
+    // the member list ships as a ','-joined string for the driver compare.
     Q("h2_sort_by_size",
       (s, d) => Tables.videos(s, d)
         .groupBy("uploader")
-        .agg(array_sort(collect_list(col("id"))).as("ids"),
+        .agg(array_sort(collect_list(col("id"))).as("ids_arr"),
           round(avg("views"), 4).as("avg_views"))
-        .withColumn("n_ids", size(col("ids")))
+        .select(col("uploader"),
+          array_join(col("ids_arr"), ",").as("ids"),
+          col("avg_views"),
+          size(col("ids_arr")).as("n_ids"))
         .orderBy(desc("n_ids"), col("uploader")),
       Some(Oracles.withVideos(
-        """SELECT uploader, list_sort(list(id)) AS ids,
+        """SELECT uploader,
+          |       array_to_string(list_sort(list(id)), ',') AS ids,
           |       round(avg(views), 4) AS avg_views,
           |       CAST(len(list(id)) AS INT) AS n_ids
           |FROM videos GROUP BY uploader

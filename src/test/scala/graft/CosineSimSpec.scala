@@ -48,6 +48,39 @@ class CosineSimSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("degenerate inputs yield NULL: length mismatch, null element, " +
+      "zero norm") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0))),              // len mismatch
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))),        // null element
+      (Seq(Some(0.0), Some(0.0)), Seq(Some(1.0), Some(2.0))))   // zero norm
+      .toDF("a", "b")
+    val rows = df.selectExpr("cosine_sim(a, b)").collect()
+    rows.foreach(r => assert(r.isNullAt(0), r))
+  }
+
+  test("fused dot_product keeps HOF null semantics (mismatch/null element)") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.installOptimizations(s)
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))),   // clean: 11.0
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0))),              // len mismatch
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))        // null element
+      .toDF("a", "b").localCheckpoint()  // block constant folding
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("dot")
+    val out = df.select(hofDot)
+    assert(out.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    val rows = out.collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
   test("null input propagates null; works via SQL text") {
     val s = spark
     import s.implicits._
