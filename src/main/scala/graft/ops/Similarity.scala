@@ -502,6 +502,125 @@ object Similarity {
           |SELECT qid, rank, vid, cell, cos FROM rk WHERE rank <= 3
           |ORDER BY qid, rank""".stripMargin)),
 
+    // ----- IVF with k-means-refined centroids and nprobe=2 (the "real
+    // IVF" upgrade over m_ann_ivf above). Train = ONE deterministic Lloyd
+    // iteration from the fixed seed (vec_id < 16): assign every vector to
+    // its nearest seed, recompute each cell's element-wise MEAN (rounded
+    // to 6dp so both engines agree on the refined centroids bit-for-bit),
+    // then re-assign. Search = each probe visits its nprobe=2 nearest
+    // cells instead of 1, so recall vs brute force can only rise
+    // (IvfRecallSpec pins recall(nprobe=2) >= recall(nprobe=1)). The plan
+    // shape — the thing that scales — is unchanged: centroids broadcast
+    // (16 rows, and a k-means round is groupBy(cell, dim), never
+    // all-pairs), candidates meet on the cell key, probe fan-out is
+    // nprobe x |cell|.
+    Q("m_ann_ivf_nprobe",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = normed(s, d).select("vec_id", "e", "nrm")
+        def nearest(cent: DataFrame, keep: Int): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(desc("ccos"), col("cid"))
+          e.join(broadcast(cent), lit(true))
+            .withColumn("ccos",
+              round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= keep)
+            .select(col("vec_id"), col("cid").as("cell"), col("rn"),
+              col("e"), col("nrm"))
+        }
+        val cent0 = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"),
+            col("nrm").as("cn"))
+        // Lloyd recompute: element-wise mean per cell, rounded 6dp
+        val cent1 = nearest(cent0, 1)
+          .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cell")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => round(p.getField("m"), 6)).as("ce"))
+          .select(col("cell").as("cid"), col("ce"),
+            sqrt(aggregate(col("ce"), lit(0.0), (acc, x) => acc + x * x))
+              .as("cn"))
+        val a1 = nearest(cent1, 2)
+        val data = a1.filter(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("cell"),
+            col("e").as("ve"), col("nrm").as("vn"))
+        val probes = a1.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("cell"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vid"))
+        probes.join(data, Seq("cell"))
+          .filter(col("qid") =!= col("vid"))
+          .withColumn("cos",
+            round(dot(col("qe"), col("ve")) / (col("qn") * col("vn")), 6))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").as("rank"), col("vid"), col("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH cent0 AS (
+          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          |  WHERE vec_id < 16
+          |), u0 AS (
+          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(ce) AS DOUBLE) AS y
+          |  FROM embeddings e, cent0
+          |), a0 AS (
+          |  SELECT vec_id, cid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
+          |  FROM u0 GROUP BY vec_id, cid
+          |), as0 AS (
+          |  SELECT vec_id, cid AS cell FROM (
+          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1
+          |), m0 AS (
+          |  SELECT cell, pos, round(avg(x), 6) AS m FROM (
+          |    SELECT a.cell, generate_subscripts(e.embedding, 1) AS pos,
+          |           CAST(unnest(e.embedding) AS DOUBLE) AS x
+          |    FROM as0 a JOIN embeddings e ON e.vec_id = a.vec_id)
+          |  GROUP BY cell, pos
+          |), cent1 AS (
+          |  SELECT cell AS cid, list(m ORDER BY pos) AS ce
+          |  FROM m0 GROUP BY cell
+          |), u1 AS (
+          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         unnest(ce) AS y
+          |  FROM embeddings e, cent1
+          |), a1 AS (
+          |  SELECT vec_id, cid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
+          |  FROM u1 GROUP BY vec_id, cid
+          |), r1 AS (
+          |  SELECT vec_id, cid AS cell, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a1
+          |), dat AS (SELECT vec_id AS vid, cell FROM r1 WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS qid, cell FROM r1
+          |  WHERE rn <= 2 AND vec_id % 25 = 0
+          |), p AS (
+          |  SELECT qid, vid FROM probes JOIN dat USING (cell)
+          |  WHERE qid <> vid
+          |), u AS (
+          |  SELECT qid, vid, CAST(unnest(q.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(v.embedding) AS DOUBLE) AS y
+          |  FROM p JOIN embeddings q ON q.vec_id = qid
+          |         JOIN embeddings v ON v.vec_id = vid
+          |), cs AS (
+          |  SELECT qid, vid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+          |  FROM u GROUP BY qid, vid
+          |), rk AS (
+          |  SELECT qid, vid, cos,
+          |    CAST(row_number() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, vid) AS INT) AS rank
+          |  FROM cs)
+          |SELECT qid, rank, vid, cos FROM rk WHERE rank <= 3
+          |ORDER BY qid, rank""".stripMargin)),
+
     // ----- embedding-cosine near-dup: label-bucketed pair generation with
     // a bounded probe set (vec_id % 10 = 0); emits pairs above 0.25.
     Q("m_embed_neardup",
