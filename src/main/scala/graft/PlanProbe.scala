@@ -15,16 +15,19 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val df = fn(spark, sfDir)
-      // warm the videos cache separately so per-query time is honest
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t1 = (System.nanoTime() - t0) / 1e9
-      val t2 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t3 = (System.nanoTime() - t2) / 1e9
+      // Build the DF inside each timed run, exactly like Bench — the
+      // streaming queries execute their stream during fn(), so timing
+      // only the noop write would miss all their work.
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = once()
+      val t3 = once()
       println(f"TIMING $name first=$t1%.2f second=$t3%.2f")
-      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

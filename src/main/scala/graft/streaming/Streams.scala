@@ -46,6 +46,17 @@ object Streams {
     */
   private def runToMemory(s: SparkSession, df: DataFrame,
                           mode: String): DataFrame = {
+    // RocksDB state store (jar ships with Spark): the HDFS-backed default
+    // snapshots the ENTIRE state map per partition per commit, which is
+    // quadratic-ish for a dedup whose state holds every key in the
+    // watermark horizon; RocksDB writes a changelog delta instead. At
+    // cluster scale this is also the provider that survives state larger
+    // than executor heap.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     val sink = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val q = df.writeStream
       .format("memory")
