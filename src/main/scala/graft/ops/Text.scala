@@ -159,5 +159,67 @@ object Text {
           |  CAST(sum(pos * (len(tok) * 31 + ascii(tok))) % 1000003 AS BIGINT)
           |    AS fingerprint
           |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- benchmark decontamination: flag training docs sharing word
+    // 5-grams with an evaluation set (the GPT-3/Pile-style n-gram-overlap
+    // check every LLM data pipeline runs before training). The "benchmark"
+    // here is the deterministic doc_id % 20 == 0 slice; its DISTINCT
+    // 5-grams are the probe side. Plan shape for 100 TB: benchmark suites
+    // are bounded (a few M n-grams), so the probe side is BROADCAST —
+    // the corpus explode+join is map-side only, and the sole shuffle is
+    // the partial-aggregated per-doc hit count. At production scale the
+    // join key would be xxhash64(gram) (8 bytes) instead of the raw
+    // string; kept raw here so DuckDB reproduces it verbatim.
+    Q("t_decontaminate",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"),
+            array_distinct(transform(
+              sequence(lit(1), size(col("toks")) - 4),
+              i => concat_ws(" ",
+                element_at(col("toks"), i),
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3),
+                element_at(col("toks"), i + 4)))).as("g"))
+        val bench = grams.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("g")).as("s")).distinct()
+        // grams are per-doc distinct, so count(*) after the join is the
+        // number of distinct benchmark 5-grams the doc contains
+        grams.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), size(col("g")).as("n_grams"),
+            explode(col("g")).as("s"))
+          .join(broadcast(bench), Seq("s"))
+          .groupBy("doc_id", "n_grams")
+          .agg(count(lit(1)).cast("int").as("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            round(col("n_hit") / col("n_grams").cast("double"), 4)
+              .as("overlap"),
+            (col("n_hit") >= 3).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), g AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 3),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          |           || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+          |  FROM tk WHERE len(toks) >= 5
+          |), bench AS (
+          |  SELECT DISTINCT unnest(g) AS s FROM g WHERE doc_id % 20 = 0
+          |), ex AS (
+          |  SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS s
+          |  FROM g WHERE doc_id % 20 <> 0
+          |), hit AS (
+          |  SELECT doc_id, n_grams, CAST(count(*) AS INT) AS n_hit
+          |  FROM ex JOIN bench USING (s) GROUP BY 1, 2)
+          |SELECT doc_id, n_grams, n_hit,
+          |  round(n_hit * 1.0 / n_grams, 4) AS overlap,
+          |  n_hit >= 3 AS contaminated
+          |FROM hit ORDER BY doc_id""".stripMargin)),
   )
 }
