@@ -375,5 +375,78 @@ object Ext {
           |       round(sum(value), 4) AS sum_value
           |FROM sess GROUP BY user_id, sess_id
           |ORDER BY user_id, sess_start_us""".stripMargin)),
+
+    // ----- deterministic stratified sampling for training-data mixing:
+    // each source tier keeps a quota (src0-4: 100%, src5-9: 50%,
+    // src10-19: 20%) and the keep/drop draw is a pure function of doc_id
+    // (first 4 hex digits of md5 -> uniform 0..99), so the sample is
+    // reproducible run-to-run, engine-to-engine, and under repartition —
+    // the property `df.sample()` does NOT give you across re-executions.
+    // At 100 TB this is a map-only operator: no shuffle at all until the
+    // caller aggregates. Production would widen the draw to 64 bits.
+    Q("m_sample_mix",
+      (s, d) => {
+        val idx = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+        val pct = when(idx < 5, 100).when(idx < 10, 50).otherwise(20)
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("int") % 100)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), pct.as("pct"), u.as("u"))
+          .filter(col("u") < col("pct"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) < 5
+          |           THEN 100
+          |         WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) < 10
+          |           THEN 50
+          |         ELSE 20 END AS pct,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          |      % 100 AS u
+          |  FROM documents)
+          |SELECT doc_id, source, pct, u FROM t WHERE u < pct
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ----- token-budget sequence packing: assign docs (in deterministic
+    // doc_id order within source) to training bins of <= 4096 tokens via
+    // a running token count — the greedy packing step that turns a
+    // document corpus into fixed-budget pretraining batches. One window
+    // (partitioned by source — parallel across sources) + one groupBy;
+    // no driver loop. Bin boundary = floor(tokens-before-this-doc /
+    // 4096), so a doc straddling a boundary starts in the earlier bin,
+    // matching the running-sum definition on both engines.
+    Q("m_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("n_tokens")) / 4096).cast("int"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).cast("int").as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("bin_tokens"))
+          .orderBy("source", "bin")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          |  FROM documents
+          |), c AS (
+          |  SELECT source, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM t)
+          |SELECT source,
+          |  CAST(floor((cum - n_tokens) / 4096) AS INT) AS bin,
+          |  CAST(count(*) AS INT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+          |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
   )
 }

@@ -221,5 +221,56 @@ object Text {
           |  round(n_hit * 1.0 / n_grams, 4) AS overlap,
           |  n_hit >= 3 AS contaminated
           |FROM hit ORDER BY doc_id""".stripMargin)),
+
+    // ----- TF-IDF keyword extraction: top-3 terms per doc by
+    // tf * ln(N/df). Two hash aggregations (term frequency per doc,
+    // document frequency per term) + an equi-join on term + a per-doc
+    // window — every stage keyed and partial-aggregated, the classic
+    // distributed TF-IDF shape. N (corpus size) arrives as a broadcast
+    // 1-row aggregate, not a driver-side collect, so the whole query
+    // stays one declarative plan.
+    Q("t_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = tok.groupBy("doc_id", "term")
+          .agg(count(lit(1)).cast("int").as("tf"))
+        val dfc = tf.groupBy("term")
+          .agg(count(lit(1)).cast("int").as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(desc("tfidf"), col("term"))
+        tf.join(dfc, Seq("term"))
+          .join(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs") / col("df").cast("double")),
+              4))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+          |  FROM tok GROUP BY doc_id, term
+          |), dfc AS (
+          |  SELECT term, CAST(count(*) AS INT) AS df FROM tf GROUP BY term
+          |), n AS (SELECT count(*) AS n_docs FROM documents),
+          |sc AS (
+          |  SELECT tf.doc_id, tf.term,
+          |    round(tf.tf * ln(n.n_docs * 1.0 / dfc.df), 4) AS tfidf
+          |  FROM tf JOIN dfc USING (term) CROSS JOIN n
+          |), rk AS (
+          |  SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+          |  FROM sc)
+          |SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3
+          |ORDER BY doc_id, rank""".stripMargin)),
   )
 }
