@@ -151,5 +151,38 @@ object Windows {
           |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
           |FROM events ORDER BY user_id, ts_us""".stripMargin)),
+
+    // ----- [EXT] distribution window functions: ntile quartiles +
+    // cume_dist + first/last frame values, all inside the user_id
+    // partition — the per-key form that distributes (no global window).
+    Q("w_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value"), col("ts"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.events(s, d)
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("min_v", round(first(col("value")).over(wf), 4))
+          .withColumn("max_v", round(last(col("value")).over(wf), 4))
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value"), col("quartile"), col("cd"), col("min_v"),
+            col("max_v"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some(
+        """SELECT user_id, epoch_us(ts) AS ts_us, value,
+          |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, ts)
+          |    AS INT) AS quartile,
+          |  round(cume_dist() OVER (PARTITION BY user_id
+          |    ORDER BY value, ts), 6) AS cd,
+          |  round(first_value(value) OVER (PARTITION BY user_id
+          |    ORDER BY value, ts ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |    UNBOUNDED FOLLOWING), 4) AS min_v,
+          |  round(last_value(value) OVER (PARTITION BY user_id
+          |    ORDER BY value, ts ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |    UNBOUNDED FOLLOWING), 4) AS max_v
+          |FROM events ORDER BY user_id, ts_us""".stripMargin)),
   )
 }
