@@ -152,6 +152,37 @@ object Ext {
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)),
 
+    // ----- the scale twin of m_percentiles: exact `percentile` buffers
+    // EVERY value of a group in the agg buffer — at 100 TB with 3 groups
+    // that is tens of billions of doubles per reducer, a guaranteed OOM.
+    // approx_percentile keeps a fixed-size sketch (Greenwald-Khanna,
+    // accuracy 10000 -> rank error <= 1/10000). The sketch value is
+    // engine-specific, so the CHECKED output is the exact value plus a
+    // relative-error acceptance flag (same verified-tolerance pattern as
+    // m_approx_distinct): the oracle's literal TRUE only matches if the
+    // sketch really is inside 0.1%.
+    Q("m_percentiles_approx",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          (abs(col("a50") - col("p50")) / col("p50") < 0.001)
+            .as("p50_within_01pct"),
+          (abs(col("a90") - col("p90")) / col("p90") < 0.001)
+            .as("p90_within_01pct"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+          |  TRUE AS p50_within_01pct, TRUE AS p90_within_01pct
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)),
+
     // ----- salted two-stage top-k: l_returnflag has only 3 values, so a
     // single window per key would funnel ~N/3 rows into 3 tasks at scale.
     // Stage 1 ranks within (key, salt) — 16x more, even partitions; the

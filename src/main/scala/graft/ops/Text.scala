@@ -272,5 +272,44 @@ object Text {
           |  FROM sc)
           |SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3
           |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ----- the corpus-cleaning funnel, composed end-to-end in ONE plan:
+    // raw -> quality filter (length band) -> near-dup collapse on the
+    // bag-of-words canonical key (sorted distinct token set — catches
+    // token-order shuffles exact md5 misses; first-wins by doc_id via
+    // min_by) -> language filter. Emits the per-stage survivor counts a
+    // pipeline operator reports before a training run. Every stage is a
+    // filter or a keyed hash agg — no stage materializes the corpus, so
+    // the funnel costs one pass at any scale.
+    Q("t_clean_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val q = docs.filter(col("n_chars").between(200, 800))
+        val ded = q.groupBy(
+            md5(concat_ws(" ",
+              array_sort(array_distinct(split(col("text"), " "))))).as("h"))
+          .agg(expr("min_by(lang, doc_id)").as("lang"))
+        val row = (stage: String, df: org.apache.spark.sql.DataFrame) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(stage).as("stage"), col("n_docs"))
+        row("0_raw", docs)
+          .unionByName(row("1_quality", q))
+          .unionByName(row("2_neardup", ded))
+          .unionByName(row("3_lang", ded.filter(col("lang") === "en")))
+          .orderBy("stage")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 800
+          |), ded AS (
+          |  SELECT md5(list_aggregate(list_sort(list_distinct(
+          |           string_split(text, ' '))), 'string_agg', ' ')) AS h,
+          |         arg_min(lang, doc_id) AS lang
+          |  FROM q GROUP BY 1)
+          |SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+          |UNION ALL SELECT '1_quality', count(*) FROM q
+          |UNION ALL SELECT '2_neardup', count(*) FROM ded
+          |UNION ALL SELECT '3_lang', count(*) FROM ded WHERE lang = 'en'
+          |ORDER BY stage""".stripMargin)),
   )
 }
