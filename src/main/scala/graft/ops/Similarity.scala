@@ -173,11 +173,24 @@ object Similarity {
           .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"),
             col("bk.key").as("key"))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        // Candidate pairs WITHOUT a bands-self-join: the self-join form
+        // re-evaluates the whole scan->shingle->md5->signature subtree
+        // once per side (verified in the formatted plan — two distinct
+        // Exchange pipelines), doubling the query's dominant cost. One
+        // groupBy per (band, key) bucket + an in-bucket pair expansion
+        // computes signatures ONCE; the quadratic expansion is bounded
+        // because banding exists precisely to keep buckets tiny.
+        val buckets = bands.groupBy("band", "key")
+          .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        val cand = buckets
+          .select(explode(flatten(transform(
+            sequence(lit(1), size(col("ds")) - 1),
+            i => transform(
+              slice(col("ds"), i + 1, size(col("ds")) - i),
+              x => struct(element_at(col("ds"), i).as("d1"),
+                x.as("d2")))))).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
           .distinct()
         val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
         val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
