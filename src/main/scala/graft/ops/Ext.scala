@@ -102,6 +102,32 @@ object Ext {
 
     // ----- pivot: wide conditional aggregation (compiles to the same
     // CASE-WHEN partial aggregate the oracle spells out — one shuffle)
+    // ----- explicit GROUPING SETS (finer than rollup/cube: exactly the
+    // requested set combinations, each a partial-aggregated pass over the
+    // same shuffle) with grouping_id disambiguation of the NULL rows.
+    Q("m_grouping_sets",
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          (grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("int").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(o_totalprice), 2) AS total,
+          |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+          |    AS INT) AS gid
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus NULLS FIRST,
+          |  o_orderpriority NULLS FIRST""".stripMargin)),
+
     Q("m_pivot",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_linestatus")
