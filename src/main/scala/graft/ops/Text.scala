@@ -311,5 +311,50 @@ object Text {
           |UNION ALL SELECT '2_neardup', count(*) FROM ded
           |UNION ALL SELECT '3_lang', count(*) FROM ded WHERE lang = 'en'
           |ORDER BY stage""".stripMargin)),
+
+    // ----- overlapping-window chunking: split each doc into 64-token
+    // chunks with stride 48 (16-token overlap) — the step that turns a
+    // cleaned corpus into training/RAG sequences. Pure map + explode
+    // (one Generate, no shuffle, no state): each row expands to
+    // ceil((n-64)/48)+1 chunks independently, so the operator is
+    // embarrassingly parallel at any scale. Output keeps the chunk HASH,
+    // not the text — at 100 TB the chunk body would triple the write;
+    // downstream joins on (doc_id, chunk_id) re-derive it.
+    Q("t_chunk",
+      (s, d) => {
+        val kMax = greatest(
+          ceil((col("n") - 64) / 48.0).cast("int"), lit(0))
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), kMax)).as("chunk_id"))
+          .withColumn("chunk",
+            concat_ws(" ", slice(col("toks"), col("chunk_id") * 48 + 1,
+              lit(64))))
+          .select(col("doc_id"), col("chunk_id"),
+            size(split(col("chunk"), " ")).as("chunk_tokens"),
+            md5(col("chunk")).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks,
+          |         len(string_split(text, ' ')) AS n
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, n, unnest(range(0,
+          |    CAST(greatest(CAST(ceil((n - 64) / 48.0) AS INT), 0) AS INT)
+          |      + 1)) AS chunk_id
+          |  FROM t
+          |), ch AS (
+          |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          |    array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64],
+          |      ' ') AS chunk
+          |  FROM c JOIN t USING (doc_id, n))
+          |SELECT doc_id, chunk_id,
+          |  CAST(len(string_split(chunk, ' ')) AS INT) AS chunk_tokens,
+          |  md5(chunk) AS chunk_hash
+          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
   )
 }
