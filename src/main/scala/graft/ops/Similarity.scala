@@ -317,6 +317,45 @@ object Similarity {
     // the parity of hex digit b of md5(token); a doc's bit is the sign of
     // the token-vote sum. One explode + one hash-agg — fully distributed.
     // n_same counts docs sharing the fingerprint (near-dup grouping).
+    // ----- edit-distance fuzzy matching: each probe part finds its 3
+    // closest names (Levenshtein, codegen'd built-in on both engines)
+    // within its p_brand bucket — the same bounded-probe bucket-join
+    // shape as the other fuzzy ops, so candidate count stays
+    // |probes| x bucket size, never all-pairs.
+    Q("m_edit_distance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val part = Tables.part(s, d)
+        val probes = part.filter(col("p_partkey") % 100 === 0)
+          .select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+            col("p_brand"))
+        val w = Window.partitionBy(col("k1"))
+          .orderBy(col("dist"), col("k2"))
+        probes.join(part.select(col("p_partkey").as("k2"),
+            col("p_name").as("n2"), col("p_brand")), Seq("p_brand"))
+          .filter(col("k1") =!= col("k2"))
+          .withColumn("dist", levenshtein(col("n1"), col("n2")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("k1"), col("rank"), col("k2"), col("dist"))
+          .orderBy("k1", "rank")
+      },
+      Some(
+        """WITH probes AS (
+          |  SELECT p_partkey AS k1, p_name AS n1, p_brand
+          |  FROM part WHERE p_partkey % 100 = 0
+          |), j AS (
+          |  SELECT k1, p_partkey AS k2,
+          |    CAST(levenshtein(n1, p_name) AS INT) AS dist
+          |  FROM probes JOIN part USING (p_brand)
+          |  WHERE k1 <> p_partkey
+          |), rk AS (
+          |  SELECT k1, k2, dist, CAST(row_number() OVER (
+          |    PARTITION BY k1 ORDER BY dist, k2) AS INT) AS rank
+          |  FROM j)
+          |SELECT k1, rank, k2, dist FROM rk WHERE rank <= 3
+          |ORDER BY k1, rank""".stripMargin)),
+
     Q("m_simhash",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
