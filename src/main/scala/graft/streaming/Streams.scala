@@ -149,6 +149,26 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment join: the stream side joins a STATIC
+    * DataFrame (per-type average value, computed once from the batch
+    * table) — Spark re-broadcasts the static side into every
+    * micro-batch, which is the standard pattern for enriching an event
+    * stream with a dimension table. The threshold is rounded to 2dp so
+    * the above-average classification is bit-identical across engines.
+    */
+  def enrichCounts(s: SparkSession, dir: String): DataFrame = {
+    val typeAvg = graft.Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(round(avg(col("value")), 2).as("avg_r"))
+    val agg = eventsStream(s, dir)
+      .join(broadcast(typeAvg), Seq("event_type"))
+      .filter(col("value") > col("avg_r"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_above"))
+    runToMemory(s, agg, "complete")
+      .orderBy("event_type")
+  }
+
   /** Queries surfaced through SparkEntry (oracles are the batch twins). */
   val all: Seq[graft.ops.Q] = Seq(
     graft.ops.Q("m_stream_tumbling",
@@ -163,6 +183,16 @@ object Streams {
       Some(
         """SELECT event_type, count(DISTINCT event_id) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    graft.ops.Q("m_stream_enrich",
+      (s, d) => enrichCounts(s, d),
+      Some(
+        """WITH a AS (
+          |  SELECT event_type, round(avg(value), 2) AS avg_r
+          |  FROM events GROUP BY 1)
+          |SELECT event_type, count(*) AS n_above
+          |FROM events JOIN a USING (event_type)
+          |WHERE value > avg_r
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     graft.ops.Q("m_stream_state",
       (s, d) => userStateCounts(s, d),
       Some(
