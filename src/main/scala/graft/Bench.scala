@@ -35,24 +35,35 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val warmup = (System.nanoTime() - w0) / 1e9
-    // Median of 3 runs per query: the host VM shows bursty CPU steal with
-    // per-query swings up to 18x on identical binaries (VERDICT r3), and a
-    // median absorbs a single burst in either direction where min-of-2
-    // (r2/r3 scheme) silently kept the noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t =
-        try {
-          val runs = Seq(once(), once(), once()).sorted
-          runs(1)
-        } catch { case e: Throwable =>
+    // Median of 3 runs per query, with the rounds INTERLEAVED (run every
+    // query once, then every query again, then again) rather than
+    // back-to-back. The host's noise is not per-query jitter but
+    // multi-minute kernel-side bursts (profiled 26-08-12: ~25 cores of
+    // pure system time, threads convoying in futex wait — syscall
+    // amplification in this micro-VM, not CPU steal; st=0 throughout).
+    // Three back-to-back runs all land inside one burst, so the median
+    // learns nothing (identical binaries swung 18x across rounds, VERDICT
+    // r3; m_rollup measured 1.9 s and 52 s in two same-day quiet runs).
+    // Interleaving puts each query's samples minutes apart, so a burst
+    // must span the whole bench to poison a median.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val samples = (1 to 3).map { _ =>
+      names.map { name =>
+        name -> (try once(name)
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
-      name -> t
+        })
+      }.toMap
+    }
+    val results = names.map { name =>
+      val runs = samples.map(_(name))
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

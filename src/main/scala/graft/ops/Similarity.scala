@@ -57,6 +57,106 @@ object Similarity {
   private val numBands  = 4
   private val rowsPerBand = numHashes / numBands
 
+  /** Verified MinHash/LSH near-dup pairs (d1 < d2, exact Jaccard >= 0.5).
+    * Shared by `m_minhash_dedup` (reports the pairs) and
+    * `m_dedup_clusters` (connected components over them). See
+    * `m_minhash_dedup` for the plan-shape commentary.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    // ONE 96-hex-char hash per shingle (3 md5 calls), sliced into 12
+    // disjoint 8-char windows = 12 independent min-hash families —
+    // 4x fewer digest computations than 12 per-seed md5s
+    // (Kirsch–Mitzenmacher-style reuse).
+    val wide = concat(md5(concat(lit("a_"), col("x"))),
+      md5(concat(lit("b_"), col("x"))), md5(concat(lit("c_"), col("x"))))
+    val sigCols: Seq[Column] = (0 until numHashes).map { k =>
+      min(substring(col("w"), k * 8 + 1, 8)).as(s"m$k")
+    }
+    val sig = sh
+      .select(col("doc_id"), explode(col("sh")).as("x"))
+      .withColumn("w", wide)
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols: Seq[Column] = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until rowsPerBand)
+          .map(r => col(s"m${b * rowsPerBand + r}")): _*)).as("key"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    // Candidate pairs WITHOUT a bands-self-join: the self-join form
+    // re-evaluates the whole scan->shingle->md5->signature subtree
+    // once per side (verified in the formatted plan — two distinct
+    // Exchange pipelines), doubling the query's dominant cost. One
+    // groupBy per (band, key) bucket + an in-bucket pair expansion
+    // computes signatures ONCE; the quadratic expansion is bounded
+    // because banding exists precisely to keep buckets tiny.
+    val buckets = bands.groupBy("band", "key")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = buckets
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds")) - 1),
+        i => transform(
+          slice(col("ds"), i + 1, size(col("ds")) - i),
+          x => struct(element_at(col("ds"), i).as("d1"),
+            x.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+          / size(array_union(col("sh1"), col("sh2"))), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** DuckDB twin of [[minhashPairs]]: a CTE chain (no WITH keyword) ending
+    * in `pairs(d1, d2, jaccard)`. */
+  private val minhashPairsCtes: String = {
+    val mins = (0 until numHashes).map { k =>
+      s"min(substr(w, ${k * 8 + 1}, 8)) AS m$k"
+    }.mkString(",\n    ")
+    val bandRows = (0 until numBands).map { b =>
+      val cc = (0 until rowsPerBand)
+        .map(r => s"m${b * rowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cc) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingledSql, wide AS (
+       |  SELECT doc_id,
+       |    md5('a_' || x) || md5('b_' || x) || md5('c_' || x) AS w
+       |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM wide GROUP BY doc_id
+       |), bands AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |n AS (SELECT doc_id, count(*) AS cnt FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS i
+       |  FROM cand c JOIN ex e1 ON e1.doc_id = c.d1
+       |              JOIN ex e2 ON e2.doc_id = c.d2 AND e2.s = e1.s
+       |  GROUP BY c.d1, c.d2
+       |), pairs AS (
+       |  SELECT d1, d2,
+       |    round(i * 1.0 / (n1.cnt + n2.cnt - i), 4) AS jaccard
+       |  FROM inter JOIN n n1 ON n1.doc_id = d1
+       |             JOIN n n2 ON n2.doc_id = d2
+       |  WHERE i * 1.0 / (n1.cnt + n2.cnt - i) >= 0.5
+       |)""".stripMargin
+  }
+
   // ---------- embeddings-side builders ----------
 
   /** Embeddings with float→double cast (IEEE-exact widening, matches
@@ -148,104 +248,92 @@ object Similarity {
     // the banding itself deterministic, so the oracle replicates the whole
     // pipeline, false negatives included.
     Q("m_minhash_dedup",
+      (s, d) => minhashPairs(s, d).orderBy("d1", "d2"),
+      Some(
+        s"""WITH $minhashPairsCtes
+           |SELECT d1, d2, jaccard FROM pairs
+           |ORDER BY d1, d2""".stripMargin)),
+
+    // ----- fuzzy-dedup endgame: connected components over the verified
+    // MinHash pairs, one canonical survivor per cluster. Near-dup PAIRS
+    // alone can't drive deletion — doc A~B and B~C must collapse to ONE
+    // kept doc even when A~C misses the Jaccard bar — so every production
+    // dedup pipeline closes the pair graph into components first. Engine:
+    // driver-coordinated min-label propagation (the SCC pattern,
+    // Graph.scala): symmetrize pairs, then each round every node takes
+    // min(own label, neighbours' labels) — one shuffle per round,
+    // converging in O(component diameter) rounds (near-dup clusters are
+    // clique-ish, so 2-3). The expensive minhash subtree is materialized
+    // ONCE via localCheckpoint before the loop; labels are checkpointed
+    // per round to keep lineage flat. Output: cluster id (= min member =
+    // the kept doc), member count, and the sorted member list.
+    Q("m_dedup_clusters",
       (s, d) => {
-        val sh = shingled(s, d)
-        // ONE 96-hex-char hash per shingle (3 md5 calls), sliced into 12
-        // disjoint 8-char windows = 12 independent min-hash families —
-        // 4x fewer digest computations than 12 per-seed md5s
-        // (Kirsch–Mitzenmacher-style reuse).
-        val wide = concat(md5(concat(lit("a_"), col("x"))),
-          md5(concat(lit("b_"), col("x"))), md5(concat(lit("c_"), col("x"))))
-        val sigCols: Seq[Column] = (0 until numHashes).map { k =>
-          min(substring(col("w"), k * 8 + 1, 8)).as(s"m$k")
+        // checkpoint BEFORE the symmetrizing union: union branches don't
+        // share subtrees, so un-checkpointed this would run the whole
+        // minhash pipeline twice (the self-join lesson again)
+        val p = minhashPairs(s, d).select("d1", "d2").localCheckpoint()
+        val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+          .toDF("a", "b")
+        var labels = edges.select(col("a").as("node")).distinct()
+          .withColumn("lbl", col("node")).localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val nbr = edges
+            .join(labels.select(col("node").as("b"), col("lbl").as("nl")),
+              Seq("b"))
+            .groupBy("a").agg(min(col("nl")).as("nmin"))
+            .select(col("a").as("node"), col("nmin"))
+          val next = labels.join(nbr, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+            .localCheckpoint()
+          changed = next
+            .join(labels.select(col("node"), col("lbl").as("old")),
+              Seq("node"))
+            .filter(col("lbl") < col("old")).count()
+          labels = next
         }
-        val sig = sh
-          .select(col("doc_id"), explode(col("sh")).as("x"))
-          .withColumn("w", wide)
-          .groupBy("doc_id")
-          .agg(sigCols.head, sigCols.tail: _*)
-        val bandCols: Seq[Column] = (0 until numBands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat((0 until rowsPerBand)
-              .map(r => col(s"m${b * rowsPerBand + r}")): _*)).as("key"))
-        }
-        val bands = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"),
-            col("bk.key").as("key"))
-        // Candidate pairs WITHOUT a bands-self-join: the self-join form
-        // re-evaluates the whole scan->shingle->md5->signature subtree
-        // once per side (verified in the formatted plan — two distinct
-        // Exchange pipelines), doubling the query's dominant cost. One
-        // groupBy per (band, key) bucket + an in-bucket pair expansion
-        // computes signatures ONCE; the quadratic expansion is bounded
-        // because banding exists precisely to keep buckets tiny.
-        val buckets = bands.groupBy("band", "key")
-          .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-        val cand = buckets
-          .select(explode(flatten(transform(
-            sequence(lit(1), size(col("ds")) - 1),
-            i => transform(
-              slice(col("ds"), i + 1, size(col("ds")) - i),
-              x => struct(element_at(col("ds"), i).as("d1"),
-                x.as("d2")))))).as("p"))
-          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-          .distinct()
-        val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
-        val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
-        cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
-          .withColumn("jaccard",
-            round(size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-              / size(array_union(col("sh1"), col("sh2"))), 4))
-          .filter(col("jaccard") >= 0.5)
-          .select("d1", "d2", "jaccard")
-          .orderBy("d1", "d2")
+        labels.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_members"),
+            array_join(transform(array_sort(collect_list(col("node"))),
+              x => x.cast("string")), ",").as("members"))
+          .select(col("lbl").as("cluster_id"), col("n_members"),
+            col("members"))
+          .orderBy("cluster_id")
       },
-      Some {
-        val mins = (0 until numHashes).map { k =>
-          s"min(substr(w, ${k * 8 + 1}, 8)) AS m$k"
-        }.mkString(",\n    ")
-        val bandRows = (0 until numBands).map { b =>
-          val cc = (0 until rowsPerBand)
-            .map(r => s"m${b * rowsPerBand + r}").mkString(" || ")
-          s"SELECT doc_id, $b AS band, md5($cc) AS key FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $shingledSql, wide AS (
-           |  SELECT doc_id,
-           |    md5('a_' || x) || md5('b_' || x) || md5('c_' || x) AS w
-           |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)
-           |), sig AS (
-           |  SELECT doc_id,
-           |    $mins
-           |  FROM wide GROUP BY doc_id
-           |), bands AS (
-           |  $bandRows
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-           |), ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-           |n AS (SELECT doc_id, count(*) AS cnt FROM ex GROUP BY doc_id),
-           |inter AS (
-           |  SELECT c.d1, c.d2, count(*) AS i
-           |  FROM cand c JOIN ex e1 ON e1.doc_id = c.d1
-           |              JOIN ex e2 ON e2.doc_id = c.d2 AND e2.s = e1.s
-           |  GROUP BY c.d1, c.d2
+      Some(
+        s"""WITH RECURSIVE $minhashPairsCtes, sym AS (
+           |  SELECT d1 AS a, d2 AS b FROM pairs
+           |  UNION
+           |  SELECT d2, d1 FROM pairs
+           |), reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+           |), lbl AS (
+           |  SELECT a AS node, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a
            |)
-           |SELECT d1, d2,
-           |  round(i * 1.0 / (n1.cnt + n2.cnt - i), 4) AS jaccard
-           |FROM inter JOIN n n1 ON n1.doc_id = d1
-           |           JOIN n n2 ON n2.doc_id = d2
-           |WHERE i * 1.0 / (n1.cnt + n2.cnt - i) >= 0.5
-           |ORDER BY d1, d2""".stripMargin
-      }),
+           |SELECT cluster_id, count(*) AS n_members,
+           |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+           |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
     // ----- n-gram (bigram) Jaccard similarity, source-bucketed: a bounded
     // probe set (doc_id % 50 = 0) joins only within its `source` bucket —
     // candidate count is |probes| x bucket size, linear in corpus size.
     // Output = each probe's top-3 most-similar bucket-mates. Ranking is on
-    // the raw i/u double (identical in both engines) with d2 tie-break.
+    // the raw i/(n1+n2-i) double (identical in both engines, and equal to
+    // |intersect|/|union| on the distinct gram sets) with d2 tie-break.
+    //
+    // Intersections come from an INVERTED INDEX (explode grams, equi-join
+    // on (source, gram), count per pair) — the same shape as the oracle —
+    // instead of array_intersect over materialized gram arrays: the array
+    // form shuffled two full gram arrays per candidate pair AND
+    // re-evaluated the tokenize→bigram derivation once per join side
+    // (the minhash self-join lesson, PERF.md). A skinny (d1, d2, n1, n2)
+    // all-pairs skeleton restores the zero-overlap pairs that the index
+    // join cannot produce — top-3 may legitimately include jaccard=0 rows.
     Q("m_ngram_jaccard",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -257,18 +345,27 @@ object Similarity {
             array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
               i => concat_ws(" ", element_at(col("toks"), i),
                 element_at(col("toks"), i + 1)))).as("g"))
-        val probes = grams.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("d1"), col("source"), col("g").as("g1"))
+        val ex = grams.select(col("doc_id"), col("source"),
+          explode(col("g")).as("s"))
+        val inter = ex.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("d1"), col("source"), col("s"))
+          .join(ex.select(col("doc_id").as("d2"), col("source"), col("s")),
+            Seq("source", "s"))
+          .filter(col("d1") =!= col("d2"))
+          .groupBy("source", "d1", "d2").agg(count(lit(1)).as("i"))
+        val n = grams.select(col("doc_id"), col("source"),
+          size(col("g")).as("cnt"))
+        val pairs = n.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("d1"), col("source"), col("cnt").as("n1"))
+          .join(n.select(col("doc_id").as("d2"), col("source"),
+            col("cnt").as("n2")), Seq("source"))
+          .filter(col("d1") =!= col("d2"))
         val w = Window.partitionBy(col("d1"))
           .orderBy(desc("jaccard"), col("d2"))
-        probes.join(
-            grams.select(col("doc_id").as("d2"), col("source"),
-              col("g").as("g2")),
-            Seq("source"))
-          .filter(col("d1") =!= col("d2"))
+        pairs.join(inter, Seq("source", "d1", "d2"), "left")
           .withColumn("jaccard",
-            size(array_intersect(col("g1"), col("g2"))).cast("double")
-              / size(array_union(col("g1"), col("g2"))))
+            coalesce(col("i"), lit(0L)).cast("double")
+              / (col("n1") + col("n2") - coalesce(col("i"), lit(0L))))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("source"), col("d1"), col("rk").as("rank"), col("d2"),

@@ -356,5 +356,126 @@ object Text {
           |  CAST(len(string_split(chunk, ' ')) AS INT) AS chunk_tokens,
           |  md5(chunk) AS chunk_hash
           |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ----- repetition signals (the Gopher/MassiveText quality-filter
+    // family): per doc, the fraction of all tokens taken by the single
+    // most frequent token, and likewise for bigrams — high values mark
+    // degenerate/boilerplate text that length and stopword ratios
+    // (t_quality) miss. NOT a per-row HOF: finding a mode inside an array
+    // lambda is O(len²) per doc, so both fractions come from distributed
+    // explode → (doc, term) count → per-doc max/sum — two hash-agg
+    // pipelines whose work is linear in corpus token count and partitioned
+    // by doc, exactly what survives a 100-TB corpus. Only max(count) is
+    // emitted (never the argmax term, whose ties the two engines could
+    // break differently).
+    Q("t_repetition",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        val tokTop = toks.groupBy("doc_id", "t")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("top_c"), sum(col("c")).as("n"))
+        val grams = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1)))).as("g"))
+        val gramTop = grams.groupBy("doc_id", "g")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("top_gc"), sum(col("c")).as("ng"))
+        tokTop.join(gramTop, Seq("doc_id"))
+          .select(col("doc_id"),
+            round(col("top_c") / col("n").cast("double"), 4)
+              .as("top_token_frac"),
+            round(col("top_gc") / col("ng").cast("double"), 4)
+              .as("top_bigram_frac"),
+            (col("top_gc") >= 2).as("has_repeated_bigram"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          |  FROM documents
+          |), tc AS (
+          |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+          |), tt AS (
+          |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n
+          |  FROM tc GROUP BY doc_id
+          |), gsrc AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), gm AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          |    i -> toks[i] || ' ' || toks[i+1])) AS g
+          |  FROM gsrc WHERE len(toks) >= 2
+          |), gc AS (
+          |  SELECT doc_id, g, count(*) AS c FROM gm GROUP BY doc_id, g
+          |), gt AS (
+          |  SELECT doc_id, max(c) AS top_gc, CAST(sum(c) AS BIGINT) AS ng
+          |  FROM gc GROUP BY doc_id
+          |)
+          |SELECT doc_id,
+          |  round(top_c * 1.0 / n, 4) AS top_token_frac,
+          |  round(top_gc * 1.0 / ng, 4) AS top_bigram_frac,
+          |  top_gc >= 2 AS has_repeated_bigram
+          |FROM tt JOIN gt USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ----- BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query — the
+    // classic retrieval baseline a data pipeline runs to pull
+    // benchmark-adjacent or topic-matched documents out of a corpus.
+    // Per-term doc frequencies and the average doc length are tiny
+    // per-corpus aggregates (broadcast); term frequencies are computed
+    // ONLY for the query terms — the explode is filtered to 3 terms
+    // before any shuffle, so the scored set is |matching docs| x |query|,
+    // never corpus x vocabulary. Top-20 by score with doc_id tie-break.
+    Q("t_bm25",
+      (s, d) => {
+        val qTerms = Seq("spark", "join", "sort")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("double").as("dl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+          .filter(col("t").isin(qTerms: _*))
+          .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+        val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val df_ = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(df_), Seq("t"))
+          .join(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+          .withColumn("w",
+            col("idf") * col("tf") * 2.2 /
+              (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2))
+          .groupBy("doc_id").agg(round(sum(col("w")), 4).as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(20)
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT doc_id, len(string_split(text, ' ')) * 1.0 AS dl,
+          |         string_split(text, ' ') AS toks
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+          |    SELECT doc_id, dl, unnest(toks) AS t FROM docs)
+          |  WHERE t IN ('spark', 'join', 'sort')
+          |  GROUP BY doc_id, dl, t
+          |), stats AS (
+          |  SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM docs
+          |), dfr AS (
+          |  SELECT t, count(*) * 1.0 AS df FROM tf GROUP BY t
+          |)
+          |SELECT doc_id, round(sum(
+          |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+          |    (tf + (dl / avgdl * 0.75 + 0.25) * 1.2)), 4) AS bm25
+          |FROM tf JOIN dfr USING (t) CROSS JOIN stats
+          |GROUP BY doc_id
+          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

@@ -169,6 +169,42 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Stream-stream inner join with watermarks on BOTH sides and an
+    * event-time range condition — conversion attribution: each purchase
+    * joins the same user's views from the preceding day. The time-range
+    * predicate is what lets Spark bound join state (each side's rows are
+    * dropped once the other side's watermark passes the range), which is
+    * the difference between a scalable stream-stream join and one whose
+    * state grows forever. The join itself streams (append mode); the
+    * per-user rollup happens on the sink output — one stateful operator
+    * per query keeps the example portable. Timestamps are already
+    * truncated to MICROSECONDS by eventsStream, and the oracle compares
+    * at `epoch_us` too, so the range boundary is bit-identical across
+    * engines (the as-of join precision lesson).
+    */
+  def streamJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    runToMemory(s, joined, "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("lag_us")) / (count(lit(1)) * lit(1000000.0)), 4)
+          .as("avg_lag_sec"))
+      .orderBy("user_id")
+  }
+
   /** Queries surfaced through SparkEntry (oracles are the batch twins). */
   val all: Seq[graft.ops.Q] = Seq(
     graft.ops.Q("m_stream_tumbling",
@@ -193,6 +229,22 @@ object Streams {
           |FROM events JOIN a USING (event_type)
           |WHERE value > avg_r
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    graft.ops.Q("m_stream_join",
+      (s, d) => streamJoinCounts(s, d),
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |)
+          |SELECT v.user_id, count(*) AS n_pairs,
+          |  round(CAST(sum(p_us - v_us) AS BIGINT)
+          |    / (count(*) * 1000000.0), 4) AS avg_lag_sec
+          |FROM v JOIN p ON p.user_id = v.user_id
+          |  AND p_us >= v_us AND p_us <= v_us + 86400000000
+          |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)),
     graft.ops.Q("m_stream_state",
       (s, d) => userStateCounts(s, d),
       Some(
