@@ -184,5 +184,33 @@ object Windows {
           |    ORDER BY value, ts ROWS BETWEEN UNBOUNDED PRECEDING AND
           |    UNBOUNDED FOLLOWING), 4) AS max_v
           |FROM events ORDER BY user_id, ts_us""".stripMargin)),
+
+    // ----- native top-k-per-key via the custom Catalyst operator
+    // (graft.plans.TopKPerKey: LogicalPlan + Strategy + two-phase
+    // physical plan with bounded per-key heaps). Same semantics as the
+    // row_number window top-3 the oracle runs, but the plan shuffles
+    // only <= k rows per (input partition, key) instead of every row,
+    // and never fully sorts a key group — the difference between O(n)
+    // with a k-heap and O(n log n) per key at 100 TB. g1_rank_topk keeps
+    // the window formulation; this is the scale-path twin.
+    Q("w_topk_native",
+      (s, d) => graft.plans.TopKPerKey
+        .perKey(Tables.orders(s, d), Seq("o_orderstatus"),
+          "o_totalprice", "o_orderkey", 3)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("o_orderstatus"), desc("o_totalprice"),
+          col("o_orderkey")),
+      Some(
+        """SELECT o_orderstatus, o_orderkey,
+          |       round(o_totalprice, 4) AS o_totalprice
+          |FROM (
+          |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_orderstatus
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders)
+          |WHERE rn <= 3
+          |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey"""
+          .stripMargin)),
   )
 }

@@ -18,7 +18,8 @@ class PlanShapeSpec extends SparkSpec {
     "m_minhash_dedup", "m_ann_lsh", "m_ann_ivf", "m_ann_ivf_nprobe",
     "m_ngram_jaccard", "m_embed_neardup", "m_salted_topk", "m_asof_join",
     "m_exact_dedup", "m_simhash", "m_edit_distance", "t_decontaminate",
-    "t_tfidf", "t_repetition", "t_bm25", "w_rank_distributed")
+    "t_tfidf", "t_repetition", "t_bm25", "w_rank_distributed",
+    "w_topk_native")
 
   test("no CartesianProduct in any bucketed/keyed pipeline plan") {
     guarded.foreach { name =>
