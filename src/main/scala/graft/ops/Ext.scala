@@ -433,6 +433,58 @@ object Ext {
           |FROM sess GROUP BY user_id, sess_id
           |ORDER BY user_id, sess_start_us""".stripMargin)),
 
+    // ----- temperature-scaled source mixing (tau = 0.5): per-source
+    // sampling quotas proportional to n_s^tau, the standard rebalancing
+    // that upweights small domains/languages relative to proportional
+    // sampling. Numeric discipline, because a float threshold at the ROW
+    // level would let a last-ulp difference flip membership: per-source
+    // weights are sqrt(n) rounded to 6dp, their sum is taken as
+    // DECIMAL(18,6) (exact, order-independent — a double sum over hash-
+    // partitioned groups is not), the integer quota is rounded once per
+    // SOURCE (20 values), and row selection is then a pure integer
+    // comparison: md5-ranked row_number <= quota. Selection stays
+    // deterministic under repartitioning, like m_sample_mix below.
+    Q("m_sample_temperature",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("w", round(sqrt(col("n")), 6))
+        val denom = counts.agg(sum(col("w").cast("decimal(18,6)")).as("z"))
+        val quotas = counts.join(broadcast(denom))
+          .withColumn("quota",
+            round(lit(200) * col("w") / col("z").cast("double"), 0)
+              .cast("int"))
+          .select("source", "n", "quota")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w))
+          .join(broadcast(quotas), Seq("source"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("source"), col("doc_id"), col("n"), col("quota"))
+          .orderBy("source", "doc_id")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT source, count(*) AS n FROM documents GROUP BY source
+          |), wt AS (
+          |  SELECT source, n, round(sqrt(n), 6) AS w FROM c
+          |), z AS (
+          |  SELECT sum(CAST(w AS DECIMAL(18,6))) AS z FROM wt
+          |), q AS (
+          |  SELECT source, n,
+          |    CAST(round(200 * w / CAST(z AS DOUBLE), 0) AS INT) AS quota
+          |  FROM wt CROSS JOIN z
+          |), r AS (
+          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents
+          |)
+          |SELECT source, doc_id, n, quota
+          |FROM r JOIN q USING (source) WHERE rk <= quota
+          |ORDER BY source, doc_id""".stripMargin)),
+
     // ----- deterministic stratified sampling for training-data mixing:
     // each source tier keeps a quota (src0-4: 100%, src5-9: 50%,
     // src10-19: 20%) and the keep/drop draw is a pure function of doc_id

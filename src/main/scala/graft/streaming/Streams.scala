@@ -169,6 +169,28 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Append-mode windowed aggregation — the output mode that scales.
+    * `complete` mode (the other streaming aggs here, kept for their
+    * batch-equality oracles) re-emits the ENTIRE result every batch and
+    * requires unbounded state; production pipelines run `append`, where
+    * a window row is emitted exactly once — after the watermark passes
+    * its end — and its state is evicted. The visible consequence at the
+    * fixture: windows still open at end-of-input (those ending after
+    * max(ts) - 1 hour) are NOT in the output, and the oracle states that
+    * eviction rule in SQL, comparing at the engine's millisecond
+    * watermark precision.
+    */
+  def tumblingAppend(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    runToMemory(s, agg, "append")
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+  }
+
   /** Stream-stream inner join with watermarks on BOTH sides and an
     * event-time range condition — conversion attribution: each purchase
     * joins the same user's views from the preceding day. The time-range
@@ -229,6 +251,16 @@ object Streams {
           |FROM events JOIN a USING (event_type)
           |WHERE value > avg_r
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    graft.ops.Q("m_stream_append",
+      (s, d) => tumblingAppend(s, d),
+      Some(
+        """WITH mx AS (SELECT epoch_ms(max(ts)) AS m_ms FROM events)
+          |SELECT epoch_us(date_trunc('day', ts)) AS win_start_us,
+          |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events CROSS JOIN mx
+          |WHERE epoch_ms(date_trunc('day', ts)) + 86400000 <= m_ms - 3600000
+          |GROUP BY 1, 2, m_ms
+          |ORDER BY win_start_us, event_type""".stripMargin)),
     graft.ops.Q("m_stream_join",
       (s, d) => streamJoinCounts(s, d),
       Some(
