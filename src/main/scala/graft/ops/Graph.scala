@@ -179,7 +179,72 @@ object Graph {
        |  GROUP BY verts.v
        |)""".stripMargin
 
+  /** DuckDB PageRank oracle: the iteration unrolled as chained CTEs
+    * r1..rN, each applying the same damped update as the Spark loop.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v, round(0.15 + 0.85 * coalesce(c.m, 0), 6) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, sum(r.rank / d.deg) AS m
+         |    FROM edges e JOIN deg d USING (src)
+         |                 JOIN r${i - 1} r ON r.v = e.src
+         |    GROUP BY e.dst) c USING (v))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+       |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+       |), verts AS (
+       |  SELECT o_orderkey AS v FROM orders WHERE o_orderkey < $cap
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), r0 AS (SELECT v, 1.0 AS rank FROM verts),
+       |$steps
+       |SELECT v AS id, rank FROM r$iters
+       |ORDER BY rank DESC, v LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ----- K3: PageRank over the capped video graph — the canonical
+    // iterative link-analysis op beside SCC. Five damped iterations
+    // (d = 0.85, simplified dangling handling: unlinked mass decays),
+    // each one shuffle pair (contributions groupBy dst, then the verts
+    // left join) with `localCheckpoint` keeping lineage flat — the same
+    // driver-coordinated fixpoint pattern as the SCC loop, except the
+    // iteration count is FIXED, so the oracle can unroll it as chained
+    // CTEs. Ranks are rounded to 6dp after every damping step so the two
+    // engines' float sums re-synchronize each iteration instead of
+    // drifting. Output: top-20 by rank, id tie-break.
+    Q("k3_pagerank",
+      (s, d) => {
+        // distinct matters HERE: duplicate (src,dst) lineitem pairs are
+        // harmless to SCC reachability but would inflate out-degrees and
+        // double-count contributions (the oracle's edge set is DISTINCT).
+        val edges = cappedEdges(s, d).distinct()
+        val verts = cappedVerts(s, d)
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var ranks = verts.withColumn("rank", lit(1.0))
+        for (_ <- 1 to 5) {
+          val contribs = edges.join(outdeg, Seq("src"))
+            .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("rank") / col("deg")).as("m"))
+          ranks = verts
+            .join(contribs.select(col("dst").as("v"), col("m")),
+              Seq("v"), "left")
+            .select(col("v"),
+              round(lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0)), 6)
+                .as("rank"))
+            .localCheckpoint()
+        }
+        ranks.select(col("v").as("id"), col("rank"))
+          .orderBy(desc("rank"), col("id"))
+          .limit(20)
+      },
+      Some(pagerankOracle(5))),
 
     // ----- K1: SCC assignment (graph_filter.py:125-129)
     Q("k1_scc",
