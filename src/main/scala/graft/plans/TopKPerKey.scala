@@ -37,6 +37,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
   * Determinism contract: `ordering` must be a total order (callers pass
   * value DESC + a unique tie-break ASC), which makes the kept row SET
   * unique — the driver oracle then only needs the same ORDER BY.
+  *
+  * Memory contract: each task holds (distinct keys in its partition) × k
+  * buffered rows and does NOT spill — the hash-aggregate memory profile
+  * minus the spill path. That is the point of a top-k operator (k is
+  * small); for key cardinalities where keys × k rows outgrow a task,
+  * use the window/sort formulation, which spills.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], ordering: Seq[SortOrder],
                           k: Int, child: LogicalPlan) extends UnaryNode {
@@ -126,6 +132,7 @@ object TopKPerKey {
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
              tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     installStrategy(spark)
     val analyzed = df.queryExecution.analyzed

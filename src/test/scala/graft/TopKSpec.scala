@@ -31,6 +31,38 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("property: equals window top-k on generated data (dup keys, " +
+    "skew, ties in the order column)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    // few keys + coarse values force duplicate keys and order-value ties,
+    // the cases where only the tie-break keeps the answer unique
+    val rowGen = for {
+      key <- Gen.chooseNum(0, 4)
+      v <- Gen.chooseNum(0, 9)
+    } yield (key, v)
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(rowGen).map(_.take(200)),
+      Gen.chooseNum(1, 6)) { (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (key, v, i.toLong) }
+        .toDF("key", "v", "uid")
+        .repartition(5)
+      val native = graft.plans.TopKPerKey
+        .perKey(df, Seq("key"), "v", "uid", k)
+      val w = Window.partitionBy(col("key"))
+        .orderBy(desc("v"), col("uid"))
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      native.exceptAll(windowed).isEmpty &&
+        windowed.exceptAll(native).isEmpty
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("plan: two TopKPerKey phases, one exchange, no sort, no window") {
     val native = graft.plans.TopKPerKey
       .perKey(Tables.orders(spark, sf), Seq("o_orderstatus"),
