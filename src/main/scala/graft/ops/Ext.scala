@@ -557,5 +557,145 @@ object Ext {
           |  CAST(count(*) AS INT) AS n_docs,
           |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
           |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
+
+    // ----- CDC upsert / MERGE INTO semantics (SCD-1): apply a change set
+    // (updates + inserts) to a base table in one pass. The change feed is
+    // derived deterministically from the base so both engines see the
+    // same input: every orderkey % 10 == 0 gets a 10% price bump
+    // (update); every orderkey % 100 == 7 spawns a new key +10,000,000
+    // (insert). The merge itself is ONE full-outer join on the key — the
+    // canonical distributed MERGE plan: both sides shuffle/co-partition
+    // on o_orderkey (no broadcast assumption — the change set may be as
+    // large as the base; AQE downgrades to broadcast when it is small),
+    // and each output row resolves via coalesce + a 3-arm action column,
+    // the audit trail a CDC pipeline writes alongside the new state.
+    Q("m_upsert",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        // price arithmetic in DECIMAL end-to-end: double*1.1 lands on
+        // .xx5 ties whose HALF_UP direction depends on the engine's
+        // double→decimal reading (Spark shortest-repr vs DuckDB binary);
+        // decimal×decimal is exact, so round(…, 2) agrees everywhere.
+        // Spark and DuckDB both parse the bare 1.1 / 0.5 literals below
+        // as DECIMAL(2,1).
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)")
+              .as("c_totalprice"),
+            lit("U").as("c_status"))
+        val inserts = base.filter(col("o_orderkey") % 100 === 7)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5, 2) AS DOUBLE)")
+              .as("c_totalprice"),
+            lit("N").as("c_status"))
+        base.join(updates.unionByName(inserts), Seq("o_orderkey"),
+            "full_outer")
+          .select(col("o_orderkey"),
+            coalesce(col("c_totalprice"), col("o_totalprice"))
+              .as("totalprice"),
+            coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+            when(col("o_totalprice").isNull, "insert")
+              .when(col("c_totalprice").isNull, "keep")
+              .otherwise("update").as("action"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          |), changes AS (
+          |  SELECT o_orderkey,
+          |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+          |              AS DOUBLE) AS c_totalprice,
+          |         'U' AS c_status
+          |  FROM base WHERE o_orderkey % 10 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 10000000,
+          |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5, 2)
+          |              AS DOUBLE), 'N'
+          |  FROM base WHERE o_orderkey % 100 = 7
+          |)
+          |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+          |  coalesce(c_totalprice, o_totalprice) AS totalprice,
+          |  coalesce(c_status, o_orderstatus) AS status,
+          |  CASE WHEN o_totalprice IS NULL THEN 'insert'
+          |       WHEN c_totalprice IS NULL THEN 'keep'
+          |       ELSE 'update' END AS action
+          |FROM base b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+          |ORDER BY 1""".stripMargin)),
+
+    // ----- skew-mitigated SALTED JOIN (the join-side twin of
+    // m_salted_topk): when one join key is hot, a plain shuffle join
+    // sends every row of that key to ONE reducer; salting splits each
+    // key across R reducers by joining on (key, salt) — the fact side
+    // derives salt from its own row (deterministic `% R`, not a random
+    // or engine-specific hash), the dim side replicates each row R ways.
+    // Costs R× the SMALL side only; the hot key's rows spread over R
+    // tasks. AQE's skew-join handles moderate skew automatically —
+    // explicit salting is the tool when a single key exceeds what any
+    // one task can hold. Must hash-match the plain-join oracle exactly.
+    Q("m_salted_join",
+      (s, d) => {
+        val R = 8
+        val fact = Tables.lineitem(s, d)
+          .withColumn("salt", (col("l_orderkey") % R).cast("int"))
+        val dim = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .withColumn("salt",
+            explode(sequence(lit(0), lit(R - 1))))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----- fixed-width HISTOGRAM over a numeric column — the profiling
+    // primitive behind any "distribution of X" dashboard. Global min/max
+    // arrive as a broadcast 1-row aggregate (never a driver collect);
+    // bucketing is pure floor arithmetic on identically-associated
+    // doubles (engine-identical bits — no round() ties), clamped so the
+    // max value lands in the last bucket; then one hash aggregation.
+    // Two passes over the data, each map-side partial — the canonical
+    // distributed histogram at any scale.
+    Q("m_histogram",
+      (s, d) => {
+        val nb = 20
+        val stats = Tables.orders(s, d)
+          .agg(min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+        Tables.orders(s, d)
+          .join(broadcast(stats))
+          .withColumn("bucket",
+            least(floor((col("o_totalprice") - col("lo")) /
+              ((col("hi") - col("lo")) / nb.toDouble)), lit((nb - 1).toDouble))
+              .cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+          |  FROM orders)
+          |SELECT
+          |  CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)),
+          |             19.0) AS INT) AS bucket,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders CROSS JOIN s
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

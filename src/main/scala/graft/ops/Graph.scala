@@ -285,5 +285,53 @@ object Graph {
            |FROM comp c JOIN videos v ON v.id = 'v' || c.id
            |GROUP BY component HAVING len(list(v.id)) > 1
            |ORDER BY component""".stripMargin)),
+
+    // ----- K4 [EXT]: triangle counting — the third classic graph op
+    // beside SCC and PageRank (clustering-coefficient numerator,
+    // community-density signal). Node-iterator formulation as two
+    // equi-joins: orient every undirected edge low-id -> high-id (each
+    // triangle a<b<c then matches exactly once: wedge (a,b)+(b,c) closed
+    // by (a,c)), build wedges, close them against the edge list. Both
+    // joins shuffle on a vertex key — no cartesian anywhere. At
+    // production scale the orientation trick is the whole ballgame:
+    // orienting by DEGREE (low-degree -> high-degree) caps wedge count
+    // at O(m^1.5) regardless of skew; id-orientation is kept here so the
+    // oracle is engine-independent (degree ties would otherwise need a
+    // deterministic break). Per-vertex triangle membership, top-20.
+    Q("k4_triangle_count",
+      (s, d) => {
+        val und = cappedEdges(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val wedges = und
+          .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        val tri = wedges
+          .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+          .select("a", "b", "c")
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy(desc("n_triangles"), col("id"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH und AS (
+           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+           |                  greatest(l_orderkey, l_partkey) AS b
+           |  FROM lineitem
+           |  WHERE l_orderkey < $cap AND l_partkey < $cap
+           |    AND l_orderkey <> l_partkey
+           |), tri AS (
+           |  SELECT t1.a, t1.b, t2.b AS c
+           |  FROM und t1
+           |  JOIN und t2 ON t2.a = t1.b
+           |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+           |), ex AS (
+           |  SELECT unnest([a, b, c]) AS id FROM tri)
+           |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM ex GROUP BY id
+           |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin)),
   )
 }

@@ -805,5 +805,70 @@ object Similarity {
           |  FROM u GROUP BY label, v1, v2)
           |SELECT label, v1, v2, cos FROM cs WHERE cos >= 0.25
           |ORDER BY label, v1, v2""".stripMargin)),
+
+    // ----- int8 scalar quantization of the embedding column — the
+    // compression step an embedding pipeline runs before shipping vectors
+    // to an ANN index (4x smaller than float32; integer-SIMD dot
+    // products). Per vector: symmetric scale 127/max|x|, values clamped
+    // to [-127, 127]. Map-only — one projection, no shuffle, no state —
+    // embarrassingly parallel at any corpus size. Cross-engine rules
+    // learned the hard way: the quantizer is floor(x + 0.5), NOT
+    // round(x) — round-on-double ties depend on the engine's decimal
+    // reading of the double (Spark shortest-repr HALF_UP vs DuckDB
+    // binary), while floor of a bitwise-identical double is identical
+    // everywhere; and the error metric is the MAX |residual| (order-
+    // independent — any accumulation order gives the same bits), never a
+    // float SUM, whose accumulation order differs between engines.
+    // Emitted floats go through floor(x * 1e6) micro-unit integers, not
+    // round(x, 6): quantization residuals cluster near step/2 and keep
+    // landing on exact .5 ties of the 6th decimal, where the two
+    // engines' round() disagrees — floor of an identical double cannot.
+    // Checked outputs: integer checksum + L1 mass (exact) and the
+    // micro-unit scale + max dequantization error (exact).
+    Q("m_embed_quantize",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .withColumn("e", transform(col("embedding"), _.cast("double")))
+          .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("qs", transform(col("e"),
+            x => least(greatest(
+              floor(x * 127.0 / col("amax") + 0.5).cast("double"),
+              lit(-127.0)), lit(127.0)).cast("long")))
+          .select(col("vec_id"), col("label"),
+            floor(col("amax") * 1000000.0).cast("long").as("amax_um"),
+            aggregate(col("qs"), lit(0L), (a, x) => a + x).as("q_sum"),
+            aggregate(col("qs"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+            floor(array_max(zip_with(col("e"), col("qs"),
+              (x, q) => abs(x - q.cast("double") * col("amax") / 127.0)))
+              * 1000000.0).cast("long").as("max_err_um"))
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id, label,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings
+          |), a AS (
+          |  SELECT vec_id, label, e,
+          |    list_max(list_transform(e, x -> abs(x))) AS amax
+          |  FROM e
+          |), q AS (
+          |  SELECT vec_id, label, amax, e,
+          |    list_transform(e, x -> CAST(least(greatest(
+          |      floor(x * 127.0 / amax + 0.5), -127.0), 127.0) AS BIGINT))
+          |      AS qs
+          |  FROM a WHERE amax > 0
+          |), u AS (
+          |  SELECT vec_id, label, amax, unnest(e) AS x, unnest(qs) AS qv
+          |  FROM q)
+          |SELECT vec_id, label,
+          |  CAST(floor(amax * 1000000.0) AS BIGINT) AS amax_um,
+          |  CAST(sum(qv) AS BIGINT) AS q_sum,
+          |  CAST(sum(abs(qv)) AS BIGINT) AS q_l1,
+          |  CAST(floor(max(abs(x - qv * amax / 127.0)) * 1000000.0)
+          |    AS BIGINT) AS max_err_um
+          |FROM u GROUP BY vec_id, label, amax
+          |ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -477,5 +477,68 @@ object Text {
           |FROM tf JOIN dfr USING (t) CROSS JOIN stats
           |GROUP BY doc_id
           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ----- corpus-level duplicate-span detection (the C4/RefinedWeb
+    // exact-substring-dedup family at span granularity): each doc is cut
+    // into non-overlapping 8-token spans; a span is a DUPLICATE if the
+    // same 8-token sequence occurred EARLIER in corpus order
+    // (doc_id, span_id). Per doc: span counts, duplicated fraction, and
+    // the keep/drop verdict a cleaning pipeline acts on. Plan shape for
+    // 100 TB: explode spans → md5 → groupBy hash (ONE balanced shuffle —
+    // the 16-byte hash is the shuffle key, never the span text) to find
+    // each span's global first occurrence; join back on the same hash
+    // (co-partitioned — AQE reuses the exchange) and re-aggregate per
+    // doc. All stages linear and keyed; no sort or window over the
+    // corpus. `pos_key = doc_id * 100000 + span_id` is a total order on
+    // occurrences (span counts are bounded far below 100000 per doc; at
+    // production scale the key would be a (doc_id, span_id) struct min).
+    // The keep rule compares integers (n_dup * 2 < n_spans), never a
+    // rounded float, so the verdict can't straddle an engine boundary.
+    Q("t_span_dedup",
+      (s, d) => {
+        val spans = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), floor(size(col("toks")) / lit(8.0)).cast("int") - 1),
+              i => md5(concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
+              .as(Seq("span_id", "h")))
+          .withColumn("pos_key",
+            col("doc_id") * 100000L + col("span_id"))
+        val first = spans.groupBy("h")
+          .agg(min(col("pos_key")).as("first_key"))
+        spans.join(first, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_spans"),
+            sum(when(col("pos_key") =!= col("first_key"), 1).otherwise(0))
+              .cast("int").as("n_dup"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup"),
+            round(col("n_dup") / col("n_spans").cast("double"), 4)
+              .as("dup_frac"),
+            (col("n_dup") * 2 < col("n_spans")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), sp AS (
+          |  SELECT doc_id, CAST(i AS INT) AS span_id,
+          |    md5(array_to_string(toks[i*8 + 1 : i*8 + 8], ' ')) AS h,
+          |    doc_id * 100000 + i AS pos_key
+          |  FROM (SELECT doc_id, toks,
+          |          unnest(range(0, CAST(len(toks) // 8 AS INT))) AS i
+          |        FROM tk WHERE len(toks) >= 8)
+          |), fst AS (
+          |  SELECT h, min(pos_key) AS first_key FROM sp GROUP BY h
+          |), agg AS (
+          |  SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+          |    CAST(sum(CASE WHEN pos_key <> first_key THEN 1 ELSE 0 END)
+          |      AS INT) AS n_dup
+          |  FROM sp JOIN fst USING (h) GROUP BY doc_id)
+          |SELECT doc_id, n_spans, n_dup,
+          |  round(n_dup * 1.0 / n_spans, 4) AS dup_frac,
+          |  n_dup * 2 < n_spans AS keep
+          |FROM agg ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -212,5 +212,45 @@ object Windows {
           |WHERE rn <= 3
           |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey"""
           .stripMargin)),
+
+    // ----- [EXT] event-time RANGE frame: trailing 1-hour per-user
+    // aggregates. ROWS frames count physical rows; RANGE frames bound by
+    // the ORDER-BY *value* — the correct frame for time-series features
+    // ("activity in the last hour") where event spacing is irregular, and
+    // the frame every ties-in-the-same-second row agrees on regardless of
+    // physical row order. The frame sum goes through decimal so the
+    // result is independent of intra-frame accumulation order; the window
+    // partitions on user_id (distributed — no global window), and the
+    // order key is integral epoch-seconds (`div`, not `/1000` — double
+    // division loses precision at epoch-micros magnitude).
+    Q("w_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+          .rangeBetween(-3600, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+          .withColumn("n_1h", count(lit(1)).over(w).cast("int"))
+          .withColumn("sum_1h",
+            sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("ts_s"),
+            col("n_1h"), round(col("sum_1h"), 4).as("sum_1h"),
+            round(col("sum_1h") / col("n_1h"), 4).as("avg_1h"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
+          |         value
+          |  FROM events)
+          |SELECT event_id, user_id, ts_s,
+          |  CAST(count(*) OVER w AS INT) AS n_1h,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE),
+          |    4) AS sum_1h,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+          |        / (count(*) OVER w), 4) AS avg_1h
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+          |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)),
   )
 }
