@@ -146,6 +146,28 @@ object Graph {
     */
   private val cap = 2000
 
+  /** Per-vertex triangle membership counts over an arbitrary directed
+    * edge list ("src", "dst"): self-loops dropped, edges de-duplicated
+    * and oriented low-id -> high-id, triangles found as wedge + closing
+    * edge (two equi-joins — see `k4_triangle_count` for the plan-shape
+    * and degree-orientation discussion). Exposed for TriangleSpec's toy
+    * graphs.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = und
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    wedges
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   private def cappedVerts(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).filter(col("o_orderkey") < cap)
       .select(col("o_orderkey").as("v"))
@@ -299,23 +321,9 @@ object Graph {
     // oracle is engine-independent (degree ties would otherwise need a
     // deterministic break). Per-vertex triangle membership, top-20.
     Q("k4_triangle_count",
-      (s, d) => {
-        val und = cappedEdges(s, d)
-          .filter(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct()
-        val wedges = und
-          .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-        val tri = wedges
-          .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
-          .select("a", "b", "c")
-        tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-          .groupBy("id")
-          .agg(count(lit(1)).as("n_triangles"))
-          .orderBy(desc("n_triangles"), col("id"))
-          .limit(20)
-      },
+      (s, d) => triangleCounts(cappedEdges(s, d))
+        .orderBy(desc("n_triangles"), col("id"))
+        .limit(20),
       Some(
         s"""WITH und AS (
            |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the late-round-4 operators that the row-level oracles
+  * can't express directly:
+  *   - triangle counting is exact on graphs with known closed forms;
+  *   - the int8 quantizer respects its clamp range and half-step error
+  *     bound;
+  *   - the CDC merge reconciles: every action bucket has exactly the
+  *     cardinality its deterministic change feed implies;
+  *   - the salted join is observation-equivalent to the plain join it
+  *     rewrites (skew mitigation must never change the answer);
+  *   - the histogram conserves rows and stays inside its bucket range.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("triangle counts: K4 has 4 triangles (3 per vertex), C4 has none") {
+    import spark.implicits._
+    // complete graph on {1,2,3,4}: every vertex sits in C(3,2)=3 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val counts = ops.Graph.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // 4-cycle: wedges exist but never close
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(ops.Graph.triangleCounts(c4).count() == 0)
+
+    // duplicate + reversed + self-loop edges don't change the answer
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L),
+      (3L, 1L)).toDF("src", "dst")
+    val noisyCounts = ops.Graph.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noisyCounts == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("int8 quantizer: clamp range and half-step error bound") {
+    val q = SparkEntry.queries("m_embed_quantize")(spark, sf).cache()
+    val dim = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(q.count() > 0, "no quantized vectors — vacuous")
+    // |q_sum| <= q_l1 <= 127 * dim (every element clamped to [-127, 127])
+    val clampBad = q.filter(abs(col("q_sum")) > col("q_l1") ||
+      col("q_l1") > 127L * dim).count()
+    assert(clampBad == 0, "clamp range violated")
+    // max |residual| <= step/2 = amax/254 (+1 micro-unit floor slack)
+    val errBad = q.filter(col("max_err_um") > col("amax_um") / 254 + 1)
+      .count()
+    assert(errBad == 0, "half-step dequantization error bound violated")
+    q.unpersist()
+  }
+
+  test("CDC merge reconciles action buckets against the change feed") {
+    val out = SparkEntry.queries("m_upsert")(spark, sf).cache()
+    val base = Tables.orders(spark, sf).cache()
+    val nBase = base.count()
+    val nUpd = base.filter(col("o_orderkey") % 10 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 100 === 7).count()
+    val byAction = out.groupBy("action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction.getOrElse("insert", 0L) == nIns)
+    assert(byAction.getOrElse("update", 0L) == nUpd)
+    assert(byAction.getOrElse("keep", 0L) == nBase - nUpd)
+    assert(out.count() == nBase + nIns)
+    // inserted keys live strictly above the base key space
+    val lowInsert = out.filter(col("action") === "insert" &&
+      col("o_orderkey") < 10000000L).count()
+    assert(lowInsert == 0)
+    out.unpersist()
+  }
+
+  test("salted join equals the plain join it rewrites") {
+    val salted = SparkEntry.queries("m_salted_join")(spark, sf)
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("histogram conserves rows within the bucket range") {
+    val h = SparkEntry.queries("m_histogram")(spark, sf).cache()
+    val outOfRange = h.filter(col("bucket") < 0 || col("bucket") > 19).count()
+    assert(outOfRange == 0)
+    val total = h.agg(sum(col("n"))).head().getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+    h.unpersist()
+  }
+}
