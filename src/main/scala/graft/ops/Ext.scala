@@ -697,5 +697,38 @@ object Ext {
           |    AS sum_price
           |FROM orders CROSS JOIN s
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- Shannon entropy of each user's event-type distribution — the
+    // behavioral-diversity signal (bot/anomaly screening: near-zero
+    // entropy = single-action automation; log(5) ≈ 1.609 = uniform over
+    // the 5 types). Two keyed hash aggregations + one equi-join, all
+    // partial-aggregated — nothing global, nothing driver-side. The
+    // per-user term count is bounded by the type cardinality (5), so the
+    // round-4 float sum is a handful of terms on both engines.
+    Q("m_entropy",
+      (s, d) => {
+        val tc = Tables.events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        val tot = tc.groupBy("user_id").agg(sum(col("c")).as("n"))
+        tc.join(tot, Seq("user_id"))
+          .withColumn("p", col("c") * 1.0 / col("n"))
+          .groupBy("user_id", "n")
+          .agg(count(lit(1)).cast("int").as("n_types"),
+            round(-sum(col("p") * log(col("p"))), 4).as("entropy"))
+          .select("user_id", "n_types", "n", "entropy")
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH tc AS (
+          |  SELECT user_id, event_type, count(*) AS c
+          |  FROM events GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+          |  FROM tc GROUP BY 1)
+          |SELECT user_id, CAST(count(*) AS INT) AS n_types, n,
+          |  round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS entropy
+          |FROM tc JOIN tot USING (user_id)
+          |GROUP BY user_id, n ORDER BY user_id""".stripMargin)),
   )
 }

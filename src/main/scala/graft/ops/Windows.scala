@@ -252,5 +252,63 @@ object Windows {
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
           |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
           |ORDER BY event_id""".stripMargin)),
+
+    // ----- [EXT] trailing-window outlier detection: flag events whose
+    // value deviates from the user's previous-20-events mean by more
+    // than 2 sample standard deviations. The entire decision runs in
+    // EXACT integer arithmetic: values are fixed-pointed once
+    // (floor(v * 1e4) — floor, because double→int CASTS disagree:
+    // DuckDB rounds, Spark truncates), and the z-test is cleared of
+    // divisions —
+    //   (x-μ)² > 4σ²  ⇔  (n·x-s1)²·(n-1) > 4·n·(n·s2-s1²)
+    // so the BOOLEAN flag can never flip on a float tie (a windowed
+    // float stddev differs between engines: Spark accumulates
+    // sequentially, DuckDB over a segment tree — different association,
+    // different last ulp, and a discrete flag amplifies it). Bounds: |v|
+    // ≤ 5.7e6, n ≤ 21 keep every product under 2^63. The frame excludes
+    // the current row (self-inclusion shrinks apparent deviation), the
+    // window distributes on user_id, and sums are running partials — the
+    // standard streaming-monitoring shape at any scale.
+    Q("w_anomaly",
+      (s, d) => {
+        val f = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-20, -1)
+        Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("v", floor(col("value") * 10000.0))
+          .withColumn("np", count(lit(1)).over(f))
+          .withColumn("s1", sum(col("v")).over(f))
+          .withColumn("s2", sum(col("v") * col("v")).over(f))
+          .filter(col("np") >= 5)
+          .withColumn("dev", col("np") * col("v") - col("s1"))
+          .filter(col("dev") * col("dev") * (col("np") - 1) >
+            lit(4L) * col("np") * (col("np") * col("s2") -
+              col("s1") * col("s1")))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("value"), col("np").cast("int").as("n_prev"), col("dev"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+          |    CAST(floor(value * 10000.0) AS BIGINT) AS v
+          |  FROM events
+          |), wd AS (
+          |  SELECT event_id, user_id, ts_us, value, v,
+          |    count(*) OVER f AS np,
+          |    sum(v) OVER f AS s1,
+          |    sum(v * v) OVER f AS s2
+          |  FROM e
+          |  WINDOW f AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+          |SELECT event_id, user_id, ts_us, value,
+          |  CAST(np AS INT) AS n_prev,
+          |  CAST(np * v - s1 AS BIGINT) AS dev
+          |FROM wd
+          |WHERE np >= 5
+          |  AND (np*v - s1) * (np*v - s1) * (np - 1)
+          |      > 4 * np * (np*s2 - s1*s1)
+          |ORDER BY event_id""".stripMargin)),
   )
 }
