@@ -730,5 +730,77 @@ object Ext {
           |  round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS entropy
           |FROM tc JOIN tot USING (user_id)
           |GROUP BY user_id, n ORDER BY user_id""".stripMargin)),
+
+    // ----- ordered conversion FUNNEL (view → click → purchase, each
+    // stage within 24h of the previous): a stage's timestamp is the
+    // user's FIRST qualifying event strictly AFTER the previous stage
+    // and inside the attribution window (sequence + window are what
+    // separate a funnel from three independent mins — and the window is
+    // what makes `reached` discriminative: unbounded, every active user
+    // eventually "converts"). Three conditional min-aggs chained by
+    // equi-joins, every one keyed on user_id — co-partitioned
+    // end-to-end, so the whole funnel is a per-user-key pipeline at any
+    // scale. Stage times are integral micros; `reached` derives from
+    // NULL-ness, so nothing floats.
+    Q("m_funnel",
+      (s, d) => {
+        val dayUs = 86400000000L
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("us") > col("t_view") &&
+            col("us") <= col("t_view") + dayUs)
+          .groupBy("user_id").agg(min(col("us")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("us") > col("t_click") &&
+            col("us") <= col("t_click") + dayUs)
+          .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+        e.select("user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t_purchase").isNotNull, "purchase")
+              .when(col("t_click").isNotNull, "click")
+              .when(col("t_view").isNotNull, "view")
+              .otherwise("none").as("reached"),
+            col("t_view"), col("t_click"), col("t_purchase"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+          |), v AS (
+          |  SELECT user_id, min(us) AS t_view FROM e
+          |  WHERE event_type = 'view' GROUP BY user_id
+          |), c AS (
+          |  SELECT e.user_id, min(us) AS t_click
+          |  FROM e JOIN v USING (user_id)
+          |  WHERE event_type = 'click' AND us > t_view
+          |    AND us <= t_view + 86400000000
+          |  GROUP BY e.user_id
+          |), p AS (
+          |  SELECT e.user_id, min(us) AS t_purchase
+          |  FROM e JOIN c USING (user_id)
+          |  WHERE event_type = 'purchase' AND us > t_click
+          |    AND us <= t_click + 86400000000
+          |  GROUP BY e.user_id
+          |)
+          |SELECT u.user_id,
+          |  CASE WHEN t_purchase IS NOT NULL THEN 'purchase'
+          |       WHEN t_click IS NOT NULL THEN 'click'
+          |       WHEN t_view IS NOT NULL THEN 'view'
+          |       ELSE 'none' END AS reached,
+          |  t_view, t_click, t_purchase
+          |FROM (SELECT DISTINCT user_id FROM e) u
+          |LEFT JOIN v USING (user_id)
+          |LEFT JOIN c USING (user_id)
+          |LEFT JOIN p USING (user_id)
+          |ORDER BY user_id""".stripMargin)),
   )
 }

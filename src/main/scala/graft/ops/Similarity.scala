@@ -157,6 +157,48 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** 16-bit SimHash signature per document: per-token md5, one vote per
+    * bit position (hex-char parity), majority sign packs the bit. Shared
+    * by `m_simhash` (raw fingerprint + exact-collision groups) and
+    * `m_simhash_hamming` (banded hd<=1 neighbor degree).
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val bits = 16
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes: Seq[Column] = (1 to bits).map { b =>
+      sum(when(ascii(substring(col("h"), b, 1)) % 2 === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val fp = (1 to bits).map { b =>
+      when(col(s"v$b") >= 0, lit(1L << (b - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhashSigs]]: CTE chain ending in
+    * `f(doc_id, simhash)`. */
+  private val simhashSigsCtes: String = {
+    val bits = 16
+    val votes = (1 to bits).map { b =>
+      s"sum(CASE WHEN ascii(substr(md5(tok), $b, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val fp = (1 to bits).map { b =>
+      s"CASE WHEN v$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM tok GROUP BY doc_id
+       |), f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)"""
+      .stripMargin
+  }
+
   // ---------- embeddings-side builders ----------
 
   /** Embeddings with float→double cast (IEEE-exact widening, matches
@@ -456,44 +498,82 @@ object Similarity {
     Q("m_simhash",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val bits = 16
-        val tok = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .withColumn("h", md5(col("tok")))
-        val votes: Seq[Column] = (1 to bits).map { b =>
-          sum(when(ascii(substring(col("h"), b, 1)) % 2 === 1, 1)
-            .otherwise(-1)).as(s"v$b")
-        }
-        val fp = (1 to bits).map { b =>
-          when(col(s"v$b") >= 0, lit(1L << (b - 1))).otherwise(lit(0L))
-        }.reduce(_ + _)
-        tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-          .withColumn("simhash", fp)
+        simhashSigs(s, d)
           .withColumn("n_same",
             count(lit(1)).over(Window.partitionBy(col("simhash"))))
           .select("doc_id", "simhash", "n_same")
           .orderBy("doc_id")
       },
-      Some {
-        val bits = 16
-        val votes = (1 to bits).map { b =>
-          s"sum(CASE WHEN ascii(substr(md5(tok), $b, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
-        }.mkString(",\n    ")
-        val fp = (1 to bits).map { b =>
-          s"CASE WHEN v$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH tok AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-           |  FROM documents
-           |), v AS (
-           |  SELECT doc_id,
-           |    $votes
-           |  FROM tok GROUP BY doc_id
-           |), f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)
+      Some(
+        s"""WITH $simhashSigsCtes
            |SELECT doc_id, simhash,
            |  count(*) OVER (PARTITION BY simhash) AS n_same
-           |FROM f ORDER BY doc_id""".stripMargin
-      }),
+           |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ----- SimHash near-dup NEIGHBOR DEGREE at Hamming distance <= 1 —
+    // the decision layer on top of the raw fingerprint above (equal
+    // signatures catch only exact near-dups; real simhash dedup asks
+    // "within k bits"). Candidate generation is the pigeonhole band
+    // trick, LOSSLESS for the chosen radius: 1 differing bit leaves one
+    // of the 2 bands untouched, so pairs sharing a band are a superset
+    // of all hd<=1 pairs — which is why the oracle can be the plain
+    // all-pairs definition while the Spark plan never goes all-pairs:
+    // bucket on the band key, expand pairs inside buckets only, verify
+    // with one codegen'd bit_count(xor). At production 64-bit sigs use
+    // 4x16-bit bands (radius 3) — same plan, thinner buckets; the
+    // fixture's 16-bit sigs force 8-bit bands. Output is the per-doc
+    // neighbor count (degree), zero-filled — the quantity a dedup
+    // pipeline thresholds on.
+    Q("m_simhash_hamming",
+      (s, d) => {
+        val sig = simhashSigs(s, d)
+        val bands = sig.select(col("doc_id"), col("simhash"),
+          explode(array(
+            struct(lit(0).as("band"),
+              shiftright(col("simhash"), 8).as("k")),
+            struct(lit(1).as("band"),
+              col("simhash").bitwiseAND(255).as("k")))).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.k").as("k"))
+        val pairStruct = struct(col("doc_id"), col("simhash"))
+        val buckets = bands.groupBy("band", "k")
+          .agg(array_sort(collect_set(pairStruct)).as("ms"))
+          .filter(size(col("ms")) >= 2)
+        val cand = buckets.select(explode(flatten(transform(
+            sequence(lit(1), size(col("ms")) - 1),
+            i => transform(slice(col("ms"), i + 1, size(col("ms")) - i),
+              x => struct(
+                element_at(col("ms"), i).getField("doc_id").as("d1"),
+                element_at(col("ms"), i).getField("simhash").as("h1"),
+                x.getField("doc_id").as("d2"),
+                x.getField("simhash").as("h2")))))).as("p"))
+          .select(col("p.d1").as("d1"), col("p.h1").as("h1"),
+            col("p.d2").as("d2"), col("p.h2").as("h2"))
+          .distinct()
+        val near = cand
+          .filter(expr("bit_count(h1 ^ h2)") <= 1)
+          .select(col("d1"), col("d2"))
+        val deg = near.select(col("d1").as("doc_id"))
+          .unionAll(near.select(col("d2").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+        sig.select("doc_id").join(deg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $simhashSigsCtes, pr AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+           |), deg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+           |    SELECT d1 AS doc_id FROM pr
+           |    UNION ALL SELECT d2 FROM pr) t
+           |  GROUP BY doc_id)
+           |SELECT f.doc_id, coalesce(n_near, 0) AS n_near
+           |FROM f LEFT JOIN deg USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)),
 
     // ----- brute-force cosine top-k: the correctness baseline for ANN.
     // The probe side (vec_id < 8) broadcasts; cost is linear in |table|.
