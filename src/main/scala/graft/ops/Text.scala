@@ -28,6 +28,36 @@ object Text {
   private def inList(x: org.apache.spark.sql.Column, xs: Seq[String]) =
     xs.map(x === _).reduce(_ || _)
 
+  /** Corpus-level duplicate-span report over any (doc_id, text) frame:
+    * non-overlapping 8-token spans, global first occurrence wins in
+    * (doc_id, span_id) order. Exposed for PipelineOpsSpec's synthetic
+    * duplicate corpora; `t_span_dedup` runs it over `documents`.
+    */
+  def spanDedup(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor(size(col("toks")) / lit(8.0)).cast("int") - 1),
+          i => md5(concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
+          .as(Seq("span_id", "h")))
+      .withColumn("pos_key",
+        col("doc_id") * 100000L + col("span_id"))
+    val first = spans.groupBy("h")
+      .agg(min(col("pos_key")).as("first_key"))
+    spans.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("pos_key") =!= col("first_key"), 1).otherwise(0))
+          .cast("int").as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        round(col("n_dup") / col("n_spans").cast("double"), 4)
+          .as("dup_frac"),
+        (col("n_dup") * 2 < col("n_spans")).as("keep"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----- token counting: whitespace tokenization + distinct + avg length
@@ -495,30 +525,7 @@ object Text {
     // The keep rule compares integers (n_dup * 2 < n_spans), never a
     // rounded float, so the verdict can't straddle an engine boundary.
     Q("t_span_dedup",
-      (s, d) => {
-        val spans = Tables.documents(s, d)
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 8)
-          .select(col("doc_id"),
-            posexplode(transform(
-              sequence(lit(0), floor(size(col("toks")) / lit(8.0)).cast("int") - 1),
-              i => md5(concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
-              .as(Seq("span_id", "h")))
-          .withColumn("pos_key",
-            col("doc_id") * 100000L + col("span_id"))
-        val first = spans.groupBy("h")
-          .agg(min(col("pos_key")).as("first_key"))
-        spans.join(first, Seq("h"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("int").as("n_spans"),
-            sum(when(col("pos_key") =!= col("first_key"), 1).otherwise(0))
-              .cast("int").as("n_dup"))
-          .select(col("doc_id"), col("n_spans"), col("n_dup"),
-            round(col("n_dup") / col("n_spans").cast("double"), 4)
-              .as("dup_frac"),
-            (col("n_dup") * 2 < col("n_spans")).as("keep"))
-          .orderBy("doc_id")
-      },
+      (s, d) => spanDedup(Tables.documents(s, d)).orderBy("doc_id"),
       Some(
         """WITH tk AS (
           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -540,5 +547,70 @@ object Text {
           |  round(n_dup * 1.0 / n_spans, 4) AS dup_frac,
           |  n_dup * 2 < n_spans AS keep
           |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ----- PMI collocation mining (pointwise mutual information of
+    // adjacent token pairs) — the corpus statistic behind phrase
+    // detection (word2vec's phrase pass, "new york"-style merges) and a
+    // vocabulary-construction signal. Three distributed counts (unigram,
+    // bigram, and two 1-row totals broadcast back), then two equi-joins
+    // on the token key to attach marginals to each pair — every stage
+    // keyed and partial-aggregated, nothing all-pairs (pairs = ADJACENT
+    // tokens only, linear in corpus size). The PMI expression is written
+    // with the same association on both engines so the round-4 doubles
+    // agree; min-count 5 is the standard noise floor. Top-20, pair
+    // tie-break.
+    Q("t_pmi",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+        val uni = toks
+          .select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val bi = toks
+          .filter(size(col("toks")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("x"),
+              element_at(col("toks"), i + 1).as("y")))).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5)
+        val totals = uni.agg(sum(col("c")).as("n"))
+          .join(bi.agg(sum(col("cxy")).as("m")))
+        bi.join(uni.select(col("t").as("x"), col("c").as("cx")), Seq("x"))
+          .join(uni.select(col("t").as("y"), col("c").as("cy")), Seq("y"))
+          .join(broadcast(totals))
+          .select(col("x"), col("y"), col("cxy"),
+            round(log((col("cxy") * 1.0 / col("m")) /
+              ((col("cx") * 1.0 / col("n")) * (col("cy") * 1.0 / col("n")))),
+              4).as("pmi"))
+          .orderBy(desc("pmi"), col("x"), col("y"))
+          .limit(20)
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), uni AS (
+          |  SELECT t, count(*) AS c FROM (
+          |    SELECT unnest(toks) AS t FROM tk) GROUP BY t
+          |), bi AS (
+          |  SELECT x, y, count(*) AS cxy FROM (
+          |    SELECT unnest(list_transform(range(1, len(toks)),
+          |             i -> toks[i])) AS x,
+          |           unnest(list_transform(range(1, len(toks)),
+          |             i -> toks[i+1])) AS y
+          |    FROM tk WHERE len(toks) >= 2)
+          |  GROUP BY x, y HAVING count(*) >= 5
+          |), tot AS (
+          |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n,
+          |         (SELECT CAST(sum(cxy) AS BIGINT) FROM bi) AS m
+          |)
+          |SELECT x, y, cxy,
+          |  round(ln((cxy * 1.0 / m) /
+          |    ((ux.c * 1.0 / n) * (uy.c * 1.0 / n))), 4) AS pmi
+          |FROM bi JOIN uni ux ON ux.t = x
+          |        JOIN uni uy ON uy.t = y
+          |        CROSS JOIN tot
+          |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin)),
   )
 }

@@ -86,6 +86,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("span dedup flags an exact duplicate document, first copy wins") {
+    import spark.implicits._
+    val t16 = (1 to 16).map(i => s"w$i").mkString(" ")  // exactly 2 spans
+    val t24 = (1 to 24).map(i => s"u$i").mkString(" ")  // 3 unique spans
+    val docs = Seq((1L, t16), (2L, t16), (3L, t24)).toDF("doc_id", "text")
+    val out = ops.Text.spanDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2, 0, true)), "first copy must keep all spans")
+    assert(out(2L) == ((2, 2, false)), "exact duplicate must be dropped")
+    assert(out(3L) == ((3, 0, true)), "unique doc untouched")
+  }
+
   test("histogram conserves rows within the bucket range") {
     val h = SparkEntry.queries("m_histogram")(spark, sf).cache()
     val outOfRange = h.filter(col("bucket") < 0 || col("bucket") > 19).count()
