@@ -33,12 +33,17 @@ object Similarity {
     Tables.documents(s, d)
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
+      // sorted ONCE per document (binary UTF8 order) so the per-PAIR
+      // verify stage can be an allocation-free merge walk
+      // (jaccard_sorted); order is irrelevant to the signature pipeline
+      // and to array_intersect/array_union, so the HOF twin is unchanged
       .withColumn("sh",
-        array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))))
+        array_sort(
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))))
       .select(col("doc_id"), col("sh"))
   }
 
@@ -62,7 +67,16 @@ object Similarity {
     * `m_dedup_clusters` (connected components over them). See
     * `m_minhash_dedup` for the plan-shape commentary.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Exact-Jaccard verify implementations: the built-in HOF pair
+    * (allocates intersect + union arrays per pair) and the native
+    * merge-walk Expression (graft.functions.JaccardSorted — relies on
+    * [[shingled]]'s sorted-distinct contract). Same values bit-for-bit.
+    */
+  private val jaccardHof: (Column, Column) => Column = (a, b) =>
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  private def minhashPairs(s: SparkSession, d: String,
+      jaccard: (Column, Column) => Column = jaccardHof): DataFrame = {
     val sh = shingled(s, d)
     // ONE 96-hex-char hash per shingle (3 md5 calls), sliced into 12
     // disjoint 8-char windows = 12 independent min-hash families —
@@ -109,9 +123,7 @@ object Similarity {
     val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-          / size(array_union(col("sh1"), col("sh2"))), 4))
+      .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 4))
       .filter(col("jaccard") >= 0.5)
       .select("d1", "d2", "jaccard")
   }
@@ -291,6 +303,23 @@ object Similarity {
     // pipeline, false negatives included.
     Q("m_minhash_dedup",
       (s, d) => minhashPairs(s, d).orderBy("d1", "d2"),
+      Some(
+        s"""WITH $minhashPairsCtes
+           |SELECT d1, d2, jaccard FROM pairs
+           |ORDER BY d1, d2""".stripMargin)),
+
+    // ----- same pipeline with the verify stage through the native
+    // merge-walk Expression (graft.functions.JaccardSorted) instead of
+    // array_intersect + array_union (which allocate two arrays and a
+    // hash set per CANDIDATE PAIR — the verify stage is pair-dominated
+    // at scale, so the fused walk is where the allocation win lives).
+    // Must hash-match the exact oracle of the HOF twin above.
+    Q("m_minhash_dedup_native",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        minhashPairs(s, d, (a, b) => expr("jaccard_sorted(sh1, sh2)"))
+          .orderBy("d1", "d2")
+      },
       Some(
         s"""WITH $minhashPairsCtes
            |SELECT d1, d2, jaccard FROM pairs
