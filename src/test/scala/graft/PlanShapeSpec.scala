@@ -19,7 +19,11 @@ class PlanShapeSpec extends SparkSpec {
     "m_ngram_jaccard", "m_embed_neardup", "m_salted_topk", "m_asof_join",
     "m_exact_dedup", "m_simhash", "m_edit_distance", "t_decontaminate",
     "t_tfidf", "t_repetition", "t_bm25", "w_rank_distributed",
-    "w_topk_native")
+    "w_topk_native",
+    // late round 4: every new join-bearing pipeline stays keyed
+    "m_minhash_dedup_native", "m_simhash_hamming", "t_span_dedup",
+    "t_pmi", "m_upsert", "m_salted_join", "m_funnel", "m_entropy",
+    "k4_triangle_count")
 
   test("no CartesianProduct in any bucketed/keyed pipeline plan") {
     guarded.foreach { name =>
