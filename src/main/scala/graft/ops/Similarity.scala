@@ -915,6 +915,63 @@ object Similarity {
           |SELECT label, v1, v2, cos FROM cs WHERE cos >= 0.25
           |ORDER BY label, v1, v2""".stripMargin)),
 
+    // ----- embedding label-noise detection: per-label centroid
+    // (element-wise mean, rounded 6dp so both engines hold bit-equal
+    // centroids — the IVF Lloyd-step pattern), then each vector's cosine
+    // to its OWN label's centroid; the bottom-3 per label are the
+    // mislabel/outlier candidates a dataset-quality pass reviews. The
+    // centroid build is groupBy(label, pos) — never all-pairs; centroids
+    // broadcast (|labels| rows); ranking is a per-label window. At any
+    // scale this is two keyed aggregations + one broadcast join.
+    Q("m_label_outliers",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = normed(s, d)
+        val cent = e
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => round(p.getField("m"), 6)).as("ce"))
+          .withColumn("cn",
+            sqrt(aggregate(col("ce"), lit(0.0), (acc, x) => acc + x * x)))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("cos"), col("vec_id"))
+        e.join(broadcast(cent), Seq("label"))
+          .withColumn("cos",
+            round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("label", "rk")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT label, pos, round(avg(x), 6) AS m FROM (
+          |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+          |           CAST(unnest(embedding) AS DOUBLE) AS x
+          |    FROM embeddings)
+          |  GROUP BY label, pos
+          |), cent AS (
+          |  SELECT label, list(m ORDER BY pos) AS ce FROM m GROUP BY label
+          |), u AS (
+          |  SELECT e.vec_id, e.label, CAST(unnest(e.embedding) AS DOUBLE)
+          |           AS x,
+          |         unnest(ce) AS y
+          |  FROM embeddings e JOIN cent USING (label)
+          |), cs AS (
+          |  SELECT vec_id, label,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+          |  FROM u GROUP BY vec_id, label
+          |), rk AS (
+          |  SELECT label, vec_id, cos,
+          |    CAST(row_number() OVER (PARTITION BY label
+          |      ORDER BY cos, vec_id) AS INT) AS rk
+          |  FROM cs)
+          |SELECT label, rk, vec_id, cos FROM rk WHERE rk <= 3
+          |ORDER BY label, rk""".stripMargin)),
+
     // ----- int8 scalar quantization of the embedding column — the
     // compression step an embedding pipeline runs before shipping vectors
     // to an ANN index (4x smaller than float32; integer-SIMD dot

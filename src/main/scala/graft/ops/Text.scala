@@ -612,5 +612,42 @@ object Text {
           |        JOIN uni uy ON uy.t = y
           |        CROSS JOIN tot
           |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin)),
+
+    // ----- unigram-LM quality score: each document's mean token
+    // log-probability under the corpus's own unigram distribution — the
+    // cheap stand-in for the KenLM/CCNet perplexity filter every large
+    // text pipeline runs (docs full of rare junk score low; docs of
+    // common fluent tokens score high). One distributed unigram count,
+    // one broadcast total, one equi-join on the token key, one per-doc
+    // aggregation — all linear and keyed. The per-doc min is emitted
+    // beside the mean (min is order-independent; it flags the single
+    // rarest token — the "contains garbage" signal a mean can dilute).
+    Q("t_unigram_logprob",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum(col("c")).as("n"))
+        tok.join(uni, Seq("t"))
+          .join(broadcast(tot))
+          .withColumn("lp", log(col("c") * 1.0 / col("n")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_tokens"),
+            round(avg(col("lp")), 4).as("avg_logprob"),
+            round(min(col("lp")), 4).as("min_logprob"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          |  FROM documents
+          |), uni AS (
+          |  SELECT t, count(*) AS c FROM tok GROUP BY t
+          |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+          |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+          |  round(avg(ln(c * 1.0 / n)), 4) AS avg_logprob,
+          |  round(min(ln(c * 1.0 / n)), 4) AS min_logprob
+          |FROM tok JOIN uni USING (t) CROSS JOIN tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

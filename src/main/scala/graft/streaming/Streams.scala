@@ -91,6 +91,22 @@ object Streams {
       .orderBy("win_start_us", "event_type")
   }
 
+  /** Sliding-window (1 day / 12 h hop) streaming aggregation — each event
+    * lands in 2 overlapping windows, the state the streaming engine
+    * keys by (window, -) pairs. Same operator as the batch
+    * `m_window_sliding`, so the oracle is shared verbatim.
+    */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "12 hours"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    runToMemory(s, agg, "complete")
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start_us")
+  }
+
   /** Stateful streaming dedup on event_id within the watermark horizon —
     * the streaming form of exact dedup (L1). Returns the deduped count per
     * event_type (equal to the batch distinct count, since fixture
@@ -236,6 +252,20 @@ object Streams {
           |       count(*) AS n, round(sum(value), 4) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type"""
           .stripMargin)),
+    graft.ops.Q("m_stream_sliding",
+      (s, d) => slidingCounts(s, d),
+      Some(
+        """WITH cand AS (
+          |  SELECT ts, value,
+          |    (CAST(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200000000
+          |      AS win_start_us
+          |  FROM events, (SELECT unnest([0, 1]) AS k)
+          |), w AS (
+          |  SELECT * FROM cand
+          |  WHERE epoch(ts) * 1000000 >= win_start_us
+          |    AND epoch(ts) * 1000000 < win_start_us + 86400000000)
+          |SELECT win_start_us, count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM w GROUP BY win_start_us ORDER BY win_start_us""".stripMargin)),
     graft.ops.Q("m_stream_dedup",
       (s, d) => dedupCounts(s, d),
       Some(
