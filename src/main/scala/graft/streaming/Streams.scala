@@ -165,6 +165,56 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Per-user session outputs for the flatMapGroupsWithState sessionizer. */
+  case class SessOut(user_id: Long, sess_start_us: Long, n: Long,
+                     sum_value: Double)
+
+  /** Custom sessionizer via `flatMapGroupsWithState` — the multi-row
+    * stateful API (mapGroupsWithState emits exactly one row per group;
+    * a sessionizer must emit one row per SESSION). Sessions split on
+    * >= 1 h gaps, the same rule as `session_window` / the
+    * gaps-and-islands oracle. Rows inside a micro-batch arrive in
+    * partition order, not time order, so the group sorts its batch by
+    * (ts, event_id) before splitting — the per-user buffer is the state
+    * bound, the same bound session_window's own state keeps. With
+    * availableNow the fixture is one batch, so the emitted sessions
+    * equal the batch gaps-and-islands result, which the shared oracle
+    * checks. Session sums accumulate in sorted (ts, event_id) order on
+    * every engine, so the round-4 floats agree.
+    */
+  def sessionizeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    val sessions = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val evs = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          var start = -1L; var prev = -1L; var n = 0L; var sum = 0.0
+          evs.foreach { case (_, us, _, v) =>
+            if (start < 0 || us - prev >= 3600000000L) {
+              if (start >= 0) out += SessOut(user, start, n, sum)
+              start = us; n = 0L; sum = 0.0
+            }
+            n += 1; sum += v; prev = us
+          }
+          if (start >= 0) out += SessOut(user, start, n, sum)
+          state.update(evs.size.toLong)
+          out.iterator
+      }
+    runToMemory(s, sessions.toDF(), "append")
+      .select(col("user_id"), col("sess_start_us"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "sess_start_us")
+  }
+
   /** Stream-static enrichment join: the stream side joins a STATIC
     * DataFrame (per-type average value, computed once from the batch
     * table) — Spark re-broadcasts the static side into every
@@ -307,6 +357,25 @@ object Streams {
           |FROM v JOIN p ON p.user_id = v.user_id
           |  AND p_us >= v_us AND p_us <= v_us + 86400000000
           |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)),
+    graft.ops.Q("m_stream_sessionize",
+      (s, d) => sessionizeCounts(s, d),
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |              IS NULL THEN 1
+          |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+          |              PARTITION BY user_id ORDER BY ts)) >= 3600000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |), sess AS (
+          |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          |  FROM flagged)
+          |SELECT user_id, min(epoch_us(ts)) AS sess_start_us,
+          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM sess GROUP BY user_id, sess_id
+          |ORDER BY user_id, sess_start_us""".stripMargin)),
     graft.ops.Q("m_stream_state",
       (s, d) => userStateCounts(s, d),
       Some(
