@@ -802,5 +802,62 @@ object Ext {
           |LEFT JOIN c USING (user_id)
           |LEFT JOIN p USING (user_id)
           |ORDER BY user_id""".stripMargin)),
+
+    // ----- UNPIVOT (stack) data-profiling report: one aggregation pass
+    // computes per-column min/max/distinct, then `stack` rotates the
+    // single wide row into the (column, stats) long form a profiler
+    // publishes — the inverse of m_pivot, covering the generator the
+    // pivot family still lacked. Formatting discipline: doubles go
+    // through DECIMAL(18,2) before the string cast (double→VARCHAR
+    // shortest-repr formatting is engine-specific; decimal rendering is
+    // not), dates/longs cast directly. One pass, one 1-row shuffle,
+    // map-side stack — trivially parallel.
+    Q("m_unpivot_profile",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice").cast("decimal(18,2)")).cast("string")
+            .as("min_tp"),
+          max(col("o_totalprice").cast("decimal(18,2)")).cast("string")
+            .as("max_tp"),
+          countDistinct(col("o_totalprice")).as("nd_tp"),
+          min(col("o_orderkey")).cast("string").as("min_ok"),
+          max(col("o_orderkey")).cast("string").as("max_ok"),
+          countDistinct(col("o_orderkey")).as("nd_ok"),
+          min(col("o_orderdate")).cast("string").as("min_od"),
+          max(col("o_orderdate")).cast("string").as("max_od"),
+          countDistinct(col("o_orderdate")).as("nd_od"))
+        a.select(col("n"), expr(
+            """stack(3,
+              |  'o_orderdate',  min_od, max_od, nd_od,
+              |  'o_orderkey',   min_ok, max_ok, nd_ok,
+              |  'o_totalprice', min_tp, max_tp, nd_tp)
+              |AS (col_name, min_val, max_val, n_distinct)""".stripMargin))
+          .select("col_name", "n", "min_val", "max_val", "n_distinct")
+          .orderBy("col_name")
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT count(*) AS n,
+          |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+          |      AS min_tp,
+          |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+          |      AS max_tp,
+          |    count(DISTINCT o_totalprice) AS nd_tp,
+          |    CAST(min(o_orderkey) AS VARCHAR) AS min_ok,
+          |    CAST(max(o_orderkey) AS VARCHAR) AS max_ok,
+          |    count(DISTINCT o_orderkey) AS nd_ok,
+          |    CAST(min(o_orderdate) AS VARCHAR) AS min_od,
+          |    CAST(max(o_orderdate) AS VARCHAR) AS max_od,
+          |    count(DISTINCT o_orderdate) AS nd_od
+          |  FROM orders)
+          |SELECT 'o_orderdate' AS col_name, n, min_od AS min_val,
+          |       max_od AS max_val, nd_od AS n_distinct FROM a
+          |UNION ALL
+          |SELECT 'o_orderkey', n, min_ok, max_ok, nd_ok FROM a
+          |UNION ALL
+          |SELECT 'o_totalprice', n, min_tp, max_tp, nd_tp FROM a
+          |ORDER BY col_name""".stripMargin)),
   )
 }
