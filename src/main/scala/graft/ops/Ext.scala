@@ -859,5 +859,54 @@ object Ext {
           |UNION ALL
           |SELECT 'o_totalprice', n, min_tp, max_tp, nd_tp FROM a
           |ORDER BY col_name""".stripMargin)),
+
+    // ----- the spark.sql STRING entrypoint: TPC-H Q3 (shipping
+    // priority) phrased as ANSI SQL over temp views registered from the
+    // Tables layer — proving a user can drive this engine with SQL text
+    // alone and still get the cached/re-spread base relations underneath
+    // (the views wrap the same DataFrames every other query uses).
+    // Revenue is decimal end-to-end: extendedprice and discount are
+    // exact 2dp quantities, so DECIMAL×DECIMAL then a decimal sum is
+    // engine-exact where a double product would read differently at the
+    // cast boundary. Dates are compared/emitted as strings (fixture
+    // dates are parquet timestamps; formatting is pinned).
+    Q("m_sql_q3",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_orderkey,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+            |       AS DOUBLE) AS revenue,
+            |  date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+            |  o_orderpriority
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+            |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+            |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            |ORDER BY revenue DESC, l_orderkey
+            |LIMIT 10""".stripMargin)
+      },
+      Some(
+        """SELECT l_orderkey,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+          |       AS DOUBLE) AS revenue,
+          |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          |  o_orderpriority
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin)),
   )
 }
