@@ -569,6 +569,9 @@ object Ext {
     // large as the base; AQE downgrades to broadcast when it is small),
     // and each output row resolves via coalesce + a 3-arm action column,
     // the audit trail a CDC pipeline writes alongside the new state.
+    // Fixture contract: synthetic insert keys live at +10,000,000, above
+    // the base key space at every driver sf (max o_orderkey ~600k at
+    // sf0.1); a real feed carries its own keys and needs no offset.
     Q("m_upsert",
       (s, d) => {
         val base = Tables.orders(s, d)

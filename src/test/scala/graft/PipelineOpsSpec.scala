@@ -38,6 +38,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noisyCounts == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("triangle counts match brute force on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 6 + rnd.nextInt(5)
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong))
+      val expected = {
+        val und = edges.map { case (a, b) => (a min b, a max b) }
+          .filter { case (a, b) => a != b }.toSet
+        val tri = for {
+          a <- 0L until n.toLong; b <- a + 1 to n.toLong - 1
+          c <- b + 1 to n.toLong - 1
+          if und((a, b)) && und((b, c)) && und((a, c))
+        } yield Seq(a, b, c)
+        tri.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }
+      val got = ops.Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial (n=$n): got $got expected $expected")
+    }
+  }
+
   test("int8 quantizer: clamp range and half-step error bound") {
     val q = SparkEntry.queries("m_embed_quantize")(spark, sf).cache()
     val dim = Tables.embeddings(spark, sf)
