@@ -168,6 +168,29 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Shared oracle for BOTH triangle formulations (`k4_triangle_count`,
+    * `k4b_triangle_degree`): per-vertex membership counts are orientation-
+    * independent, so the id-oriented and degree-oriented plans must
+    * hash-match the same SQL.
+    */
+  private lazy val k4Oracle: Option[String] = Some(
+    s"""WITH und AS (
+       |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+       |                  greatest(l_orderkey, l_partkey) AS b
+       |  FROM lineitem
+       |  WHERE l_orderkey < $cap AND l_partkey < $cap
+       |    AND l_orderkey <> l_partkey
+       |), tri AS (
+       |  SELECT t1.a, t1.b, t2.b AS c
+       |  FROM und t1
+       |  JOIN und t2 ON t2.a = t1.b
+       |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+       |), ex AS (
+       |  SELECT unnest([a, b, c]) AS id FROM tri)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM ex GROUP BY id
+       |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin)
+
   private def cappedVerts(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).filter(col("o_orderkey") < cap)
       .select(col("o_orderkey").as("v"))
@@ -324,6 +347,59 @@ object Graph {
       (s, d) => triangleCounts(cappedEdges(s, d))
         .orderBy(desc("n_triangles"), col("id"))
         .limit(20),
+      k4Oracle),
+
+    // ----- K4b [EXT]: the DEGREE-ORIENTED triangle count — the
+    // production form of k4. Orienting every edge from its lower-degree
+    // endpoint (id tie-break keeps it deterministic) bounds each
+    // vertex's out-degree by O(sqrt(m)), so the wedge join is O(m^1.5)
+    // TOTAL regardless of skew — a celebrity vertex with 10M in-links
+    // generates almost no wedges because almost all its edges point IN.
+    // Same two equi-join plan shape as k4; every triangle is counted at
+    // exactly one vertex (its minimum in the (deg, id) total order), so
+    // the result must hash-match k4's oracle EXACTLY — the equivalence
+    // is the proof the optimization preserves semantics.
+    Q("k4b_triangle_degree",
+      (s, d) => {
+        val und = cappedEdges(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val deg = und.select(col("a").as("v"))
+          .unionAll(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        val lower = (da: org.apache.spark.sql.Column,
+                     a: org.apache.spark.sql.Column,
+                     db: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =>
+          da < db || (da === db && a < b)
+        // orient each edge low -> high in the (deg, id) total order,
+        // carrying the out-endpoint's rank for the wedge ordering
+        val e = und
+          .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+          .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+          .select(
+            when(lower(col("da"), col("a"), col("db"), col("b")),
+              struct(col("a").as("u"), col("b").as("w"),
+                col("db").as("dw")))
+              .otherwise(struct(col("b").as("u"), col("a").as("w"),
+                col("da").as("dw"))).as("e"))
+          .select(col("e.u").as("u"), col("e.w").as("w"),
+            col("e.dw").as("dw"))
+        val wedges = e.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+          .join(e.select(col("u"), col("w").as("y"), col("dw").as("dy")),
+            Seq("u"))
+          .filter(lower(col("dx"), col("x"), col("dy"), col("y")))
+        val tri = wedges
+          .join(e.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+          .select(col("u"), col("x"), col("y"))
+        tri.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy(desc("n_triangles"), col("id"))
+          .limit(20)
+      },
       Some(
         s"""WITH und AS (
            |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
