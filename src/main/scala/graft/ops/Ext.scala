@@ -911,5 +911,59 @@ object Ext {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
           |ORDER BY revenue DESC, l_orderkey
           |LIMIT 10""".stripMargin)),
+
+    // ----- time-series RESAMPLING with gap fill: each user's events
+    // rolled up to a dense daily grid — days with no activity appear as
+    // explicit zero rows, which is what every downstream
+    // moving-average/feature join assumes and what a bare groupBy can
+    // never produce. The scaffold is GENERATED per user from its own
+    // [min_day, max_day] span (sequence + explode — a Generate, not a
+    // cartesian with a calendar table: each user only expands to its
+    // own span), then left-joined with the per-day aggregate on the
+    // co-partitioned (user_id, day) key. Capped to the first 20 users
+    // to keep the checked output bounded; sums decimal-exact.
+    Q("m_resample_daily",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("user_id") < 20)
+          .withColumn("day",
+            expr("(unix_micros(ts) div 1000000) div 86400"))
+        val daily = e.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+        val scaffold = e.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        scaffold.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            round(coalesce(col("sum_value"), lit(0.0)), 4).as("sum_value"))
+          .orderBy("user_id", "day")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id,
+          |    CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+          |    value
+          |  FROM events WHERE user_id < 20
+          |), daily AS (
+          |  SELECT user_id, day, count(*) AS n,
+          |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |      AS sum_value
+          |  FROM e GROUP BY user_id, day
+          |), span AS (
+          |  SELECT user_id, min(day) AS d0, max(day) AS d1
+          |  FROM e GROUP BY user_id
+          |), scaffold AS (
+          |  SELECT user_id, CAST(unnest(range(d0, d1 + 1)) AS BIGINT)
+          |    AS day
+          |  FROM span)
+          |SELECT s.user_id, s.day,
+          |  coalesce(n, 0) AS n,
+          |  round(coalesce(sum_value, 0.0), 4) AS sum_value
+          |FROM scaffold s LEFT JOIN daily USING (user_id, day)
+          |ORDER BY user_id, day""".stripMargin)),
   )
 }
