@@ -480,5 +480,55 @@ object Relational {
           |        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
           |      FROM lineitem)
           |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // ----- L5 [EXT]: declarative constraint-validation report (the
+    // deequ/great-expectations primitive a pipeline gates loads on):
+    // referential integrity both ways (anti-joins), composite-key
+    // uniqueness (the fixture REALLY violates it — duplicate
+    // (orderkey, linenumber) pairs exist at sf >= 0.01, which is why l1
+    // needs its full tie-break), and range checks. Each check is one
+    // keyed anti-join or filter + count — map-side cheap, and the whole
+    // report is a union of 1-row aggregates, so it costs one pass per
+    // check at any scale.
+    Q("l5_constraints",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        val c = Tables.customer(s, d)
+        val row = (name: String, df: org.apache.spark.sql.DataFrame) =>
+          df.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check_name"), col("n_violations"))
+        row("1_lineitem_orphans",
+            l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti"))
+          .unionByName(row("2_order_cust_orphans",
+            o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+          .unionByName(row("3_dup_line_keys",
+            l.groupBy("l_orderkey", "l_linenumber")
+              .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)))
+          .unionByName(row("4_nonpositive_price",
+            o.filter(col("o_totalprice") <= 0)))
+          .unionByName(row("5_discount_range",
+            l.filter(!col("l_discount").between(0, 1))))
+          .orderBy("check_name")
+      },
+      Some(
+        """SELECT '1_lineitem_orphans' AS check_name, count(*) AS n_violations
+          |FROM lineitem l WHERE NOT EXISTS (
+          |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          |UNION ALL
+          |SELECT '2_order_cust_orphans', count(*)
+          |FROM orders o WHERE NOT EXISTS (
+          |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          |UNION ALL
+          |SELECT '3_dup_line_keys', count(*) FROM (
+          |  SELECT l_orderkey, l_linenumber FROM lineitem
+          |  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+          |UNION ALL
+          |SELECT '4_nonpositive_price', count(*)
+          |FROM orders WHERE o_totalprice <= 0
+          |UNION ALL
+          |SELECT '5_discount_range', count(*)
+          |FROM lineitem WHERE l_discount NOT BETWEEN 0 AND 1
+          |ORDER BY check_name""".stripMargin)),
   )
 }

@@ -24,7 +24,7 @@ class PlanShapeSpec extends SparkSpec {
     "m_minhash_dedup_native", "m_simhash_hamming", "t_span_dedup",
     "t_pmi", "m_upsert", "m_salted_join", "m_funnel", "m_entropy",
     "k4_triangle_count", "k4b_triangle_degree", "t_unigram_logprob",
-    "m_label_outliers", "m_sql_q3")
+    "m_label_outliers", "m_sql_q3", "m_resample_daily", "l5_constraints")
 
   test("no CartesianProduct in any bucketed/keyed pipeline plan") {
     guarded.foreach { name =>
