@@ -332,15 +332,16 @@ object Ext {
           .join(broadcast(dim),
             col("value") >= col("lo") && col("value") < col("hi"))
           .groupBy("band")
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4)
-            .as("sum_value"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
           .orderBy("band")
       },
       Some(
         """WITH dim AS (
           |  SELECT * FROM (VALUES (0.0, 25.0, 'low'), (25.0, 75.0, 'mid'),
           |                        (75.0, 1e9, 'high')) AS t(lo, hi, band))
-          |SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+          |SELECT band, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events JOIN dim ON value >= lo AND value < hi
           |GROUP BY band ORDER BY band""".stripMargin)),
 
@@ -372,13 +373,13 @@ object Ext {
     Q("m_window_tumbling",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("win_start_us", "event_type"),
       Some(
         """SELECT epoch_us(date_trunc('day', ts)) AS win_start_us, event_type,
-          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type"""
           .stripMargin)),
 
@@ -387,7 +388,7 @@ object Ext {
     Q("m_window_sliding",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 day", "12 hours"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("n"), col("sum_value"))
         .orderBy("win_start_us"),
@@ -401,7 +402,7 @@ object Ext {
           |  SELECT * FROM cand
           |  WHERE epoch(ts) * 1000000 >= win_start_us
           |    AND epoch(ts) * 1000000 < win_start_us + 86400000000)
-          |SELECT win_start_us, count(*) AS n, round(sum(value), 4) AS sum_value
+          |SELECT win_start_us, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM w GROUP BY win_start_us ORDER BY win_start_us""".stripMargin)),
 
     // ----- session window (1 h inactivity gap) per user — the batch twin
@@ -410,7 +411,7 @@ object Ext {
     Q("m_session_window",
       (s, d) => Tables.events(s, d)
         .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("sess_start_us"),
           col("n"), col("sum_value"))
@@ -429,7 +430,7 @@ object Ext {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
           |  FROM flagged)
           |SELECT user_id, min(epoch_us(ts)) AS sess_start_us, count(*) AS n,
-          |       round(sum(value), 4) AS sum_value
+          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM sess GROUP BY user_id, sess_id
           |ORDER BY user_id, sess_start_us""".stripMargin)),
 
@@ -569,9 +570,9 @@ object Ext {
     // large as the base; AQE downgrades to broadcast when it is small),
     // and each output row resolves via coalesce + a 3-arm action column,
     // the audit trail a CDC pipeline writes alongside the new state.
-    // Fixture contract: synthetic insert keys live at +10,000,000, above
-    // the base key space at every driver sf (max o_orderkey ~600k at
-    // sf0.1); a real feed carries its own keys and needs no offset.
+    // Synthetic insert keys are offset by max(o_orderkey)+1, computed
+    // from the data, so they sit above the base key space at ANY sf; a
+    // real feed carries its own keys and needs no offset.
     Q("m_upsert",
       (s, d) => {
         val base = Tables.orders(s, d)
@@ -587,8 +588,15 @@ object Ext {
             expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)")
               .as("c_totalprice"),
             lit("U").as("c_status"))
+        // Insert keys offset by max(o_orderkey)+1, DERIVED from the data
+        // (1-row aggregate, broadcast) — collision-free at any sf, where
+        // a fixed +10M literal silently collided once max key > 10M
+        // (TPC-H sf >= ~1.7) and fanned out the full-outer merge.
+        val off = broadcast(base.agg(
+          (max(col("o_orderkey")) + 1L).as("ins_off")))
         val inserts = base.filter(col("o_orderkey") % 100 === 7)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .crossJoin(off)
+          .select((col("o_orderkey") + col("ins_off")).as("o_orderkey"),
             expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5, 2) AS DOUBLE)")
               .as("c_totalprice"),
             lit("N").as("c_status"))
@@ -613,7 +621,7 @@ object Ext {
           |         'U' AS c_status
           |  FROM base WHERE o_orderkey % 10 = 0
           |  UNION ALL
-          |  SELECT o_orderkey + 10000000,
+          |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base),
           |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5, 2)
           |              AS DOUBLE), 'N'
           |  FROM base WHERE o_orderkey % 100 = 7

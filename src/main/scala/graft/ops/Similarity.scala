@@ -317,7 +317,7 @@ object Similarity {
     Q("m_minhash_dedup_native",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        minhashPairs(s, d, (a, b) => expr("jaccard_sorted(sh1, sh2)"))
+        minhashPairs(s, d, (a, b) => call_function("jaccard_sorted", a, b))
           .orderBy("d1", "d2")
       },
       Some(

@@ -35,7 +35,14 @@ object Text {
     */
   def spanDedup(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val spans = docs
+    // First occurrence = row_number() = 1 over (doc_id, span_id) within
+    // each span hash — a true lexicographic order, valid for ANY id
+    // range (the packed doc_id*100000+span_id long this replaces
+    // silently mis-ordered docs with >= 100k spans or ids >= ~9.2e13).
+    // One shuffle on h (vs groupBy-min + join = two plan branches).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("span_id"))
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
@@ -43,14 +50,10 @@ object Text {
           sequence(lit(0), floor(size(col("toks")) / lit(8.0)).cast("int") - 1),
           i => md5(concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
           .as(Seq("span_id", "h")))
-      .withColumn("pos_key",
-        col("doc_id") * 100000L + col("span_id"))
-    val first = spans.groupBy("h")
-      .agg(min(col("pos_key")).as("first_key"))
-    spans.join(first, Seq("h"))
+      .withColumn("occ", row_number().over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_spans"),
-        sum(when(col("pos_key") =!= col("first_key"), 1).otherwise(0))
+        sum(when(col("occ") > 1, 1).otherwise(0))
           .cast("int").as("n_dup"))
       .select(col("doc_id"), col("n_spans"), col("n_dup"),
         round(col("n_dup") / col("n_spans").cast("double"), 4)
@@ -531,18 +534,20 @@ object Text {
           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
           |), sp AS (
           |  SELECT doc_id, CAST(i AS INT) AS span_id,
-          |    md5(array_to_string(toks[i*8 + 1 : i*8 + 8], ' ')) AS h,
-          |    doc_id * 100000 + i AS pos_key
+          |    md5(array_to_string(toks[i*8 + 1 : i*8 + 8], ' ')) AS h
           |  FROM (SELECT doc_id, toks,
           |          unnest(range(0, CAST(len(toks) // 8 AS INT))) AS i
           |        FROM tk WHERE len(toks) >= 8)
-          |), fst AS (
-          |  SELECT h, min(pos_key) AS first_key FROM sp GROUP BY h
+          |), occ AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_id)
+          |      AS occ
+          |  FROM sp
           |), agg AS (
           |  SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-          |    CAST(sum(CASE WHEN pos_key <> first_key THEN 1 ELSE 0 END)
+          |    CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
           |      AS INT) AS n_dup
-          |  FROM sp JOIN fst USING (h) GROUP BY doc_id)
+          |  FROM occ GROUP BY doc_id)
           |SELECT doc_id, n_spans, n_dup,
           |  round(n_dup * 1.0 / n_spans, 4) AS dup_frac,
           |  n_dup * 2 < n_spans AS keep

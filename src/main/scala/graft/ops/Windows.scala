@@ -277,6 +277,12 @@ object Windows {
         Tables.events(s, d)
           .withColumn("ts_us", unix_micros(col("ts")))
           .withColumn("v", floor(col("value") * 10000.0))
+          // ENFORCED overflow bound (was comment-only): |v| <= 5.7e6
+          // keeps dev²·(n-1) and 4n(n·s2-s1²) under 2^63 at n <= 21.
+          // Same filter in the oracle's e CTE, so out-of-range data
+          // drops identically on both engines instead of silently
+          // wrapping BIGINT and flipping flags.
+          .filter(abs(col("v")) <= 5700000L)
           .withColumn("np", count(lit(1)).over(f))
           .withColumn("s1", sum(col("v")).over(f))
           .withColumn("s2", sum(col("v") * col("v")).over(f))
@@ -294,6 +300,7 @@ object Windows {
           |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
           |    CAST(floor(value * 10000.0) AS BIGINT) AS v
           |  FROM events
+          |  WHERE abs(CAST(floor(value * 10000.0) AS BIGINT)) <= 5700000
           |), wd AS (
           |  SELECT event_id, user_id, ts_us, value, v,
           |    count(*) OVER f AS np,

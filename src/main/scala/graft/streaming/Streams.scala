@@ -84,7 +84,7 @@ object Streams {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     runToMemory(s, agg, "complete")
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("sum_value"))
@@ -100,7 +100,7 @@ object Streams {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day", "12 hours"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     runToMemory(s, agg, "complete")
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("n"), col("sum_value"))
@@ -129,8 +129,19 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Exact 4dp scaled-long of a double via its shortest decimal repr —
+    * the same semantics as Spark's double→DECIMAL(18,4) cast
+    * (BigDecimal.valueOf + HALF_UP), so Scala-side stateful sums agree
+    * bit-for-bit with the column-level decimal sums and the DuckDB
+    * oracle regardless of accumulation order.
+    */
+  private def scaled4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
   /** Per-user state for the mapGroupsWithState example. */
-  case class UserState(n: Long, sum: Double, lastUs: Long)
+  case class UserState(n: Long, sumSc: Long, lastUs: Long)
   case class UserAgg(user_id: Long, n: Long, sum_value: Double,
                      last_ts_us: Long)
 
@@ -152,16 +163,16 @@ object Streams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Double, Long)],
          state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
-          var st = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          var st = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
           rows.foreach { case (_, v, us) =>
-            st = UserState(st.n + 1, st.sum + v, math.max(st.lastUs, us))
+            st = UserState(st.n + 1, st.sumSc + scaled4(v),
+              math.max(st.lastUs, us))
           }
           state.update(st)
-          UserAgg(user, st.n, st.sum, st.lastUs)
+          UserAgg(user, st.n, st.sumSc / 10000.0, st.lastUs)
       }
     runToMemory(s, agg.toDF(), "update")
-      .select(col("user_id"), col("n"),
-        round(col("sum_value"), 4).as("sum_value"), col("last_ts_us"))
+      .select(col("user_id"), col("n"), col("sum_value"), col("last_ts_us"))
       .orderBy("user_id")
   }
 
@@ -179,8 +190,9 @@ object Streams {
     * bound, the same bound session_window's own state keeps. With
     * availableNow the fixture is one batch, so the emitted sessions
     * equal the batch gaps-and-islands result, which the shared oracle
-    * checks. Session sums accumulate in sorted (ts, event_id) order on
-    * every engine, so the round-4 floats agree.
+    * checks. Session sums accumulate as exact 4dp scaled longs
+    * (`scaled4`), so the result is independent of accumulation order —
+    * the same DECIMAL(18,4) discipline as the windowed aggregations.
     */
   def sessionizeCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -197,21 +209,21 @@ object Streams {
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           val evs = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
-          var start = -1L; var prev = -1L; var n = 0L; var sum = 0.0
+          var start = -1L; var prev = -1L; var n = 0L; var sumSc = 0L
           evs.foreach { case (_, us, _, v) =>
             if (start < 0 || us - prev >= 3600000000L) {
-              if (start >= 0) out += SessOut(user, start, n, sum)
-              start = us; n = 0L; sum = 0.0
+              if (start >= 0) out += SessOut(user, start, n, sumSc / 10000.0)
+              start = us; n = 0L; sumSc = 0L
             }
-            n += 1; sum += v; prev = us
+            n += 1; sumSc += scaled4(v); prev = us
           }
-          if (start >= 0) out += SessOut(user, start, n, sum)
+          if (start >= 0) out += SessOut(user, start, n, sumSc / 10000.0)
           state.update(evs.size.toLong)
           out.iterator
       }
     runToMemory(s, sessions.toDF(), "append")
       .select(col("user_id"), col("sess_start_us"), col("n"),
-        round(col("sum_value"), 4).as("sum_value"))
+        col("sum_value"))
       .orderBy("user_id", "sess_start_us")
   }
 
@@ -219,16 +231,20 @@ object Streams {
     * DataFrame (per-type average value, computed once from the batch
     * table) — Spark re-broadcasts the static side into every
     * micro-batch, which is the standard pattern for enriching an event
-    * stream with a dimension table. The threshold is rounded to 2dp so
-    * the above-average classification is bit-identical across engines.
+    * stream with a dimension table. The above-average test is cleared of
+    * division entirely — value·n > Σvalue in exact DECIMAL — so the
+    * classification can never flip on a float-accumulation tie (a double
+    * avg differs across engines by partial-agg order, and a rounded
+    * threshold still ties at .xx5).
     */
   def enrichCounts(s: SparkSession, dir: String): DataFrame = {
     val typeAvg = graft.Tables.events(s, dir)
       .groupBy("event_type")
-      .agg(round(avg(col("value")), 2).as("avg_r"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sv"),
+        count(lit(1)).as("cnt"))
     val agg = eventsStream(s, dir)
       .join(broadcast(typeAvg), Seq("event_type"))
-      .filter(col("value") > col("avg_r"))
+      .filter(col("value").cast("decimal(18,4)") * col("cnt") > col("sv"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_above"))
     runToMemory(s, agg, "complete")
@@ -250,7 +266,7 @@ object Streams {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     runToMemory(s, agg, "append")
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("sum_value"))
@@ -299,7 +315,7 @@ object Streams {
       (s, d) => tumblingCounts(s, d),
       Some(
         """SELECT epoch_us(date_trunc('day', ts)) AS win_start_us, event_type,
-          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type"""
           .stripMargin)),
     graft.ops.Q("m_stream_sliding",
@@ -314,7 +330,7 @@ object Streams {
           |  SELECT * FROM cand
           |  WHERE epoch(ts) * 1000000 >= win_start_us
           |    AND epoch(ts) * 1000000 < win_start_us + 86400000000)
-          |SELECT win_start_us, count(*) AS n, round(sum(value), 4) AS sum_value
+          |SELECT win_start_us, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM w GROUP BY win_start_us ORDER BY win_start_us""".stripMargin)),
     graft.ops.Q("m_stream_dedup",
       (s, d) => dedupCounts(s, d),
@@ -325,18 +341,19 @@ object Streams {
       (s, d) => enrichCounts(s, d),
       Some(
         """WITH a AS (
-          |  SELECT event_type, round(avg(value), 2) AS avg_r
+          |  SELECT event_type, sum(CAST(value AS DECIMAL(18,4))) AS sv,
+          |         count(*) AS cnt
           |  FROM events GROUP BY 1)
           |SELECT event_type, count(*) AS n_above
           |FROM events JOIN a USING (event_type)
-          |WHERE value > avg_r
+          |WHERE CAST(value AS DECIMAL(18,4)) * cnt > sv
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     graft.ops.Q("m_stream_append",
       (s, d) => tumblingAppend(s, d),
       Some(
         """WITH mx AS (SELECT epoch_ms(max(ts)) AS m_ms FROM events)
           |SELECT epoch_us(date_trunc('day', ts)) AS win_start_us,
-          |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+          |       event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM events CROSS JOIN mx
           |WHERE epoch_ms(date_trunc('day', ts)) + 86400000 <= m_ms - 3600000
           |GROUP BY 1, 2, m_ms
@@ -373,13 +390,13 @@ object Streams {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
           |  FROM flagged)
           |SELECT user_id, min(epoch_us(ts)) AS sess_start_us,
-          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM sess GROUP BY user_id, sess_id
           |ORDER BY user_id, sess_start_us""".stripMargin)),
     graft.ops.Q("m_stream_state",
       (s, d) => userStateCounts(s, d),
       Some(
-        """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+        """SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
           |       max(epoch_us(ts)) AS last_ts_us
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )

@@ -92,9 +92,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byAction.getOrElse("update", 0L) == nUpd)
     assert(byAction.getOrElse("keep", 0L) == nBase - nUpd)
     assert(out.count() == nBase + nIns)
-    // inserted keys live strictly above the base key space
+    // inserted keys live strictly above the base key space (the offset
+    // is derived from max(o_orderkey), so this holds at ANY sf)
+    val maxBase = base.agg(max(col("o_orderkey"))).head().getLong(0)
     val lowInsert = out.filter(col("action") === "insert" &&
-      col("o_orderkey") < 10000000L).count()
+      col("o_orderkey") <= maxBase).count()
     assert(lowInsert == 0)
     out.unpersist()
   }
