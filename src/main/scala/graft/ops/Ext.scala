@@ -973,5 +973,212 @@ object Ext {
           |  round(coalesce(sum_value, 0.0), 4) AS sum_value
           |FROM scaffold s LEFT JOIN daily USING (user_id, day)
           |ORDER BY user_id, day""".stripMargin)),
+
+    // ----- TPC-H Q1 (pricing summary) through the spark.sql string
+    // entrypoint — the canonical scan-heavy aggregation: one pass over
+    // the fact table, a 6-group hash aggregate, filter pushed to the
+    // scan. All price arithmetic is DECIMAL end-to-end (2dp fixture
+    // quantities are exact there; a double sum reads differently per
+    // accumulation order), and the avg columns are deliberately
+    // omitted — engine decimal-division scales differ, while exact
+    // decimal sums cast to DOUBLE are bit-identical. At 100 TB this is
+    // a map-side-combine aggregate over 6 keys: no skew, no shuffle
+    // pressure, bounded by scan throughput.
+    Q("m_sql_q1",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS sum_qty,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS sum_base_price,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+            |       AS DOUBLE) AS sum_disc_price,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |           (1.00 - CAST(l_discount AS DECIMAL(4,2))) *
+            |           (1.00 + CAST(l_tax AS DECIMAL(4,2))))
+            |       AS DOUBLE) AS sum_charge,
+            |  count(*) AS count_order
+            |FROM lineitem
+            |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+          |       AS DOUBLE) AS sum_disc_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (1.00 - CAST(l_discount AS DECIMAL(4,2))) *
+          |           (1.00 + CAST(l_tax AS DECIMAL(4,2))))
+          |       AS DOUBLE) AS sum_charge,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----- TPC-H Q5 (local supplier volume): the canonical snowflake
+    // join — fact table against four dims plus the c_nationkey =
+    // s_nationkey locality constraint. region/nation/supplier are tiny
+    // at every scale (BROADCAST-hinted; customer joins on the shuffled
+    // o_custkey side, and AQE downgrades it to broadcast when stats
+    // allow). The only big-big shuffle is lineitem⋈orders on orderkey —
+    // the same co-partitioning every TPC-H engine keys on. Revenue is
+    // exact DECIMAL, summed per nation.
+    Q("m_sql_q5",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.region(s, d).createOrReplaceTempView("region")
+        s.sql(
+          """SELECT /*+ BROADCAST(supplier), BROADCAST(nation),
+            |       BROADCAST(region) */
+            |  n_name,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+            |       AS DOUBLE) AS revenue
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |JOIN supplier ON l_suppkey = s_suppkey
+            |  AND c_nationkey = s_nationkey
+            |JOIN nation ON s_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |WHERE r_name = 'ASIA'
+            |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            |GROUP BY n_name
+            |ORDER BY revenue DESC, n_name""".stripMargin)
+      },
+      Some(
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+          |       AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |  AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ----- SCD Type-2 dimension build: each order becomes a VERSIONED
+    // row of its customer's purchase history with a [valid_from,
+    // valid_to) interval — valid_to = the next version's start via
+    // lead(), NULL on the open (current) version. This is the standard
+    // warehouse pattern for turning a change feed into point-in-time
+    // joinable history; one window shuffle on the natural key, no
+    // self-join (the naive formulation joins the feed to itself on
+    // "next change after mine" — quadratic per key under skew).
+    Q("m_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("valid_from_us"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so
+            // the cast to instant is exact.
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("valid_from_us"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .orderBy("o_custkey", "valid_from_us", "o_orderkey")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |  epoch_us(o_orderdate) AS valid_from_us,
+          |  lead(epoch_us(o_orderdate)) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |    AS valid_to_us,
+          |  lead(epoch_us(o_orderdate)) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |    IS NULL AS is_current
+          |FROM orders
+          |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin)),
+
+    // ----- deterministic train/val/test split (~80/10/10): membership
+    // is a pure function of a salted content hash — stable across runs,
+    // cluster layouts, and re-partitioning, which is what makes the
+    // split reproducible at any scale (a rand()-based split is not even
+    // reproducible across two executions). Thresholds are the first
+    // hex byte of md5: < 0xcd → train (205/256 ≈ 80.1%), < 0xe6 → val
+    // (~9.7%), else test. Map-only tag + one aggregate; no shuffle
+    // beyond the final small groupBy.
+    Q("m_split",
+      (s, d) => {
+        val h = md5(concat(lit("split_"), col("doc_id").cast("string")))
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(substring(h, 1, 2) < "cd", "train")
+              .when(substring(h, 1, 2) < "e6", "val")
+              .otherwise("test"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("split", "source")
+      },
+      Some(
+        """WITH tagged AS (
+          |  SELECT source, n_chars,
+          |    CASE WHEN substr(md5(concat('split_',
+          |           CAST(doc_id AS VARCHAR))), 1, 2) < 'cd' THEN 'train'
+          |         WHEN substr(md5(concat('split_',
+          |           CAST(doc_id AS VARCHAR))), 1, 2) < 'e6' THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT split, source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM tagged GROUP BY split, source
+          |ORDER BY split, source""".stripMargin)),
+
+    // ----- PII-style redaction scrub: mask every digit run in the raw
+    // payload column and report, per event type, how much was masked
+    // and how many distinct post-redaction shapes remain (a shape count
+    // of 1 proves the scrub normalized every payload to the same
+    // template). Pure map-side regexp work on codegen'd expressions —
+    // the plumbing of a real PII pass (emails/phones/SSNs are just more
+    // alternates in the pattern); the character class stays in the
+    // POSIX-safe subset both Java regex and RE2 read identically.
+    Q("m_redact",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("redacted"),
+          (length(col("props")) -
+            length(regexp_replace(col("props"), "[0-9]", "")))
+            .as("n_digits"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("n_digits")).cast("bigint").as("digits_masked"),
+          countDistinct(col("redacted")).as("n_shapes"))
+        .orderBy("event_type"),
+      Some(
+        """WITH r AS (
+          |  SELECT event_type,
+          |    regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+          |    length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+          |      AS n_digits
+          |  FROM events)
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(n_digits) AS BIGINT) AS digits_masked,
+          |  count(DISTINCT redacted) AS n_shapes
+          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -654,5 +654,107 @@ object Text {
           |  round(min(ln(c * 1.0 / n)), 4) AS min_logprob
           |FROM tok JOIN uni USING (t) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- vocabulary coverage report: the top-50 corpus tokens with
+    // their cumulative share of all token occurrences — the curve a
+    // tokenizer/vocab-construction pass reads to pick a vocab size.
+    // Scale shape: distributed token counts (map-side combined), then
+    // a global top-50 via orderBy+limit (TakeOrdered — never a full
+    // sort), and ONLY those 50 rows enter the single-partition
+    // cumulative window, so the unbounded-window scale-killer (the g2
+    // lesson) never sees more than 50 rows. The corpus total rides in
+    // as a broadcast 1-row aggregate.
+    Q("t_vocab",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("tot"))
+        val top = counts.orderBy(col("n").desc, col("tok")).limit(50)
+        val ord = Window.orderBy(col("n").desc, col("tok"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        top.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(ord).cast("int"))
+          .withColumn("cum", sum(col("n")).over(cum))
+          .select(col("rank"), col("tok"), col("n"),
+            round(col("cum").cast("double") / col("tot"), 6)
+              .as("cum_share"))
+          .orderBy("rank")
+      },
+      Some(
+        """WITH counts AS (
+          |  SELECT tok, count(*) AS n
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+          |        FROM documents)
+          |  GROUP BY tok
+          |), total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+          |top AS (
+          |  SELECT tok, CAST(n AS BIGINT) AS n FROM counts
+          |  ORDER BY n DESC, tok LIMIT 50)
+          |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT)
+          |    AS rank,
+          |  tok, n,
+          |  round(CAST(sum(n) OVER (ORDER BY n DESC, tok
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    / tot, 6) AS cum_share
+          |FROM top CROSS JOIN total
+          |ORDER BY rank""".stripMargin)),
+
+    // ----- winnowing fingerprints (the MOSS document-fingerprint
+    // scheme): hash every 5-token k-gram, slide a 4-gram window, keep
+    // the window MINIMUM — the classic guarantee that any shared run of
+    // >= 8 tokens contributes at least one common fingerprint, at ~1/4
+    // the stored hashes. Per doc: gram count, distinct fingerprints,
+    // and density (selected/total). Plan shape: explode + one window
+    // shuffle on doc_id + hash aggregate — linear, no pair joins;
+    // fingerprints feed an equi-join dedup downstream exactly like the
+    // MinHash band keys.
+    Q("t_winnow",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, 3)
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"),
+            (size(col("toks")) - 4).as("n_grams"),
+            posexplode(transform(
+              sequence(lit(0), size(col("toks")) - 5),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
+              .as(Seq("pos", "h")))
+          .withColumn("fp", min(col("h")).over(w))
+          .filter(col("pos") <= col("n_grams") - 4)
+          .groupBy("doc_id")
+          .agg(max(col("n_grams")).cast("int").as("n_grams"),
+            countDistinct(col("fp")).cast("int").as("n_fp"))
+          .select(col("doc_id"), col("n_grams"), col("n_fp"),
+            round(col("n_fp").cast("double") / col("n_grams"), 4)
+              .as("density"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), gr AS (
+          |  SELECT doc_id, CAST(i AS INT) AS pos,
+          |    md5(array_to_string(toks[i + 1 : i + 5], ' ')) AS h,
+          |    CAST(len(toks) - 4 AS INT) AS n_grams
+          |  FROM (SELECT doc_id, toks,
+          |          unnest(range(0, CAST(len(toks) - 4 AS INT))) AS i
+          |        FROM tk WHERE len(toks) >= 5)
+          |), wm AS (
+          |  SELECT doc_id, pos, n_grams,
+          |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |  FROM gr)
+          |SELECT doc_id, CAST(max(n_grams) AS INT) AS n_grams,
+          |  CAST(count(DISTINCT fp) AS INT) AS n_fp,
+          |  round(CAST(count(DISTINCT fp) AS DOUBLE) / max(n_grams), 4)
+          |    AS density
+          |FROM wm WHERE pos <= n_grams - 4
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -24,7 +24,11 @@ class PlanShapeSpec extends SparkSpec {
     "m_minhash_dedup_native", "m_simhash_hamming", "t_span_dedup",
     "t_pmi", "m_upsert", "m_salted_join", "m_funnel", "m_entropy",
     "k4_triangle_count", "k4b_triangle_degree", "t_unigram_logprob",
-    "m_label_outliers", "m_sql_q3", "m_resample_daily", "l5_constraints")
+    "m_label_outliers", "m_sql_q3", "m_resample_daily", "l5_constraints",
+    // round 5: SQL snowflake join, SCD2 window, split/redact aggregates,
+    // vocab coverage (1-row broadcast total), winnowing fingerprints
+    "m_sql_q1", "m_sql_q5", "m_scd2", "m_split", "m_redact",
+    "t_vocab", "t_winnow")
 
   test("no CartesianProduct in any bucketed/keyed pipeline plan") {
     guarded.foreach { name =>
