@@ -756,5 +756,42 @@ object Text {
           |    AS density
           |FROM wm WHERE pos <= n_grams - 4
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- heavy hitters, sketch-pruned: tokens holding >= 1% of all
+    // occurrences. Stage 1 is Spark's Misra-Gries `freqItems` sketch
+    // (one pass, fixed memory, SUPERSET guarantee — may admit false
+    // positives, never drops a true heavy hitter), stage 2 an exact
+    // count of only the surviving candidates. The emitted rows are
+    // therefore exact and engine-independent even though a sketch sits
+    // in the plan — the sketch only PRUNES, it never decides. This is
+    // the shape that scales: at 100 TB the candidate set stays O(1/s)
+    // (~100 tokens) regardless of vocabulary size, so the verify join
+    // broadcasts.
+    Q("t_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val cand = toks.stat.freqItems(Seq("tok"), 0.01)
+          .select(explode(col("tok_freqItems")).as("tok"))
+        val counts = toks.join(broadcast(cand), Seq("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val total = toks.agg(count(lit(1)).as("tot"))
+        counts.crossJoin(broadcast(total))
+          .filter(col("n") * 100 >= col("tot"))
+          .select(col("tok"), col("n"),
+            round(col("n").cast("double") / col("tot"), 6).as("share"))
+          .orderBy(col("n").desc, col("tok"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+          |), counts AS (
+          |  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+          |), total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts)
+          |SELECT tok, CAST(n AS BIGINT) AS n,
+          |  round(CAST(n AS DOUBLE) / tot, 6) AS share
+          |FROM counts CROSS JOIN total
+          |WHERE n * 100 >= tot
+          |ORDER BY n DESC, tok""".stripMargin)),
   )
 }

@@ -317,5 +317,53 @@ object Windows {
           |  AND (np*v - s1) * (np*v - s1) * (np - 1)
           |      > 4 * np * (np*s2 - s1*s1)
           |ORDER BY event_id""".stripMargin)),
+
+    // ----- exponentially-weighted moving average (α = 1/2) over each
+    // user's last 8 events — the streaming-monitoring smoother. The
+    // whole computation is EXACT INTEGER arithmetic: values scale to
+    // 4dp longs, weights are powers of two (1..128, Σ=255), and the
+    // weighted sum folds through a codegen'd zip_with/aggregate HOF —
+    // so the result is identical under any partitioning or
+    // accumulation order, where a float α-recursion would drift by
+    // association. Only full 8-row windows emit (fixed denominator
+    // 255·10⁴); one window shuffle on user_id, no self-join (the
+    // oracle's join formulation is quadratic-per-window and exists
+    // only because DuckDB lacks the HOF fold over window frames).
+    Q("w_ewma",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-7, 0)
+        Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("v", floor(col("value") * 10000.0))
+          .withColumn("vs", collect_list(col("v")).over(w))
+          .filter(size(col("vs")) === 8)
+          .withColumn("num", expr(
+            """aggregate(zip_with(vs, sequence(0, 7),
+              |  (v, i) -> v * shiftleft(1L, i)), 0L,
+              |  (acc, x) -> acc + x)""".stripMargin))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            round(col("num").cast("double") / 2550000.0, 6).as("ewma"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |    CAST(floor(value * 10000.0) AS BIGINT) AS v,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) AS rn
+          |  FROM events
+          |), j AS (
+          |  SELECT a.event_id, a.user_id, a.ts_us,
+          |    CAST(sum(b.v * (1 << CAST(7 - (a.rn - b.rn) AS INT)))
+          |      AS BIGINT) AS num,
+          |    count(*) AS np
+          |  FROM e a JOIN e b
+          |    ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+          |  GROUP BY 1, 2, 3)
+          |SELECT event_id, user_id, ts_us,
+          |  round(CAST(num AS DOUBLE) / 2550000.0, 6) AS ewma
+          |FROM j WHERE np = 8 ORDER BY event_id""".stripMargin)),
   )
 }
