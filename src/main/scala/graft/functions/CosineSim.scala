@@ -143,6 +143,24 @@ object GraftFunctions {
       "corr_matrix",
       exprs => CorrMatrixAgg(exprs),
       "built-in")
+    // Runtime-filter primitives (the machinery behind Spark's own
+    // injected bloom joins, surfaced as callable functions):
+    // bloom_build(key) aggregates a bloom over xxhash64(key);
+    // bloom_probe(bloom, key) tests membership of xxhash64(key).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_build",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(exprs),
+          1000000L),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_probe",
+      exprs => new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            exprs.tail)),
+      "built-in")
   }
 
   /** Install graft optimizer rules on a session built without the

@@ -1180,5 +1180,44 @@ object Ext {
           |  CAST(sum(n_digits) AS BIGINT) AS digits_masked,
           |  count(DISTINCT redacted) AS n_shapes
           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- explicit bloom-filter join pruning — the runtime-filter
+    // primitive behind every petabyte-scale selective join: build a
+    // bloom over the SELECTIVE side's keys (urgent orders), ship the
+    // ~KB sketch to the wide side's scan as a LITERAL filter, and only
+    // exact-verify the survivors with the real semi-join. The bloom may
+    // pass false positives (the semi-join removes them — output stays
+    // exact) but never drops a true match, so at 100 TB the wide scan
+    // discards non-matching rows BEFORE the shuffle instead of after
+    // it. The one-row `head()` is the sketch materialization itself —
+    // the same driver round-trip Spark's own InjectRuntimeFilter does
+    // through a scalar subquery — not a data-path collect.
+    Q("m_bloom_prune",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        val bf = urgent.agg(expr("bloom_build(o_custkey)").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val pruned = Tables.customer(s, d)
+          .filter(call_function("bloom_probe", lit(bf), col("c_custkey")))
+        pruned.join(urgent, col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_custs"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_custs,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_bal
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
   )
 }

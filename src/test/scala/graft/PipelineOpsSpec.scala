@@ -101,6 +101,24 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bloom prune passes every true match (superset, no misses)") {
+    graft.functions.GraftFunctions.register(spark)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bf = urgent.agg(expr("bloom_build(o_custkey)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = Tables.customer(spark, sf)
+      .filter(call_function("bloom_probe", lit(bf), col("c_custkey")))
+      .select(col("c_custkey"))
+    val exact = Tables.customer(spark, sf)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+    assert(exact.count() > 0, "no urgent customers — vacuous")
+    // no false negatives: every exact match survives the bloom
+    assert(exact.except(pruned).count() == 0)
+  }
+
   test("salted join equals the plain join it rewrites") {
     val salted = SparkEntry.queries("m_salted_join")(spark, sf)
     val plain = Tables.lineitem(spark, sf)
