@@ -112,7 +112,10 @@ object Ext {
             Seq.empty),
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"),
+          // decimal sum: a double sum's accumulation order differs per
+          // engine/partitioning; 2dp prices are exact in DECIMAL(18,2)
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
           (grouping(col("o_orderstatus")) * 2 +
             grouping(col("o_orderpriority"))).cast("int").as("gid"))
         .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
@@ -120,7 +123,8 @@ object Ext {
       Some(
         """SELECT o_orderstatus, o_orderpriority,
           |  CAST(count(*) AS BIGINT) AS n,
-          |  round(sum(o_totalprice), 2) AS total,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total,
           |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
           |    AS INT) AS gid
           |FROM orders

@@ -133,22 +133,34 @@ object Windows {
     Q("w_rows_between",
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        // frame sums through DECIMAL(18,4): windowed double sums
+        // associate differently per engine (Spark sequential, DuckDB
+        // segment tree), so exact decimals are the only frame
+        // aggregation that can't drift; avg = decimal sum / count so
+        // no engine's avg kernel touches the result.
+        val dv = col("value").cast("decimal(18,4)")
         Tables.events(s, d)
           .withColumn("running_sum",
-            round(sum(col("value")).over(
-              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+            round(sum(dv).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"), 4))
           .withColumn("moving_avg3",
-            round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4))
+            round(sum(dv).over(w.rowsBetween(-2, 0)).cast("double") /
+              count(lit(1)).over(w.rowsBetween(-2, 0)), 4))
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("value"), col("running_sum"), col("moving_avg3"))
           .orderBy("user_id", "ts_us")
       },
       Some(
         """SELECT user_id, epoch_us(ts) AS ts_us, value,
-          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-          |    AS running_sum,
-          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+          |    PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS DOUBLE), 4) AS running_sum,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+          |    PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    / count(*) OVER (PARTITION BY user_id ORDER BY ts
           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
           |FROM events ORDER BY user_id, ts_us""".stripMargin)),
 
