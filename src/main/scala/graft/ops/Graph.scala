@@ -195,6 +195,31 @@ object Graph {
     Tables.orders(s, d).filter(col("o_orderkey") < cap)
       .select(col("o_orderkey").as("v"))
 
+  /** Frontier-expansion BFS over a directed `(src, dst)` edge list:
+    * returns `(id, dist)` for every node within `maxIter` hops of
+    * `src`. Each round touches only the new frontier (first discovery
+    * = minimum distance), with lineage checkpointed per round.
+    * Exposed for SccSpec's synthetic-graph pins; `k5_bfs` runs it over
+    * the capped fixture graph.
+    */
+  def bfs(s: SparkSession, edges: DataFrame, src: Long,
+          maxIter: Int = 10): DataFrame = {
+    import s.implicits._
+    var dist = Seq((src, 0)).toDF("id", "dist").localCheckpoint()
+    var frontier = dist
+    for (i <- 1 to maxIter) {
+      val nbrs = frontier
+        .join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id")).distinct()
+      val fresh = nbrs.join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint()
+      dist = dist.unionByName(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    dist
+  }
+
   private def cappedEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_orderkey") < cap && col("l_partkey") < cap)
@@ -417,5 +442,39 @@ object Graph {
            |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
            |FROM ex GROUP BY id
            |ORDER BY n_triangles DESC, id LIMIT 20""".stripMargin)),
+
+    // ----- K5: single-source BFS shortest paths (directed, unit
+    // weights) — frontier-expansion form: each round joins ONLY the
+    // newly-discovered frontier against the edge list and anti-joins
+    // the settled set, so per-round work is |frontier|·avg-degree, not
+    // |V|² (the all-pairs closure the SCC oracle uses is feasible only
+    // because the graph is capped; BFS is the form that scales —
+    // Pregel's canonical example). First discovery IS the minimum
+    // distance, so no per-node min is ever recomputed. Ten rounds max
+    // (the reference's maxIter, graph_filter.py:129), lineage
+    // checkpointed per round; the source is the minimum src id,
+    // derived from the data (1-row control-plane aggregate, the SCC
+    // loop's pattern). Oracle: recursive CTE whose UNION dedups
+    // (id, dist) pairs per level, then min per node.
+    Q("k5_bfs",
+      (s, d) => {
+        val edges = cappedEdges(s, d).distinct().localCheckpoint()
+        val src = edges.agg(min(col("src"))).head().getLong(0)
+        bfs(s, edges, src).orderBy("id")
+      },
+      Some(
+        s"""WITH RECURSIVE edges AS (
+           |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+           |), s0 AS (SELECT min(src) AS s FROM edges),
+           |bfs(id, dist) AS (
+           |  SELECT s, 0 FROM s0
+           |  UNION
+           |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e
+           |  ON e.src = b.id
+           |  WHERE b.dist < 10
+           |)
+           |SELECT id, CAST(min(dist) AS INT) AS dist
+           |FROM bfs GROUP BY id ORDER BY id""".stripMargin)),
   )
 }

@@ -66,4 +66,26 @@ class SccSpec extends SparkSpec {
       assert(got == want, s"trial $trial: n=$n edges=$edges")
     }
   }
+
+  test("BFS: path, branch, cycle, and unreachable node distances") {
+    import spark.implicits._
+    // 0→1→2→3 path with a shortcut 0→2, a cycle back-edge 3→0, and an
+    // island 9→10 unreachable from 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (3L, 0L),
+      (9L, 10L)).toDF("src", "dst")
+    val got = ops.Graph.bfs(spark, edges, 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortcut wins (2 at dist 1, not 2); cycle doesn't relabel 0;
+    // island absent
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
+  }
+
+  test("BFS: maxIter bounds the horizon") {
+    import spark.implicits._
+    val chain = (0L until 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    val got = ops.Graph.bfs(spark, chain, 0L, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
 }
