@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the PQ/ADC contract: the 16×64 product-quantized index must
+  * recover a meaningful fraction of the TRUE (exact quantized-L2)
+  * top-3 neighbors on the shared fixed probe set — deterministic on the
+  * fixed fixture, so the pin is exact-repeatable. The fixture's uniform
+  * random embeddings are the worst case for PQ (no cluster structure
+  * for the codebooks to exploit); 0.50 here ≥ the IVF nprobe=2 pin.
+  */
+class PqRecallSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("PQ/ADC recall vs exact quantized-L2 top-3 >= 0.4") {
+    import org.apache.spark.sql.expressions.Window
+    val qz = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qi"))
+    val probes = qz.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("qi").as("qq"))
+    val d2 = aggregate(zip_with(col("qq"), col("vv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("vid"))
+    val truth = broadcast(probes)
+      .join(qz.select(col("vec_id").as("vid"), col("qi").as("vv")),
+        col("qid") =!= col("vid"))
+      .withColumn("d", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val pq = SparkEntry.queries("m_ann_pq")(spark, sf)
+      .select(col("qid"), col("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (pq & truth).size.toDouble / truth.size
+    info(f"PQ/ADC recall vs exact top-3: $recall%.3f")
+    assert(recall >= 0.4, s"PQ recall $recall below 0.4")
+  }
+}
