@@ -1223,5 +1223,37 @@ object Ext {
           |              WHERE o.o_custkey = c.c_custkey
           |                AND o.o_orderpriority = '1-URGENT')
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----- L6: feed-freshness monitoring — the data-quality check every
+    // ingestion pipeline runs before trusting a partition: per stream,
+    // last event time, lag behind the freshest stream, and a staleness
+    // flag at a 30-minute SLA. All integer microsecond arithmetic
+    // (epoch_us both sides, `div` integral division), so the boolean can
+    // never flip on a tie; the global max rides in as a broadcast 1-row
+    // aggregate.
+    Q("l6_freshness",
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .agg(max(unix_micros(col("ts"))).as("gmax"))
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(unix_micros(col("ts"))).as("last_us"))
+          .crossJoin(broadcast(g))
+          .select(col("event_type"), col("n"), col("last_us"),
+            expr("(gmax - last_us) div 1000000").as("lag_sec"),
+            (col("gmax") - col("last_us") > 1800000000L).as("is_stale"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+          |SELECT event_type,
+          |  count(*) AS n,
+          |  max(epoch_us(ts)) AS last_us,
+          |  CAST((gmax - max(epoch_us(ts))) // 1000000 AS BIGINT)
+          |    AS lag_sec,
+          |  (gmax - max(epoch_us(ts))) > 1800000000 AS is_stale
+          |FROM events CROSS JOIN g
+          |GROUP BY event_type, gmax ORDER BY event_type""".stripMargin)),
   )
 }

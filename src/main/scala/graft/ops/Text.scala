@@ -793,5 +793,60 @@ object Text {
           |FROM counts CROSS JOIN total
           |WHERE n * 100 >= tot
           |ORDER BY n DESC, tok""".stripMargin)),
+
+    // ----- asymmetric n-gram CONTAINMENT (|A∩B| / |A|) — the
+    // contamination measure proper: a short eval document fully inside
+    // a long training document scores ~1.0 here but low Jaccard (the
+    // union is dominated by the long doc), which is why decontamination
+    // pipelines test containment, not symmetric similarity. Inverted-
+    // index form: distinct 3-gram hashes, probes equi-join the gram
+    // postings (bucketed by gram — never all-pairs), count common grams
+    // per pair, keep pairs covering >= 20% of the probe's grams via an
+    // INTEGER cross-multiplied threshold (no float ratio decides
+    // membership).
+    Q("t_containment",
+      (s, d) => {
+        val gr = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(0), size(col("toks")) - 3),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))))
+              .as("g"))
+        val sz = gr.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        val probes = gr.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("qid"), col("g"))
+        probes
+          .join(gr.select(col("doc_id").as("did"), col("g")), Seq("g"))
+          .filter(col("did") =!= col("qid"))
+          .groupBy("qid", "did").agg(count(lit(1)).as("common"))
+          .join(sz.select(col("doc_id").as("qid"), col("ng")), Seq("qid"))
+          .filter(col("common") * 5 >= col("ng"))
+          .select(col("qid"), col("did"),
+            round(col("common").cast("double") / col("ng"), 4)
+              .as("containment"))
+          .orderBy(col("qid"), desc("containment"), col("did"))
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), gr AS (
+          |  SELECT DISTINCT doc_id,
+          |    md5(array_to_string(toks[i + 1 : i + 3], ' ')) AS g
+          |  FROM (SELECT doc_id, toks,
+          |          unnest(range(0, CAST(len(toks) - 2 AS INT))) AS i
+          |        FROM tk WHERE len(toks) >= 3)
+          |), sz AS (SELECT doc_id, count(*) AS ng FROM gr GROUP BY doc_id),
+          |probes AS (SELECT doc_id AS qid, g FROM gr WHERE doc_id % 10 = 0),
+          |ov AS (
+          |  SELECT p.qid, c.doc_id AS did, count(*) AS common
+          |  FROM probes p JOIN gr c ON c.g = p.g AND c.doc_id <> p.qid
+          |  GROUP BY 1, 2)
+          |SELECT qid, did,
+          |  round(CAST(common AS DOUBLE) / q.ng, 4) AS containment
+          |FROM ov JOIN sz q ON q.doc_id = qid
+          |WHERE common * 5 >= q.ng
+          |ORDER BY qid, containment DESC, did""".stripMargin)),
   )
 }

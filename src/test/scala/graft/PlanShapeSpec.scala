@@ -28,7 +28,8 @@ class PlanShapeSpec extends SparkSpec {
     // round 5: SQL snowflake join, SCD2 window, split/redact aggregates,
     // vocab coverage (1-row broadcast total), winnowing fingerprints
     "m_sql_q1", "m_sql_q5", "m_scd2", "m_split", "m_redact",
-    "t_vocab", "t_winnow", "w_ewma", "t_heavy_hitters", "m_ann_pq")
+    "t_vocab", "t_winnow", "w_ewma", "t_heavy_hitters", "m_ann_pq",
+    "l6_freshness", "t_containment")
 
   test("no CartesianProduct in any bucketed/keyed pipeline plan") {
     guarded.foreach { name =>
