@@ -1255,5 +1255,111 @@ object Ext {
           |  (gmax - max(epoch_us(ts))) > 1800000000 AS is_stale
           |FROM events CROSS JOIN g
           |GROUP BY event_type, gmax ORDER BY event_type""".stripMargin)),
+
+    // ----- incremental aggregate maintenance: yesterday's materialized
+    // per-status aggregate merged with today's delta by ALGEBRA
+    // (counts add, decimal sums add) instead of recomputing history —
+    // at 100 TB the historical scan is the cost, and sum/count are the
+    // mergeable partial-agg shapes that make incremental maintenance
+    // exact. The ORACLE is the full recompute over all rows, so the
+    // driver's hash check IS the proof that merge(state, delta) =
+    // recompute(all) — decimal sums make that equality exact, where
+    // double sums would differ by accumulation grouping.
+    Q("m_incr_agg",
+      (s, d) => {
+        val cutoff = "2000-01-01 00:00:00"
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val base = Tables.orders(s, d)
+        val state = agg(base.filter(col("o_orderdate") < lit(cutoff)))
+          .select(col("o_orderstatus"), col("n").as("n0"),
+            col("sp").as("s0"))
+        val delta = agg(base.filter(col("o_orderdate") >= lit(cutoff)))
+          .select(col("o_orderstatus"), col("n").as("n1"),
+            col("sp").as("s1"))
+        state.join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s0"), lit(0).cast("decimal(28,2)")) +
+              coalesce(col("s1"), lit(0).cast("decimal(28,2)")))
+              .cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM orders
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----- Z-order (Morton) layout key — the multi-dimensional
+    // clustering primitive behind Delta/Iceberg OPTIMIZE ZORDER: bit-
+    // interleave two scan-predicate columns so that sorting by ONE key
+    // co-locates rows that are close in BOTH dimensions, which is what
+    // lets parquet min/max stats prune files for predicates on either
+    // column. The report groups rows into 16 Morton range buckets and
+    // emits each bucket's span in both source dimensions — the
+    // locality a write path gets from repartitionByRange(morton) +
+    // sortWithinPartitions before writing. Pure integer bit algebra
+    // (16 interleave terms, codegen'd), deterministic everywhere.
+    Q("m_zorder",
+      (s, d) => {
+        // Quantize each dimension to 8 bits over its ACTUAL value range
+        // (broadcast min/max, the m_histogram pattern) — raw values
+        // would leave one dim's high bits constant and the interleave
+        // degenerate. Then bucket = top 4 Morton bits = a 4×4 grid over
+        // (a, b): every bucket bounds BOTH dimensions to ~1/4 of range.
+        val interleave = (0 until 8).map { i =>
+          shiftright(col("a8"), i).bitwiseAND(lit(1L)) *
+            lit(1L << (2 * i)) +
+            shiftright(col("b8"), i).bitwiseAND(lit(1L)) *
+              lit(1L << (2 * i + 1))
+        }.reduce(_ + _)
+        val base = Tables.orders(s, d)
+          .select(col("o_custkey").as("a"),
+            floor(col("o_totalprice") / 10.0).cast("long").as("b"))
+        val rng = base.agg(min(col("a")).as("al"), max(col("a")).as("ah"),
+          min(col("b")).as("bl"), max(col("b")).as("bh"))
+        base.crossJoin(broadcast(rng))
+          .withColumn("a8",
+            expr("(a - al) * 256 div (ah - al + 1)"))
+          .withColumn("b8",
+            expr("(b - bl) * 256 div (bh - bl + 1)"))
+          .withColumn("morton", interleave)
+          .withColumn("bucket", shiftright(col("morton"), 12).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+            min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+          .orderBy("bucket")
+      },
+      Some {
+        val terms = (0 until 8).map { i =>
+          s"((a8 >> $i) & 1) * ${1L << (2 * i)} + " +
+            s"((b8 >> $i) & 1) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""WITH ab AS (
+           |  SELECT o_custkey AS a,
+           |    CAST(floor(o_totalprice / 10.0) AS BIGINT) AS b
+           |  FROM orders
+           |), rng AS (
+           |  SELECT min(a) AS al, max(a) AS ah, min(b) AS bl,
+           |    max(b) AS bh FROM ab
+           |), q AS (
+           |  SELECT a, b,
+           |    (a - al) * 256 // (ah - al + 1) AS a8,
+           |    (b - bl) * 256 // (bh - bl + 1) AS b8
+           |  FROM ab CROSS JOIN rng
+           |), m AS (
+           |  SELECT a, b, ($terms) AS morton FROM q)
+           |SELECT CAST(morton >> 12 AS INT) AS bucket,
+           |  count(*) AS n,
+           |  min(a) AS a_min, max(a) AS a_max,
+           |  min(b) AS b_min, max(b) AS b_max
+           |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
+      }),
   )
 }
