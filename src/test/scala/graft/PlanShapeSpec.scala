@@ -31,6 +31,25 @@ class PlanShapeSpec extends SparkSpec {
     "t_vocab", "t_winnow", "w_ewma", "t_heavy_hitters", "m_ann_pq",
     "l6_freshness", "t_containment", "m_incr_agg", "m_zorder")
 
+  test("filters and projections reach the parquet scan on the raw path") {
+    // The cached Tables layer is a fixture-shape mitigation (single
+    // row-group files); production reads take this raw path, where
+    // Catalyst must push both the predicate and the column pruning
+    // into the parquet scan — the difference between scanning 2
+    // columns and scanning 11 at 100 TB.
+    import org.apache.spark.sql.functions._
+    val df = Tables.rawTable(spark, sf, "lineitem")
+      .filter(col("l_quantity") < 10.0)
+      .select("l_returnflag", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(l_quantity,10.0)"),
+      s"quantity predicate not pushed to scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>")
+      || plan.contains("ReadSchema: struct<l_returnflag:string,l_quantity:double>"),
+      s"column pruning did not reach the scan:\n$plan")
+  }
+
   test("no CartesianProduct in any bucketed/keyed pipeline plan") {
     guarded.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
