@@ -61,6 +61,31 @@ object Text {
         (col("n_dup") * 2 < col("n_spans")).as("keep"))
   }
 
+  /** Winnowing selection over any (doc_id, text) frame: 5-token k-gram
+    * hashes, window w=4, per-position window minimum as the selected
+    * fingerprint. Returns one row per FULL window position:
+    * (doc_id, pos, n_grams, fp). Exposed for WinnowSpec's planted-run
+    * guarantee pin; `t_winnow` aggregates it per document.
+    */
+  def winnowed(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, 3)
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        (size(col("toks")) - 4).as("n_grams"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - 5),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
+          .as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") <= col("n_grams") - 4)
+      .select(col("doc_id"), col("pos"), col("n_grams"), col("fp"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----- token counting: whitespace tokenization + distinct + avg length
@@ -706,27 +731,15 @@ object Text {
     // scheme): hash every 5-token k-gram, slide a 4-gram window, keep
     // the window MINIMUM — the classic guarantee that any shared run of
     // >= 8 tokens contributes at least one common fingerprint, at ~1/4
-    // the stored hashes. Per doc: gram count, distinct fingerprints,
-    // and density (selected/total). Plan shape: explode + one window
-    // shuffle on doc_id + hash aggregate — linear, no pair joins;
-    // fingerprints feed an equi-join dedup downstream exactly like the
-    // MinHash band keys.
+    // the stored hashes (WinnowSpec pins the guarantee on planted
+    // runs). Per doc: gram count, distinct fingerprints, and density
+    // (selected/total). Plan shape: explode + one window shuffle on
+    // doc_id + hash aggregate — linear, no pair joins; fingerprints
+    // feed an equi-join dedup downstream exactly like the MinHash band
+    // keys.
     Q("t_winnow",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(0, 3)
-        Tables.documents(s, d)
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"),
-            (size(col("toks")) - 4).as("n_grams"),
-            posexplode(transform(
-              sequence(lit(0), size(col("toks")) - 5),
-              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
-              .as(Seq("pos", "h")))
-          .withColumn("fp", min(col("h")).over(w))
-          .filter(col("pos") <= col("n_grams") - 4)
+        winnowed(Tables.documents(s, d))
           .groupBy("doc_id")
           .agg(max(col("n_grams")).cast("int").as("n_grams"),
             countDistinct(col("fp")).cast("int").as("n_fp"))
