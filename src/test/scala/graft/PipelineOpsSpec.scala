@@ -101,6 +101,25 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("SCD2 intervals tile each customer's timeline") {
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("m_scd2")(spark, sf).cache()
+    assert(out.count() > 0)
+    // exactly one open (current) version per customer
+    val multiCurrent = out.filter(col("is_current"))
+      .groupBy("o_custkey").count().filter(col("count") =!= 1).count()
+    assert(multiCurrent == 0, "a customer has != 1 open version")
+    // every closed version ends exactly where the next one starts
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from_us"), col("o_orderkey"))
+    val gaps = out
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("valid_to_us").isNotNull &&
+        col("valid_to_us") =!= col("next_from")).count()
+    assert(gaps == 0, "validity intervals leave gaps or overlap")
+    out.unpersist()
+  }
+
   test("bloom prune passes every true match (superset, no misses)") {
     graft.functions.GraftFunctions.register(spark)
     val urgent = Tables.orders(spark, sf)
