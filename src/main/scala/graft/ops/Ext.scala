@@ -1083,6 +1083,48 @@ object Ext {
           |GROUP BY n_name
           |ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // ----- TPC-H Q18 (large-volume customers): the HAVING + IN-
+    // subquery surface — the inner aggregate re-reads the fact table to
+    // find qualifying orders, Catalyst plans the IN as a left-semi join
+    // (never a per-row subquery execution), and the qualifying-key set
+    // is tiny (HAVING is selective), so at scale it broadcasts back
+    // against the fact scan. Quantity sums in DECIMAL, top-20 output.
+    Q("m_sql_q18",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT c_name, o_orderkey,
+            |  unix_micros(CAST(o_orderdate AS TIMESTAMP))
+            |    AS orderdate_us,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total_qty
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE o_orderkey IN (
+            |  SELECT l_orderkey FROM lineitem
+            |  GROUP BY l_orderkey
+            |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+            |GROUP BY c_name, o_orderkey, o_orderdate
+            |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin)
+      },
+      Some(
+        """SELECT c_name, o_orderkey,
+          |  CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_qty
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem
+          |  GROUP BY l_orderkey
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+          |GROUP BY c_name, o_orderkey, o_orderdate
+          |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin)),
+
     // ----- SCD Type-2 dimension build: each order becomes a VERSIONED
     // row of its customer's purchase history with a [valid_from,
     // valid_to) interval — valid_to = the next version's start via

@@ -29,7 +29,8 @@ class PlanShapeSpec extends SparkSpec {
     // vocab coverage (1-row broadcast total), winnowing fingerprints
     "m_sql_q1", "m_sql_q5", "m_scd2", "m_split", "m_redact",
     "t_vocab", "t_winnow", "w_ewma", "t_heavy_hitters", "m_ann_pq",
-    "l6_freshness", "t_containment", "m_incr_agg", "m_zorder")
+    "l6_freshness", "t_containment", "m_incr_agg", "m_zorder",
+    "m_sql_q18")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
