@@ -476,5 +476,39 @@ object Graph {
            |)
            |SELECT id, CAST(min(dist) AS INT) AS dist
            |FROM bfs GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ----- K6: out-degree distribution, log₂-binned — the first
+    // profiling query run on any production graph (is it power-law? how
+    // heavy is the tail?) and the input to every skew decision the
+    // other graph operators make (k4b's degree orientation, salting
+    // thresholds). One groupBy for degrees, one for buckets — pure
+    // integer log-binning, no joins.
+    Q("k6_degree_dist",
+      (s, d) => {
+        val deg = cappedEdges(s, d).distinct()
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+        deg
+          .withColumn("bucket", floor(log2(col("d"))).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("n_edges"))
+          .select(col("bucket"),
+            expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("d_min"),
+            expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")
+              .as("d_max"),
+            col("n_nodes"), col("n_edges"))
+          .orderBy("bucket")
+      },
+      Some(
+        s"""WITH edges AS (
+           |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+           |), deg AS (
+           |  SELECT src AS id, count(*) AS d FROM edges GROUP BY src
+           |), b AS (
+           |  SELECT CAST(floor(log2(d)) AS INT) AS bucket, d FROM deg)
+           |SELECT bucket, CAST(1 << bucket AS BIGINT) AS d_min,
+           |  CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS d_max,
+           |  count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS n_edges
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
   )
 }

@@ -148,5 +148,45 @@ object Multimodal {
           |  CAST(n_bytes * 3 % 480 + 1 AS INT) AS height,
           |  bytesum % 1000003 AS checksum
           |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ----- shard packing for blob datasets (the WebDataset/tar-shard
+    // ingest layout): blobs pack greedily into ~2 KB shards per source
+    // in stable doc_id order — a running byte sum windowed per source,
+    // shard = (cum-1) div SIZE. This is how a training job turns
+    // millions of small blobs into sequential-read archives; the window
+    // shuffles once on source and everything else is map-side. Byte
+    // counts are exact integers (fixture text is pure ASCII, so
+    // length(payload) == n_chars — pinned by the oracle using n_chars).
+    Q("m_multimodal_shard",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withBlob(s, d)
+          .select(col("source"), col("doc_id"),
+            length(col("payload")).cast("long").as("nb"))
+          .withColumn("cum", sum(col("nb")).over(w))
+          .withColumn("shard", expr("(cum - 1) div 2048"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_blobs"), sum(col("nb")).as("bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "shard")
+      },
+      Some(
+        """WITH sized AS (
+          |  SELECT source, doc_id, n_chars,
+          |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM documents
+          |), tagged AS (
+          |  SELECT source, doc_id, n_chars,
+          |    CAST((cum - 1) // 2048 AS BIGINT) AS shard
+          |  FROM sized)
+          |SELECT source, shard, count(*) AS n_blobs,
+          |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM tagged GROUP BY source, shard
+          |ORDER BY source, shard""".stripMargin)),
   )
 }
