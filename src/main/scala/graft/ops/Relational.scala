@@ -237,7 +237,10 @@ object Relational {
         .agg(
           dsum("l_quantity").as("sum_qty"),
           dsum("l_extendedprice").as("sum_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          // avg as exact-decimal sum / count: a double avg's partial-
+          // aggregation order differs per engine and partitioning
+          round(sum(col("l_discount").cast("decimal(18,4)"))
+            .cast("double") / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(
@@ -245,7 +248,8 @@ object Relational {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS sum_price,
-          |  round(avg(l_discount), 4) AS avg_disc,
+          |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+          |    / count(*), 4) AS avg_disc,
           |  count(*) AS n
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
