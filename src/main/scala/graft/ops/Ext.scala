@@ -1337,6 +1337,46 @@ object Ext {
           |FROM orders
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ----- presence BITMAP encoding: each user's high-value activity
+    // profile packed into one integer via bit_or(1 << type_index) —
+    // the bitmap-index primitive (roaring-bitmap style) that turns
+    // set-membership questions ("users who did X and Y but never Z")
+    // into integer mask tests instead of joins. Report: distinct
+    // profile bitmaps with popcount and user counts. Pure integer
+    // aggregation, two map-side-combined groupBys.
+    Q("m_presence_bitmap",
+      (s, d) => {
+        val idx = when(col("event_type") === "click", 0)
+          .when(col("event_type") === "error", 1)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 3)
+          .otherwise(4)
+        Tables.events(s, d)
+          .filter(col("value") > 150.0)
+          .select(col("user_id"), idx.as("i"))
+          .groupBy("user_id")
+          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), i)"))
+            .as("bitmap"))
+          .groupBy("bitmap")
+          .agg(count(lit(1)).as("n_users"))
+          .select(col("bitmap"), bit_count(col("bitmap")).as("n_types"),
+            col("n_users"))
+          .orderBy("bitmap")
+      },
+      Some(
+        """WITH idx AS (
+          |  SELECT user_id,
+          |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+          |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+          |      ELSE 4 END AS i
+          |  FROM events WHERE value > 150
+          |), bm AS (
+          |  SELECT user_id, CAST(bit_or(1 << i) AS BIGINT) AS bitmap
+          |  FROM idx GROUP BY user_id)
+          |SELECT bitmap, CAST(bit_count(bitmap) AS INT) AS n_types,
+          |  count(*) AS n_users
+          |FROM bm GROUP BY bitmap ORDER BY bitmap""".stripMargin)),
+
     // ----- Z-order (Morton) layout key — the multi-dimensional
     // clustering primitive behind Delta/Iceberg OPTIMIZE ZORDER: bit-
     // interleave two scan-predicate columns so that sorting by ONE key

@@ -309,6 +309,47 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Per-user top-k rows for the stateful-top-k example. */
+  case class TopkOut(user_id: Long, rank: Int, event_id: Long,
+                     value: Double)
+
+  /** Stateful streaming top-k per key via `flatMapGroupsWithState` with
+    * a BOUNDED per-key state: each user's state is only their current
+    * top-3 (value desc, event_id tie-break), merged per batch — the
+    * leaderboard pattern whose state size is O(k) per key forever,
+    * where a naive collect-and-sort grows with the stream. With
+    * availableNow the fixture is one batch, so the emitted top-3
+    * equals the batch window top-k, which the oracle checks. Values
+    * pass through unchanged (comparisons only, no float arithmetic),
+    * so ordering is bit-exact on any engine.
+    */
+  def topkPerUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    val tops = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[
+           List[(Double, Long)]]) =>
+          var heap = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, eid, v) =>
+            heap = ((v, eid) :: heap)
+              .sortBy { case (value, id) => (-value, id) }.take(3)
+          }
+          state.update(heap)
+          heap.zipWithIndex.iterator.map { case ((v, eid), i) =>
+            TopkOut(user, i + 1, eid, v)
+          }
+      }
+    runToMemory(s, tops.toDF(), "append")
+      .orderBy("user_id", "rank")
+  }
+
   /** Queries surfaced through SparkEntry (oracles are the batch twins). */
   val all: Seq[graft.ops.Q] = Seq(
     graft.ops.Q("m_stream_tumbling",
@@ -393,6 +434,16 @@ object Streams {
           |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
           |FROM sess GROUP BY user_id, sess_id
           |ORDER BY user_id, sess_start_us""".stripMargin)),
+    graft.ops.Q("m_stream_topk",
+      (s, d) => topkPerUser(s, d),
+      Some(
+        """SELECT user_id, CAST(rank AS INT) AS rank, event_id, value
+          |FROM (
+          |  SELECT user_id, event_id, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY value DESC, event_id) AS rank
+          |  FROM events)
+          |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin)),
     graft.ops.Q("m_stream_state",
       (s, d) => userStateCounts(s, d),
       Some(

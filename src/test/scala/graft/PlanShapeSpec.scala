@@ -30,7 +30,8 @@ class PlanShapeSpec extends SparkSpec {
     "m_sql_q1", "m_sql_q5", "m_scd2", "m_split", "m_redact",
     "t_vocab", "t_winnow", "w_ewma", "t_heavy_hitters", "m_ann_pq",
     "l6_freshness", "t_containment", "m_incr_agg", "m_zorder",
-    "m_sql_q18", "k6_degree_dist", "m_multimodal_shard")
+    "m_sql_q18", "k6_degree_dist", "m_multimodal_shard",
+    "m_presence_bitmap")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
