@@ -1037,6 +1037,73 @@ object Similarity {
           |FROM u GROUP BY vec_id, label, amax
           |ORDER BY vec_id""".stripMargin)),
 
+    // ----- k-NN majority-vote labeling (weak supervision / label
+    // propagation): each probe takes the majority label of its top-3
+    // exact-cosine neighbors — the retrieval-as-classifier pattern a
+    // labeling pipeline runs to propose or audit labels. Vote counting
+    // is integers; the only float is the round-6 cosine both engines
+    // compute from identical doubles; ties break to the smallest label
+    // so the argmax is total-ordered. Probe side broadcasts (bounded
+    // BNLJ, the m_cosine_topk plan); at scale the neighbor stage swaps
+    // to any of the ANN variants above without touching the vote.
+    Q("m_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = normed(s, d)
+        val probes = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("actual_label"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vid"))
+        val top3 = broadcast(probes)
+          .join(e.select(col("vec_id").as("vid"), col("label"),
+            col("e").as("ve"), col("nrm").as("vn")),
+            col("qid") =!= col("vid"))
+          .withColumn("cos",
+            round(dot(col("qe"), col("ve")) / (col("qn") * col("vn")), 6))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 3)
+        val wVote = Window.partitionBy(col("qid"))
+          .orderBy(desc("n_votes"), col("label"))
+        top3.groupBy("qid", "actual_label", "label")
+          .agg(count(lit(1)).cast("int").as("n_votes"))
+          .withColumn("vrk", row_number().over(wVote))
+          .filter(col("vrk") === 1)
+          .select(col("qid"), col("actual_label"),
+            col("label").as("pred_label"), col("n_votes"),
+            (col("actual_label") === col("label")).as("agree"))
+          .orderBy("qid")
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+          |    generate_subscripts(embedding, 1) AS k
+          |  FROM embeddings
+          |), p AS (
+          |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+          |    round(sum(a.x * b.x) /
+          |      (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6) AS cos
+          |  FROM u a JOIN u b ON b.k = a.k AND a.vec_id % 25 = 0
+          |    AND b.vec_id <> a.vec_id
+          |  GROUP BY 1, 2
+          |), top3 AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT qid, vid, row_number() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, vid) AS rk FROM p) WHERE rk <= 3
+          |), votes AS (
+          |  SELECT t.qid, e.label, count(*) AS nv
+          |  FROM top3 t JOIN embeddings e ON e.vec_id = t.vid
+          |  GROUP BY 1, 2
+          |), pred AS (
+          |  SELECT qid, label AS pred_label, CAST(nv AS INT) AS n_votes
+          |  FROM (SELECT qid, label, nv, row_number() OVER (
+          |    PARTITION BY qid ORDER BY nv DESC, label) AS rk
+          |  FROM votes) WHERE rk = 1)
+          |SELECT p.qid, e.label AS actual_label, p.pred_label, p.n_votes,
+          |  e.label = p.pred_label AS agree
+          |FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+          |ORDER BY qid""".stripMargin)),
+
     // ----- product quantization ANN (PQ/ADC, the FAISS IndexPQ
     // scheme): 64-dim vectors split into 16 subspaces of 4 dims, each
     // encoded as its nearest of 64 seed centroids — a vector compresses
