@@ -205,17 +205,25 @@ object Graph {
   def bfs(s: SparkSession, edges: DataFrame, src: Long,
           maxIter: Int = 10): DataFrame = {
     import s.implicits._
+    // Only each round's FRESH delta is checkpointed; the settled set is
+    // a union of those already-materialized deltas (shallow lineage, no
+    // O(rounds · |V|) re-write). The loop exits as soon as a frontier
+    // comes back empty — the isEmpty probe reads one partition of an
+    // already-checkpointed frame — instead of running empty join rounds
+    // out to maxIter.
     var dist = Seq((src, 0)).toDF("id", "dist").localCheckpoint()
     var frontier = dist
-    for (i <- 1 to maxIter) {
+    var i = 1
+    while (i <= maxIter && !frontier.isEmpty) {
       val nbrs = frontier
         .join(edges, frontier("id") === edges("src"))
         .select(col("dst").as("id")).distinct()
       val fresh = nbrs.join(dist, Seq("id"), "left_anti")
         .withColumn("dist", lit(i))
         .localCheckpoint()
-      dist = dist.unionByName(fresh).localCheckpoint()
+      dist = dist.unionByName(fresh)
       frontier = fresh
+      i += 1
     }
     dist
   }

@@ -35,14 +35,15 @@ object Text {
     */
   def spanDedup(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // First occurrence = row_number() = 1 over (doc_id, span_id) within
-    // each span hash — a true lexicographic order, valid for ANY id
-    // range (the packed doc_id*100000+span_id long this replaces
-    // silently mis-ordered docs with >= 100k spans or ids >= ~9.2e13).
-    // One shuffle on h (vs groupBy-min + join = two plan branches).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("doc_id"), col("span_id"))
-    docs
+    // First occurrence = lexicographic MIN of the (doc_id, span_id)
+    // struct per span hash — valid for ANY id range (the packed
+    // doc_id*100000+span_id long this replaces silently mis-ordered
+    // docs with >= 100k spans or ids >= ~9.2e13). groupBy-min, not a
+    // window: min is map-side combinable, so a boilerplate span
+    // repeated 10^8 times partial-aggregates instead of serializing
+    // through one window partition, and the verify join's skew is
+    // AQE-splittable where window skew is not.
+    val spans = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
@@ -50,10 +51,13 @@ object Text {
           sequence(lit(0), floor(size(col("toks")) / lit(8.0)).cast("int") - 1),
           i => md5(concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
           .as(Seq("span_id", "h")))
-      .withColumn("occ", row_number().over(w))
+    val first = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("span_id"))).as("fp"))
+    spans.join(first, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_spans"),
-        sum(when(col("occ") > 1, 1).otherwise(0))
+        sum(when(col("doc_id") =!= col("fp.doc_id") ||
+          col("span_id") =!= col("fp.span_id"), 1).otherwise(0))
           .cast("int").as("n_dup"))
       .select(col("doc_id"), col("n_spans"), col("n_dup"),
         round(col("n_dup") / col("n_spans").cast("double"), 4)
@@ -563,16 +567,15 @@ object Text {
           |  FROM (SELECT doc_id, toks,
           |          unnest(range(0, CAST(len(toks) // 8 AS INT))) AS i
           |        FROM tk WHERE len(toks) >= 8)
-          |), occ AS (
-          |  SELECT doc_id,
-          |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_id)
-          |      AS occ
-          |  FROM sp
+          |), fst AS (
+          |  SELECT h, min(struct_pack(d := doc_id, s := span_id)) AS fp
+          |  FROM sp GROUP BY h
           |), agg AS (
-          |  SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-          |    CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+          |  SELECT sp.doc_id, CAST(count(*) AS INT) AS n_spans,
+          |    CAST(sum(CASE WHEN sp.doc_id <> (fp).d
+          |      OR sp.span_id <> (fp).s THEN 1 ELSE 0 END)
           |      AS INT) AS n_dup
-          |  FROM occ GROUP BY doc_id)
+          |  FROM sp JOIN fst USING (h) GROUP BY sp.doc_id)
           |SELECT doc_id, n_spans, n_dup,
           |  round(n_dup * 1.0 / n_spans, 4) AS dup_frac,
           |  n_dup * 2 < n_spans AS keep
@@ -784,7 +787,11 @@ object Text {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("tok"))
-        val cand = toks.stat.freqItems(Seq("tok"), 0.01)
+        // sketch support HALF the report threshold: Misra-Gries only
+        // guarantees retention for frequency STRICTLY above the support,
+        // so a token at exactly 1% must be safely inside the guarantee,
+        // not on its boundary (candidate set stays O(1/0.005) = bounded)
+        val cand = toks.stat.freqItems(Seq("tok"), 0.005)
           .select(explode(col("tok_freqItems")).as("tok"))
         val counts = toks.join(broadcast(cand), Seq("tok"))
           .groupBy("tok").agg(count(lit(1)).as("n"))

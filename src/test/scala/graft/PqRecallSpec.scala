@@ -13,7 +13,7 @@ class PqRecallSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
-  test("PQ/ADC recall vs exact quantized-L2 top-3 >= 0.4") {
+  test("PQ/ADC recall vs exact quantized-L2 top-3 >= 0.5") {
     import org.apache.spark.sql.expressions.Window
     val qz = Tables.embeddings(spark, sf)
       .select(col("vec_id"),
@@ -39,6 +39,9 @@ class PqRecallSpec extends SparkSpec {
 
     val recall = (pq & truth).size.toDouble / truth.size
     info(f"PQ/ADC recall vs exact top-3: $recall%.3f")
-    assert(recall >= 0.4, s"PQ recall $recall below 0.4")
+    // deterministic on the fixed fixture (measured exactly 0.500); the
+    // assertion matches the documented pin — no slack that would let
+    // the contract silently degrade
+    assert(recall >= 0.5, s"PQ recall $recall below the 0.5 pin")
   }
 }
