@@ -1337,6 +1337,39 @@ object Ext {
           |FROM orders
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ----- cohort RETENTION matrix: users grouped by first-activity
+    // day (their cohort), then counted on each subsequent active day
+    // offset — the (cohort × day-offset) triangle every product/growth
+    // dashboard reads. Three keyed aggregates, all map-side combined:
+    // distinct (user, day) activity, per-user min day, then the offset
+    // rollup; the cohort join is on user_id, co-partitioned with the
+    // activity aggregate. Pure integer day arithmetic (`div`, the
+    // m_resample_daily convention).
+    Q("m_retention_cohort",
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("(unix_micros(ts) div 1000000) div 86400").as("day"))
+          .distinct()
+        val coh = act.groupBy("user_id").agg(min(col("day")).as("c0"))
+        act.join(coh, Seq("user_id"))
+          .groupBy(col("c0").as("cohort_day"),
+            (col("day") - col("c0")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some(
+        """WITH act AS (
+          |  SELECT DISTINCT user_id,
+          |    CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day
+          |  FROM events
+          |), coh AS (
+          |  SELECT user_id, min(day) AS c0 FROM act GROUP BY user_id)
+          |SELECT c0 AS cohort_day, day - c0 AS day_offset,
+          |  count(*) AS n_users
+          |FROM act JOIN coh USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- presence BITMAP encoding: each user's high-value activity
     // profile packed into one integer via bit_or(1 << type_index) —
     // the bitmap-index primitive (roaring-bitmap style) that turns

@@ -31,7 +31,7 @@ class PlanShapeSpec extends SparkSpec {
     "t_vocab", "t_winnow", "w_ewma", "t_heavy_hitters", "m_ann_pq",
     "l6_freshness", "t_containment", "m_incr_agg", "m_zorder",
     "m_sql_q18", "k6_degree_dist", "m_multimodal_shard",
-    "m_presence_bitmap")
+    "m_presence_bitmap", "m_retention_cohort")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
