@@ -1,6 +1,6 @@
 package graft
 import graft.ops.{Ext, Graph, Ingest, Multimodal, Q, Relational, Similarity,
-  Stats, Text, Windows}
+  Stats, Storage, Text, Windows}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ object SparkEntry {
   private val allQs: Seq[Q] =
     Relational.all ++ Windows.all ++ Stats.all ++ Graph.all ++ Text.all ++
       Ext.all ++ Similarity.all ++ Ingest.all ++ Multimodal.all ++
-      graft.streaming.Streams.all
+      Storage.all ++ graft.streaming.Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

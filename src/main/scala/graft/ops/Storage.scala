@@ -1,0 +1,241 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and runtime-planning levers — the decisions a 100-TB
+  * deployment makes BEFORE query time, demonstrated as oracle-checked
+  * queries whose plans a spec can hold to shape (StorageSpec):
+  *
+  *   - [[m_bucketed_join]]: land both fact tables `bucketBy(join key)` +
+  *     `sortBy` so the dominant big-big equi-join plans with NO shuffle
+  *     exchange — the shuffle is paid once at write time, amortized over
+  *     every subsequent join/aggregate on that key.
+  *   - [[m_partition_prune]]: land the event log partitioned by day so a
+  *     date-range predicate prunes at FILE LISTING time — the scan never
+  *     opens non-matching partitions (the reference's date-keyed directory
+  *     layout, `mongo_loader.py:73-94`, is this pattern).
+  *   - [[m_dpp]]: dynamic partition pruning — the dim-side filter of a
+  *     fact⋈dim join prunes fact partitions at RUNTIME through a reused
+  *     broadcast, the mechanism that makes star-schema queries touch only
+  *     qualifying fact partitions without a literal date predicate.
+  *   - [[m_aqe_skew]]: AQE skew-join splitting — the engine-native
+  *     alternative to the manual salting of `m_salted_join` (Ext.scala):
+  *     a hot key's oversized shuffle partition is split into
+  *     advisory-sized chunks at runtime, with the matching dim rows
+  *     replicated per chunk.
+  *
+  * All four hash-match plain-layout oracles: layout and runtime re-plans
+  * must never change results, only cost.
+  */
+object Storage {
+
+  /** Table-name suffix from the fixture dir so two scales never collide
+    * in one warehouse ("/root/testdata/sf0.01" → "root_testdata_sf0_01").
+    */
+  private def sfx(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+|_+$", "")
+
+  /** Run the landing `write` once per (session, dir, table): layout is
+    * ingest-time work — Verify lands each table once per run and Bench's
+    * three interleaved rounds re-measure the read side, not the ETL.
+    * Keyed in the same session-scoped map as the base-table cache.
+    * A previous JVM may have left the managed dir behind (the catalog is
+    * in-memory, the warehouse files are not), so the path is cleared
+    * before the write.
+    */
+  private def ensureTable(s: SparkSession, d: String, name: String)(
+      write: String => Unit): String = {
+    val tbl = s"${name}_${sfx(d)}"
+    val m = Tables.sessionScoped(s)
+    val key = s"tbl:$tbl"
+    if (m.get(key) == null) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      write(tbl)
+      m.putIfAbsent(key, s.table(tbl))
+    }
+    tbl
+  }
+
+  /** orders + lineitem landed bucketed AND sorted on the join key.
+    * 8 buckets at fixture scale; production sizes buckets to a few
+    * hundred MB each (e.g. 4096 buckets for a 1-TB table) — the bucket
+    * count is the one knob, everything else is the same two lines.
+    */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val o = ensureTable(s, d, "graft_orders_bkt") { t =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(t)
+    }
+    val l = ensureTable(s, d, "graft_lineitem_bkt") { t =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(t)
+    }
+    (o, l)
+  }
+
+  /** events landed partitioned by epoch day (integral-microsecond day
+    * arithmetic, the m_resample_daily convention). `repartition(day)`
+    * before the write gives one file per partition instead of
+    * (tasks × days) small files — the small-files discipline that keeps
+    * a date-partitioned 100-TB log listable.
+    */
+  private def partedEvents(s: SparkSession, d: String): String =
+    ensureTable(s, d, "graft_events_day") { t =>
+      Tables.events(s, d)
+        .withColumn("day", expr("(unix_micros(ts) div 1000000) div 86400"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day")
+        .format("parquet").saveAsTable(t)
+    }
+
+  val all: Seq[Q] = Seq(
+
+    // ----- shuffle-free bucketed join: both sides pre-bucketed on the
+    // join key, and the groupBy key equals the bucket key, so join AND
+    // aggregation plan with zero hash exchanges (StorageSpec pins the
+    // plan with broadcast disabled; only the presentation ORDER BY range-
+    // partitions). The oracle is the PLAIN join — bucketing must be
+    // invisible in the result.
+    Q("m_bucketed_join",
+      (s, d) => {
+        val (ot, lt) = bucketedTables(s, d)
+        s.table(ot).join(s.table(lt),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, count(*) AS n_items,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // ----- static partition pruning: the predicate is on the partition
+    // column, so pruning happens at file-listing time — StorageSpec
+    // asserts the query's inputFiles are a strict subset of the table's
+    // (the scan never opens non-matching days). The oracle recomputes
+    // the day from raw events — the layout must be result-invisible.
+    Q("m_partition_prune",
+      (s, d) => {
+        val t = partedEvents(s, d)
+        s.table(t)
+          .filter(pmod(col("day"), lit(7)) === 0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, user_id, value,
+          |    CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day
+          |  FROM events)
+          |SELECT event_type, count(*) AS n_events,
+          |  count(DISTINCT user_id) AS n_users,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM e WHERE day % 7 = 0
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- dynamic partition pruning: the filter lives on the DIM side
+    // (day-of-week attribute), not on the partition column — at planning
+    // time no literal predicate exists, so the engine injects a runtime
+    // subquery (reusing the join's broadcast) that prunes fact partitions
+    // before the scan. StorageSpec asserts `dynamicpruning` in the plan.
+    // The day column reads back as INT (partition-value inference), so
+    // the dim side casts to match — no cast lands on the fact scan.
+    Q("m_dpp",
+      (s, d) => {
+        val t = partedEvents(s, d)
+        val fact = s.table(t)
+        val dim = fact.select(col("day")).distinct()
+          .withColumn("dow", pmod(col("day") + 4, lit(7)))
+        fact.join(broadcast(dim.filter(col("dow") === 1).select("day")),
+            Seq("day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("day")).as("n_days"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, value,
+          |    CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day
+          |  FROM events),
+          |sel AS (SELECT DISTINCT day FROM e WHERE (day + 4) % 7 = 1)
+          |SELECT event_type, count(*) AS n_events,
+          |  count(DISTINCT e.day) AS n_days,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM e JOIN sel USING (day)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- AQE skew-join splitting on a synthesized hot key (half the
+    // fact rows collapse onto key 0 — the unmatched-hot-key shape of a
+    // real skewed log). The thresholds are tuned so the demo fires at
+    // fixture scale and live in a child session (`newSession`) so they
+    // leak into no other query; results are conf-independent and the
+    // oracle is the plain join. StorageSpec executes this and asserts
+    // the skew-split marker in the final adaptive plan.
+    Q("m_aqe_skew",
+      (s0, d) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        s.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "8KB")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // The single-row-group fixture file reads as ONE map task, and AQE
+        // can only split a skewed reduce partition along map-output
+        // boundaries — re-spread once so the join shuffle has map outputs
+        // to split (production files have many row groups; Tables.table
+        // documents the same mitigation).
+        val fact = Tables.rawTable(s, d, "lineitem")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("k",
+            when(col("l_orderkey") % 2 === 0, lit(0L))
+              .otherwise(col("l_orderkey")))
+        val dim = Tables.rawTable(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+        fact.join(dim, Seq("k"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM lineitem JOIN orders
+          |  ON o_orderkey = CASE WHEN l_orderkey % 2 = 0 THEN 0
+          |                       ELSE l_orderkey END
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+  )
+}

@@ -31,7 +31,10 @@ class PlanShapeSpec extends SparkSpec {
     "t_vocab", "t_winnow", "w_ewma", "t_heavy_hitters", "m_ann_pq",
     "l6_freshness", "t_containment", "m_incr_agg", "m_zorder",
     "m_sql_q18", "k6_degree_dist", "m_multimodal_shard",
-    "m_presence_bitmap", "m_retention_cohort")
+    "m_presence_bitmap", "m_retention_cohort",
+    // round 6: storage/planning levers (their plan SHAPE is separately
+    // pinned in StorageSpec; here they just stay cartesian-free)
+    "m_bucketed_join", "m_partition_prune", "m_dpp", "m_aqe_skew")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the PLAN SHAPE of the storage/planning-lever queries
+  * (ops/Storage.scala) — each one's value is a plan property, not just
+  * its rows, so correctness alone would be a vacuous check:
+  *
+  *   - m_bucketed_join: zero hash-partitioning exchange (the join AND
+  *     the aggregation ride the write-time bucketing);
+  *   - m_partition_prune: the scan opens strictly fewer files than the
+  *     table holds (pruning happened at listing time);
+  *   - m_dpp: a `dynamicpruning` subquery reaches the fact scan;
+  *   - m_aqe_skew: the executed adaptive plan split the hot partition
+  *     (skew=true on the sort-merge join).
+  */
+class StorageSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("m_bucketed_join plans with zero hash exchange") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: a broadcast join would be exchange-free
+    // for the wrong reason and prove nothing about bucketing
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("m_bucketed_join")(s, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still hash-shuffles:\n$plan")
+      // the one allowed exchange is the presentation sort
+      assert(plan.contains("Exchange rangepartitioning"),
+        s"expected only the ORDER BY range exchange:\n$plan")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("m_partition_prune scans a strict subset of the partitions") {
+    val df = SparkEntry.queries("m_partition_prune")(spark, sf)
+    val all = spark.table("graft_events_day_root_testdata_sf0_001")
+      .inputFiles.length
+    val pruned = df.inputFiles.length
+    info(s"scan reads $pruned of $all files")
+    assert(pruned > 0 && pruned < all,
+      s"partition pruning did not reduce the scan ($pruned of $all files)")
+  }
+
+  test("m_dpp injects a dynamic-pruning subquery into the fact scan") {
+    val df = SparkEntry.queries("m_dpp")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
+  test("m_aqe_skew splits the hot partition at runtime") {
+    val df = SparkEntry.queries("m_aqe_skew")(spark, sf)
+    // collect() (not a noop write — that plans a SEPARATE QueryExecution)
+    // so THIS df's adaptive plan finalizes and can be inspected
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"skew join did not fire in the adaptive plan:\n$plan")
+  }
+
+  test("storage-layout queries match their plain-layout twins") {
+    // result-invariance at test scale: layout must never change rows
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderkey")
+      .collect().toSeq
+    val bucketed = SparkEntry.queries("m_bucketed_join")(spark, sf)
+      .collect().toSeq
+    assert(bucketed == plain, "bucketed join differs from plain join")
+  }
+}
