@@ -145,14 +145,27 @@ object GraftFunctions {
       "built-in")
     // Runtime-filter primitives (the machinery behind Spark's own
     // injected bloom joins, surfaced as callable functions):
-    // bloom_build(key) aggregates a bloom over xxhash64(key);
+    // bloom_build(key[, capacity]) aggregates a bloom over xxhash64(key),
+    // sized for `capacity` expected distinct keys (default 1M — an
+    // over-capacity build silently saturates to a pass-through, exact
+    // but useless, so size it from the build side's key estimate);
     // bloom_probe(bloom, key) tests membership of xxhash64(key).
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(exprs),
-          1000000L),
+      exprs => {
+        val key = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(exprs.head))
+        if (exprs.length >= 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(key,
+              // SQL integer literals parse as INT; the aggregate's
+              // capacity slot is BIGINT-typed
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                exprs(1), org.apache.spark.sql.types.LongType))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(key, 1000000L)
+      },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_probe",

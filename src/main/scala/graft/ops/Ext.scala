@@ -1125,6 +1125,94 @@ object Ext {
           |GROUP BY c_name, o_orderkey, o_orderdate
           |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin)),
 
+    // ----- TPC-H Q4 (order priority checking), adapted: the fixture
+    // lineitem carries no l_commitdate/l_receiptdate, so "late" is
+    // "shipped more than 60 days after the order date" — which keeps
+    // the exact planning surface Q4 exists to exercise: a correlated
+    // EXISTS (equi-correlation on the key PLUS a non-equi correlated
+    // date predicate) that Catalyst must decorrelate into a LEFT SEMI
+    // join with a mixed condition, never a per-row subquery. At 100 TB
+    // the semi-join shuffles on orderkey once; the date filter on
+    // orders prunes before the shuffle.
+    Q("m_sql_q4",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS order_count
+            |FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            |  AND EXISTS (SELECT 1 FROM lineitem
+            |              WHERE l_orderkey = o_orderkey
+            |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- TPC-H Q21 (suppliers who kept orders waiting), adapted: the
+    // row-local "late" flag l_receiptdate > l_commitdate becomes
+    // EXTRACT(DAY FROM l_shipdate) >= 15 (no commit/receipt columns in
+    // the fixture) — row-local like the original, so the plan shape is
+    // untouched: one correlated EXISTS (another supplier contributed →
+    // LEFT SEMI) and one correlated NOT EXISTS (no OTHER supplier was
+    // late → LEFT ANTI) against the same fact table, both decorrelated
+    // onto the orderkey shuffle. The classic 4-way self-join query that
+    // melts engines which execute subqueries per-row.
+    Q("m_sql_q21",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        s.sql(
+          """SELECT s_name, count(*) AS numwait
+            |FROM supplier
+            |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            |JOIN orders ON o_orderkey = l1.l_orderkey
+            |JOIN nation ON s_nationkey = n_nationkey
+            |WHERE o_orderstatus = 'F'
+            |  AND EXTRACT(DAY FROM l1.l_shipdate) >= 15
+            |  AND EXISTS (SELECT 1 FROM lineitem l2
+            |              WHERE l2.l_orderkey = l1.l_orderkey
+            |                AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            |                  WHERE l3.l_orderkey = l1.l_orderkey
+            |                    AND l3.l_suppkey <> l1.l_suppkey
+            |                    AND EXTRACT(DAY FROM l3.l_shipdate) >= 15)
+            |  AND n_name = 'NATION_3'
+            |GROUP BY s_name
+            |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      },
+      Some(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier
+          |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F'
+          |  AND EXTRACT(DAY FROM l1.l_shipdate) >= 15
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND EXTRACT(DAY FROM l3.l_shipdate) >= 15)
+          |  AND n_name = 'NATION_3'
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
     // ----- SCD Type-2 dimension build: each order becomes a VERSIONED
     // row of its customer's purchase history with a [valid_from,
     // valid_to) interval — valid_to = the next version's start via
@@ -1230,31 +1318,36 @@ object Ext {
     // ----- explicit bloom-filter join pruning — the runtime-filter
     // primitive behind every petabyte-scale selective join: build a
     // bloom over the SELECTIVE side's keys (urgent orders), ship the
-    // ~KB sketch to the wide side's scan as a LITERAL filter, and only
-    // exact-verify the survivors with the real semi-join. The bloom may
-    // pass false positives (the semi-join removes them — output stays
-    // exact) but never drops a true match, so at 100 TB the wide scan
-    // discards non-matching rows BEFORE the shuffle instead of after
-    // it. The one-row `head()` is the sketch materialization itself —
-    // the same driver round-trip Spark's own InjectRuntimeFilter does
-    // through a scalar subquery — not a data-path collect.
+    // ~KB sketch to the wide side's scan, and only exact-verify the
+    // survivors with the real semi-join. The bloom may pass false
+    // positives (the semi-join removes them — output stays exact) but
+    // never drops a true match, so at 100 TB the wide scan discards
+    // non-matching rows BEFORE the shuffle instead of after it. The
+    // sketch rides in as a SCALAR SUBQUERY inside one plan — the exact
+    // shape Spark's own InjectRuntimeFilter emits
+    // (BloomFilterMightContain's contract names "constant or scalar
+    // subquery" as its bloom input) — no driver round-trip anywhere in
+    // the query body. Capacity is passed explicitly (the 2-arg
+    // bloom_build): an under-sized bloom saturates into an exact but
+    // useless pass-through, so production sizes it from the build
+    // side's distinct-key estimate.
     Q("m_bloom_prune",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val urgent = Tables.orders(s, d)
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .select(col("o_custkey"))
-        val bf = urgent.agg(expr("bloom_build(o_custkey)").as("bf"))
-          .head().getAs[Array[Byte]](0)
-        val pruned = Tables.customer(s, d)
-          .filter(call_function("bloom_probe", lit(bf), col("c_custkey")))
-        pruned.join(urgent, col("c_custkey") === col("o_custkey"),
-            "left_semi")
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n_custs"),
-            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
-              .as("sum_bal"))
-          .orderBy("c_mktsegment")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n_custs,
+            |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS sum_bal
+            |FROM customer
+            |WHERE bloom_probe(
+            |    (SELECT bloom_build(o_custkey, 100000) FROM orders
+            |     WHERE o_orderpriority = '1-URGENT'),
+            |    c_custkey)
+            |  AND c_custkey IN (SELECT o_custkey FROM orders
+            |                    WHERE o_orderpriority = '1-URGENT')
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       },
       Some(
         """SELECT c_mktsegment, count(*) AS n_custs,

@@ -136,6 +136,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.count() > 0, "no urgent customers — vacuous")
     // no false negatives: every exact match survives the bloom
     assert(exact.except(pruned).count() == 0)
+
+    // 2-arg form: an explicitly-sized (small-capacity) bloom is a
+    // different sketch but must keep the no-false-negative guarantee
+    val bfSmall = urgent
+      .agg(expr("bloom_build(o_custkey, 500)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    assert(bfSmall.length < bf.length,
+      "capacity argument did not size the sketch down")
+    val prunedSmall = Tables.customer(spark, sf)
+      .filter(call_function("bloom_probe", lit(bfSmall), col("c_custkey")))
+      .select(col("c_custkey"))
+    assert(exact.except(prunedSmall).count() == 0)
   }
 
   test("salted join equals the plain join it rewrites") {

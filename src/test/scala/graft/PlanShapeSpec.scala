@@ -34,7 +34,8 @@ class PlanShapeSpec extends SparkSpec {
     "m_presence_bitmap", "m_retention_cohort",
     // round 6: storage/planning levers (their plan SHAPE is separately
     // pinned in StorageSpec; here they just stay cartesian-free)
-    "m_bucketed_join", "m_partition_prune", "m_dpp", "m_aqe_skew")
+    "m_bucketed_join", "m_partition_prune", "m_dpp", "m_aqe_skew",
+    "m_sql_q4", "m_sql_q21", "m_bloom_prune")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
