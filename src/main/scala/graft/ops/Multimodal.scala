@@ -14,14 +14,18 @@ import org.apache.spark.sql.types._
   * pure, reproducible in DuckDB as a BLOB cast). Two surfaces:
   *
   *   - metadata extraction with built-in expressions (oracle-checked);
-  *   - [[decodePartitions]] — the real `mapPartitions` plumbing a decode
-  *     stage needs (schema declared up front, per-partition iteration,
-  *     no driver collect). The "decoder" is a STUB: the image libs are
-  *     not in this container, so it derives deterministic fake
-  *     width/height/checksum from the bytes; swapping in a real codec
-  *     changes only the function body, not the plumbing. At scale this
-  *     is the standard shape: narrow per-partition transform, no
-  *     shuffle, codec state allocated once per partition (not per row).
+  *   - [[encodePartitions]] / [[decodePartitions]] — a REAL image codec
+  *     round-trip through `javax.imageio` (in the JDK, no new
+  *     dependency): the encode stage renders each document's bytes into
+  *     a genuine grayscale PNG, the decode stage parses those PNG bytes
+  *     back into dimensions + a pixel checksum. Because the rendered
+  *     image is a pure function of (n_chars, text), the DECODED values
+  *     are oracle-checkable arithmetic in DuckDB while the Spark side
+  *     actually exercises a binary codec on real compressed bytes. At
+  *     scale this is the standard shape: narrow per-partition
+  *     transform, no shuffle, codec state allocated once per partition
+  *     (not per row); production swaps the encode stage for reading
+  *     real blobs — decode is already the real thing.
   */
 object Multimodal {
 
@@ -30,29 +34,74 @@ object Multimodal {
     Tables.documents(s, d)
       .withColumn("payload", col("text").cast("binary"))
 
+  private val pngSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("png", BinaryType)))
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("n_bytes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("n_pixels", IntegerType),
     StructField("checksum", LongType)))
 
-  /** mapPartitions decode stage (stub codec, real plumbing). One codec
-    * "allocation" per partition; rows stream through the iterator.
+  /** Render each document into a real grayscale PNG: width =
+    * n_chars%64+1, height = n_chars%48+1, pixel(i) = code point of the
+    * (i mod n_chars)-th character (the fixture text is pure ASCII, so
+    * code point == gray level ≤ 127 and the 8-bit round trip is exact).
+    * `ImageIO.write` produces genuinely compressed PNG bytes — the
+    * decode stage must run a real inflater to get the pixels back.
+    */
+  def encodePartitions(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pngSchema)
+    docs.select("doc_id", "text").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val n = text.length
+        val w = n % 64 + 1
+        val h = n % 48 + 1
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0, text.charAt(i % n).toInt)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** mapPartitions decode stage — a real `javax.imageio` PNG parse per
+    * blob. Rows stream through the iterator; per-partition (not
+    * per-row) setup is where a heavier codec would allocate its
+    * context. The checksum is the sum of decoded pixel samples mod
+    * 1000003 — it can only come out right if the inflate round-trip
+    * reproduced every byte.
     */
   def decodePartitions(blobs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
-    blobs.select("doc_id", "payload").mapPartitions { it =>
-      // real codec handle would be created HERE, once per partition
+    blobs.select("doc_id", "png").mapPartitions { it =>
+      // real per-partition codec setup point (ImageIO keeps its reader
+      // registry JVM-global; a native codec would initialize HERE)
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        // --- STUB decode: deterministic pseudo-metadata from the bytes
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
         var sum = 0L
         var i = 0
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-        Row(id, bytes.length, (bytes.length % 640) + 1,
-          ((bytes.length * 3) % 480) + 1, sum % 1000003L)
+        while (i < w * h) {
+          sum += raster.getSample(i % w, i / w, 0)
+          i += 1
+        }
+        Row(id, w, h, w * h, sum % 1000003L)
       }
     }(enc)
   }
@@ -131,23 +180,25 @@ object Multimodal {
           |WHERE doc_id < 50
           |ORDER BY doc_id, frame_no""".stripMargin)),
 
-    // ----- the mapPartitions decode stage; checksum = sum of byte values
-    // mod 1000003, which ANSI SQL can replicate via per-char code points
-    // (ascii codes <= 127 in the fixture, so bytes == code points).
+    // ----- the real codec round trip: render → compressed PNG bytes →
+    // javax.imageio decode. The oracle recomputes what the DECODER must
+    // find (dimensions and the pixel-sample checksum) from the document
+    // text arithmetically — the row can only hash-match if the PNG
+    // inflate reproduced every encoded pixel.
     Q("m_multimodal_decode",
-      (s, d) => decodePartitions(withBlob(s, d)).orderBy("doc_id"),
+      (s, d) => decodePartitions(
+        encodePartitions(Tables.documents(s, d))).orderBy("doc_id"),
       Some(
-        """WITH c AS (
-          |  SELECT doc_id,
-          |    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-          |    CAST(list_sum(list_transform(string_split(text, ''),
-          |      x -> ascii(x))) AS BIGINT) AS bytesum
-          |  FROM documents)
-          |SELECT doc_id, n_bytes,
-          |  CAST(n_bytes % 640 + 1 AS INT) AS width,
-          |  CAST(n_bytes * 3 % 480 + 1 AS INT) AS height,
-          |  bytesum % 1000003 AS checksum
-          |FROM c ORDER BY doc_id""".stripMargin)),
+        """SELECT doc_id,
+          |  CAST(n_chars % 64 + 1 AS INT) AS width,
+          |  CAST(n_chars % 48 + 1 AS INT) AS height,
+          |  CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS INT)
+          |    AS n_pixels,
+          |  CAST(list_sum(list_transform(
+          |    range((n_chars % 64 + 1) * (n_chars % 48 + 1)),
+          |    i -> ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1))))
+          |    % 1000003 AS BIGINT) AS checksum
+          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- shard packing for blob datasets (the WebDataset/tar-shard
     // ingest layout): blobs pack greedily into ~2 KB shards per source
