@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * under `Trigger.AvailableNow` (MultiBatchExecutor) Spark 4.1 plans
   * all batches up front and does NOT apply the inter-batch watermark to
   * late-row filtering, so a file-source version of this test would
-  * (surprisingly) keep the late row.
+  * (surprisingly) keep the late row — that quirk is regression-pinned
+  * in [[WatermarkQuirkSpec]].
   */
 class StreamsSpec extends SparkSpec {
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Regression pin for the Spark 4.1 `Trigger.AvailableNow` watermark
+  * quirk (NOTES.md "Known leftovers"): the MultiBatchExecutor plans all
+  * micro-batches up front and does NOT apply the inter-batch watermark
+  * to late-row filtering, so a row that a live stream would drop as
+  * late (see StreamsSpec, where MemoryStream + processAllAvailable
+  * DOES drop it) survives an AvailableNow file-source run of the very
+  * same query.
+  *
+  * This spec asserts the CURRENT quirky behavior on purpose: if an
+  * engine upgrade starts applying the watermark across planned batches,
+  * the late-window assertion here flips red — a visible signal to
+  * re-audit every AvailableNow backfill path (and StreamsSpec, whose
+  * semantics would then hold for file sources too) rather than a
+  * silent semantics change riding in with the upgrade.
+  */
+class WatermarkQuirkSpec extends SparkSpec {
+
+  test("AvailableNow keeps a late row that a live stream drops") {
+    val s = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wm_quirk").toFile
+    dir.deleteOnExit()
+
+    // Two single-line JSON files = two planned micro-batches under
+    // maxFilesPerTrigger=1 (AvailableNow honors source read limits).
+    // Batch 1 advances the watermark to 11:50; batch 2's 09:00 row is
+    // below it — a live stream drops it (StreamsSpec proves that).
+    def writeBatch(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(mtime) // file source orders batches by mtime
+    }
+    writeBatch("b1.json", Seq(
+      """{"id": 1, "ts": "2024-01-01 10:30:00"}""",
+      """{"id": 2, "ts": "2024-01-01 12:00:00"}"""), 1000000L)
+    writeBatch("b2.json", Seq(
+      """{"id": 4, "ts": "2024-01-01 09:00:00"}"""), 2000000L)
+
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(dir.getAbsolutePath)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_quirk_sink")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000L), "stream did not finish")
+    finally q.stop()
+
+    val rows = s.table("wm_quirk_sink")
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // THE QUIRK: the 09:00 window materializes with the late row in it.
+    // Correct cross-batch watermarking would yield Map("10:00" -> 1)
+    // exactly as in StreamsSpec — if this assertion starts failing that
+    // way, Spark fixed the gap: update NOTES.md and fold the file-source
+    // variant into StreamsSpec.
+    assert(rows == Map("09:00" -> 1L, "10:00" -> 1L),
+      s"AvailableNow late-row behavior changed: $rows")
+  }
+}
