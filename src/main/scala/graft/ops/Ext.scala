@@ -1213,6 +1213,72 @@ object Ext {
           |GROUP BY s_name
           |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
 
+    // ----- TPC-H Q17 (small-quantity-order revenue), adapted to the
+    // fixture's part columns (brand+type for container). The planning
+    // shape Q4/Q21 don't cover: a correlated SCALAR AGGREGATE subquery
+    // (0.2 × avg quantity of the SAME part) that Spark must decorrelate
+    // into a per-partkey aggregate joined back on the correlation key —
+    // per-row re-execution would scan lineitem once per matched row.
+    // Cross-engine exactness: l_quantity is integral-valued, so the
+    // per-part double sum (hence avg, hence 0.2×avg with an explicit
+    // DOUBLE 0.2) is order-independent and bit-identical on both
+    // engines; revenue sums as DECIMAL then divides by 7.0 once.
+    Q("m_sql_q17",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            |    AS DOUBLE) / 7.0 AS avg_yearly
+            |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            |WHERE p_brand = 'Brand#2' AND p_type = 'ECONOMY'
+            |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) *
+            |                           avg(l2.l_quantity)
+            |                    FROM lineitem l2
+            |                    WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+      },
+      Some(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |    AS DOUBLE) / 7.0 AS avg_yearly
+          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |WHERE p_brand = 'Brand#2' AND p_type = 'ECONOMY'
+          |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) *
+          |                           avg(l2.l_quantity)
+          |                    FROM lineitem l2
+          |                    WHERE l2.l_partkey = p.p_partkey)""".stripMargin)),
+
+    // ----- TPC-H Q13 (customer order-count distribution), adapted: the
+    // o_comment NOT LIKE filter becomes an o_orderpriority predicate
+    // (no comment column in the fixture) — still a non-join predicate
+    // living in the LEFT OUTER JOIN's ON clause, which an optimizer
+    // must NOT push below the outer join (that would turn no-match
+    // customers into lost rows instead of count 0). Two stacked
+    // aggregations: per-customer counts, then the histogram over those
+    // counts. Pure integer arithmetic — no cross-engine float risk.
+    Q("m_sql_q13",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT c_count, count(*) AS custdist FROM (
+            |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            |  FROM customer c LEFT OUTER JOIN orders o
+            |    ON c.c_custkey = o.o_custkey
+            |   AND o.o_orderpriority <> '1-URGENT'
+            |  GROUP BY c.c_custkey) co
+            |GROUP BY c_count
+            |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          |  FROM customer c LEFT OUTER JOIN orders o
+          |    ON c.c_custkey = o.o_custkey
+          |   AND o.o_orderpriority <> '1-URGENT'
+          |  GROUP BY c.c_custkey) co
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
     // ----- SCD Type-2 dimension build: each order becomes a VERSIONED
     // row of its customer's purchase history with a [valid_from,
     // valid_to) interval — valid_to = the next version's start via
