@@ -52,6 +52,18 @@ class StorageSpec extends SparkSpec {
       s"no dynamic partition pruning in plan:\n$plan")
   }
 
+  test("m_sql_q17 decorrelates the scalar subquery into an agg-join") {
+    // the correlated 0.2*avg(l_quantity) subquery must become a
+    // per-partkey Aggregate joined on the correlation key — a surviving
+    // per-row subquery would re-scan lineitem once per matched row
+    val df = SparkEntry.queries("m_sql_q17")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"scalar subquery survived decorrelation:\n$opt")
+    assert(opt.contains("avg(l_quantity"),
+      s"decorrelated aggregate missing from plan:\n$opt")
+  }
+
   test("m_aqe_skew splits the hot partition at runtime") {
     val df = SparkEntry.queries("m_aqe_skew")(spark, sf)
     // collect() (not a noop write — that plans a SEPARATE QueryExecution)
