@@ -1279,6 +1279,118 @@ object Ext {
           |GROUP BY c_count
           |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // ----- TPC-H Q7 (volume shipping): the planning twist is the
+    // DISJUNCTIVE join-level predicate — (n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)
+    // can't push into either nation join alone; the optimizer must
+    // carry it above both joins while still keying every join (the
+    // cartesian-free guard holds). Both nation sides are broadcast
+    // dims; the 4-way fact chain shuffles on its natural keys. Volume
+    // is DECIMAL end-to-end; year extraction pinned to INT on both
+    // engines.
+    Q("m_sql_q7",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        s.sql(
+          """SELECT supp_nation, cust_nation, l_year,
+            |  CAST(sum(volume) AS DOUBLE) AS revenue
+            |FROM (
+            |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+            |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |      (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+            |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+            |  JOIN orders ON o_orderkey = l_orderkey
+            |  JOIN customer ON c_custkey = o_custkey
+            |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+            |GROUP BY supp_nation, cust_nation, l_year
+            |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+      },
+      Some(
+        """SELECT supp_nation, cust_nation, l_year,
+          |  CAST(sum(volume) AS DOUBLE) AS revenue
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+          |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+          |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          |  JOIN orders ON o_orderkey = l_orderkey
+          |  JOIN customer ON c_custkey = o_custkey
+          |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ----- TPC-H Q8 (national market share), adapted: the classic
+    // 7-table star — part prunes the fact first (most selective), the
+    // region filter reaches the fact only THROUGH the customer→nation
+    // dim chain, and the supplier nation is carried out as a CASE
+    // branch. Emits numerator and denominator as separate exact decimal
+    // sums instead of their ratio — cross-engine decimal division
+    // scales differ while the sums are bit-identical (the share is
+    // numerator/denominator to any consumer).
+    Q("m_sql_q8",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.region(s, d).createOrReplaceTempView("region")
+        s.sql(
+          """SELECT o_year,
+            |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+            |               ELSE 0 END) AS DOUBLE) AS nation_volume,
+            |  CAST(sum(volume) AS DOUBLE) AS total_volume
+            |FROM (
+            |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+            |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |      (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+            |    n2.n_name AS nation
+            |  FROM part JOIN lineitem ON p_partkey = l_partkey
+            |  JOIN supplier ON s_suppkey = l_suppkey
+            |  JOIN orders ON l_orderkey = o_orderkey
+            |  JOIN customer ON o_custkey = c_custkey
+            |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            |  JOIN region ON n1.n_regionkey = r_regionkey
+            |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') all_nations
+            |GROUP BY o_year ORDER BY o_year""".stripMargin)
+      },
+      Some(
+        """SELECT o_year,
+          |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+          |               ELSE 0 END) AS DOUBLE) AS nation_volume,
+          |  CAST(sum(volume) AS DOUBLE) AS total_volume
+          |FROM (
+          |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+          |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+          |    n2.n_name AS nation
+          |  FROM part JOIN lineitem ON p_partkey = l_partkey
+          |  JOIN supplier ON s_suppkey = l_suppkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |  JOIN region ON n1.n_regionkey = r_regionkey
+          |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') all_nations
+          |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
     // ----- SCD Type-2 dimension build: each order becomes a VERSIONED
     // row of its customer's purchase history with a [valid_from,
     // valid_to) interval — valid_to = the next version's start via
