@@ -83,4 +83,31 @@ class PropertySpec extends SparkSpec {
     }
     check(prop)
   }
+
+  test("PNG codec round-trip recovers dimensions and pixel checksum") {
+    val s = spark
+    import s.implicits._
+    // arbitrary printable-ASCII documents, not just the fixture's —
+    // the decode stage must recover exactly what the contract says the
+    // encoder rendered (width n%64+1, height n%48+1, pixels = cycled
+    // code points) from genuinely compressed PNG bytes
+    val textGen = Gen.chooseNum(1, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(textGen).map(_.take(16))) {
+      texts =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = graft.ops.Multimodal.decodePartitions(
+            graft.ops.Multimodal.encodePartitions(docs))
+          .collect().map(r => (r.getLong(0),
+            (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          val n = t.length
+          val (w, h) = (n % 64 + 1, n % 48 + 1)
+          val sum = (0 until w * h).map(p => t(p % n).toLong).sum
+          got(i.toLong) == ((w, h, w * h, sum % 1000003L))
+        }
+    }
+    check(prop)
+  }
 }
