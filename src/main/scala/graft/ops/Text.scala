@@ -868,5 +868,125 @@ object Text {
           |FROM ov JOIN sz q ON q.doc_id = qid
           |WHERE common * 5 >= q.ng
           |ORDER BY qid, containment DESC, did""".stripMargin)),
+
+    // ----- BPE merge induction (tokenizer TRAINING, not just token
+    // counting): 3 rounds of count-adjacent-pairs → take the most
+    // frequent pair → merge it in every word, the Sennrich 2016
+    // subword-units loop. The scale trick is classic: train on the
+    // DISTINCT word-frequency table (one corpus scan, then corpus size
+    // never matters again), pair counts are map-side-combinable
+    // weighted sums, the winning pair rides back in as a broadcast
+    // 1-row frame (no driver round-trip), and the merge itself is a
+    // map-only greedy left-to-right fold (`aggregate` HOF — non-
+    // overlapping occurrences, exactly HuggingFace/sentencepiece
+    // semantics). `localCheckpoint` per round keeps the unrolled
+    // lineage flat (the Graph.scala pagerank discipline). Ties on pair
+    // count break (left, right) lexicographically on both engines.
+    // The DuckDB oracle applies each merge as replace-until-fixpoint
+    // over space-joined symbols, proven equivalent to the greedy fold.
+    Q("t_bpe_merges",
+      (s, d) => {
+        val zero = array().cast("array<string>")
+        def pairTop(words: org.apache.spark.sql.DataFrame) =
+          words.select(col("cnt"),
+              explode(zip_with(
+                slice(col("syms"), lit(1), size(col("syms")) - 1),
+                slice(col("syms"), lit(2), size(col("syms")) - 1),
+                (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(desc("c"), col("l"), col("r"))
+            .limit(1)
+        def merged(words: org.apache.spark.sql.DataFrame,
+                   top: org.apache.spark.sql.DataFrame) =
+          words.crossJoin(broadcast(top))
+            .select(col("cnt"),
+              aggregate(col("syms"), zero, (acc, x) =>
+                when(size(acc) > 0 &&
+                    element_at(acc, -1) === col("l") && x === col("r"),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(col("l"), col("r")))))
+                  .otherwise(concat(acc, array(x)))).as("syms"))
+        val s0 = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")).between(1, 20))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"),
+            transform(sequence(lit(1), length(col("w"))),
+              i => col("w").substr(i, lit(1))).as("syms"))
+          .localCheckpoint()
+        val t1 = pairTop(s0).localCheckpoint()
+        val s1 = merged(s0, t1).localCheckpoint()
+        val t2 = pairTop(s1).localCheckpoint()
+        val s2 = merged(s1, t2).localCheckpoint()
+        val t3 = pairTop(s2).localCheckpoint()
+        t1.select(lit(1).as("step"), col("l"), col("r"), col("c"))
+          .unionAll(t2.select(lit(2), col("l"), col("r"), col("c")))
+          .unionAll(t3.select(lit(3), col("l"), col("r"), col("c")))
+          .select(col("step"), col("l").as("left_sym"),
+            col("r").as("right_sym"), col("c").as("pair_count"))
+          .orderBy("step")
+      },
+      Some(
+        """WITH RECURSIVE wf AS (
+          |  SELECT w, count(*) AS cnt FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w
+          |    FROM documents) u
+          |  WHERE length(w) BETWEEN 1 AND 20 GROUP BY w
+          |), s0 AS (
+          |  SELECT w, cnt,
+          |    ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s
+          |  FROM wf
+          |), p1 AS (
+          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+          |          FROM s0) t,
+          |      unnest(range(1, length(syms))) AS u(i)) pp
+          |  GROUP BY l, r
+          |), m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1
+          |), f1 AS (
+          |  SELECT w, cnt, s, 0 AS it FROM s0
+          |  UNION ALL
+          |  SELECT f.w, f.cnt,
+          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
+          |    f.it+1
+          |  FROM f1 f, m1 m
+          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
+          |                ' '||m.l||m.r||' ') <> f.s
+          |), s1 AS (
+          |  SELECT w, cnt, max_by(s, it) AS s FROM f1 GROUP BY w, cnt
+          |), p2 AS (
+          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+          |          FROM s1) t,
+          |      unnest(range(1, length(syms))) AS u(i)) pp
+          |  GROUP BY l, r
+          |), m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1
+          |), f2 AS (
+          |  SELECT w, cnt, s, 0 AS it FROM s1
+          |  UNION ALL
+          |  SELECT f.w, f.cnt,
+          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
+          |    f.it+1
+          |  FROM f2 f, m2 m
+          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
+          |                ' '||m.l||m.r||' ') <> f.s
+          |), s2 AS (
+          |  SELECT w, cnt, max_by(s, it) AS s FROM f2 GROUP BY w, cnt
+          |), p3 AS (
+          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+          |          FROM s2) t,
+          |      unnest(range(1, length(syms))) AS u(i)) pp
+          |  GROUP BY l, r
+          |), m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+          |SELECT * FROM (
+          |  SELECT 1 AS step, l AS left_sym, r AS right_sym,
+          |         c AS pair_count FROM m1
+          |  UNION ALL SELECT 2, l, r, c FROM m2
+          |  UNION ALL SELECT 3, l, r, c FROM m3) ORDER BY step""".stripMargin)),
   )
 }
