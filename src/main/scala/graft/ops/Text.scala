@@ -90,6 +90,54 @@ object Text {
       .select(col("doc_id"), col("pos"), col("n_grams"), col("fp"))
   }
 
+  /** Three BPE training rounds over the corpus word-frequency table
+    * (t_bpe_merges / t_bpe_segment). Returns the per-round winning-pair
+    * frames (1 row each: l, r, c) and the fully-merged word table
+    * (w, cnt, syms). One corpus scan; pair counts are weighted map-side-
+    * combinable sums; each winner rides back in as a broadcast 1-row
+    * frame; the merge is a map-only greedy left-to-right fold.
+    * `localCheckpoint` per round keeps the unrolled lineage flat.
+    */
+  private def bpeRounds(s: SparkSession, d: String)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    val zero = array().cast("array<string>")
+    def pairTop(words: org.apache.spark.sql.DataFrame) =
+      words.select(col("cnt"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), col("l"), col("r"))
+        .limit(1)
+    def merged(words: org.apache.spark.sql.DataFrame,
+               top: org.apache.spark.sql.DataFrame) =
+      words.crossJoin(broadcast(top))
+        .select(col("w"), col("cnt"),
+          aggregate(col("syms"), zero, (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === col("l") && x === col("r"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("l"), col("r")))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+    val s0 = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")).between(1, 20))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val t1 = pairTop(s0).localCheckpoint()
+    val s1 = merged(s0, t1).localCheckpoint()
+    val t2 = pairTop(s1).localCheckpoint()
+    val s2 = merged(s1, t2).localCheckpoint()
+    val t3 = pairTop(s2).localCheckpoint()
+    // the final merge stays lazy — t_bpe_merges never executes it
+    (Seq(t1, t2, t3), merged(s2, t3))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----- token counting: whitespace tokenization + distinct + avg length
@@ -886,43 +934,10 @@ object Text {
     // over space-joined symbols, proven equivalent to the greedy fold.
     Q("t_bpe_merges",
       (s, d) => {
-        val zero = array().cast("array<string>")
-        def pairTop(words: org.apache.spark.sql.DataFrame) =
-          words.select(col("cnt"),
-              explode(zip_with(
-                slice(col("syms"), lit(1), size(col("syms")) - 1),
-                slice(col("syms"), lit(2), size(col("syms")) - 1),
-                (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-            .agg(sum(col("cnt")).as("c"))
-            .orderBy(desc("c"), col("l"), col("r"))
-            .limit(1)
-        def merged(words: org.apache.spark.sql.DataFrame,
-                   top: org.apache.spark.sql.DataFrame) =
-          words.crossJoin(broadcast(top))
-            .select(col("cnt"),
-              aggregate(col("syms"), zero, (acc, x) =>
-                when(size(acc) > 0 &&
-                    element_at(acc, -1) === col("l") && x === col("r"),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(concat(col("l"), col("r")))))
-                  .otherwise(concat(acc, array(x)))).as("syms"))
-        val s0 = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")).between(1, 20))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .select(col("cnt"),
-            transform(sequence(lit(1), length(col("w"))),
-              i => col("w").substr(i, lit(1))).as("syms"))
-          .localCheckpoint()
-        val t1 = pairTop(s0).localCheckpoint()
-        val s1 = merged(s0, t1).localCheckpoint()
-        val t2 = pairTop(s1).localCheckpoint()
-        val s2 = merged(s1, t2).localCheckpoint()
-        val t3 = pairTop(s2).localCheckpoint()
-        t1.select(lit(1).as("step"), col("l"), col("r"), col("c"))
-          .unionAll(t2.select(lit(2), col("l"), col("r"), col("c")))
-          .unionAll(t3.select(lit(3), col("l"), col("r"), col("c")))
+        val (tops, _) = bpeRounds(s, d)
+        tops.zipWithIndex.map { case (t, i) =>
+            t.select(lit(i + 1).as("step"), col("l"), col("r"), col("c"))
+          }.reduce(_ unionAll _)
           .select(col("step"), col("l").as("left_sym"),
             col("r").as("right_sym"), col("c").as("pair_count"))
           .orderBy("step")
@@ -988,5 +1003,88 @@ object Text {
           |         c AS pair_count FROM m1
           |  UNION ALL SELECT 2, l, r, c FROM m2
           |  UNION ALL SELECT 3, l, r, c FROM m3) ORDER BY step""".stripMargin)),
+
+    // ----- the learned merges applied: top-20 vocabulary words with
+    // their post-merge subword segmentation — the tokenizer's OUTPUT
+    // side (what a trained BPE vocab does to text). Same machinery as
+    // t_bpe_merges with the final merge actually executed; the oracle
+    // extends the fixpoint chain one round and joins space-separated.
+    Q("t_bpe_segment",
+      (s, d) => {
+        val (_, words) = bpeRounds(s, d)
+        words.select(col("w"), col("cnt"),
+            concat_ws(" ", col("syms")).as("segmented"))
+          .orderBy(desc("cnt"), col("w"))
+          .limit(20)
+      },
+      Some(
+        """WITH RECURSIVE wf AS (
+          |  SELECT w, count(*) AS cnt FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w
+          |    FROM documents) u
+          |  WHERE length(w) BETWEEN 1 AND 20 GROUP BY w
+          |), s0 AS (
+          |  SELECT w, cnt,
+          |    ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s
+          |  FROM wf
+          |), p1 AS (
+          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+          |          FROM s0) t,
+          |      unnest(range(1, length(syms))) AS u(i)) pp
+          |  GROUP BY l, r
+          |), m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1
+          |), f1 AS (
+          |  SELECT w, cnt, s, 0 AS it FROM s0
+          |  UNION ALL
+          |  SELECT f.w, f.cnt,
+          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
+          |    f.it+1
+          |  FROM f1 f, m1 m
+          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
+          |                ' '||m.l||m.r||' ') <> f.s
+          |), s1 AS (
+          |  SELECT w, cnt, max_by(s, it) AS s FROM f1 GROUP BY w, cnt
+          |), p2 AS (
+          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+          |          FROM s1) t,
+          |      unnest(range(1, length(syms))) AS u(i)) pp
+          |  GROUP BY l, r
+          |), m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1
+          |), f2 AS (
+          |  SELECT w, cnt, s, 0 AS it FROM s1
+          |  UNION ALL
+          |  SELECT f.w, f.cnt,
+          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
+          |    f.it+1
+          |  FROM f2 f, m2 m
+          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
+          |                ' '||m.l||m.r||' ') <> f.s
+          |), s2 AS (
+          |  SELECT w, cnt, max_by(s, it) AS s FROM f2 GROUP BY w, cnt
+          |), p3 AS (
+          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+          |          FROM s2) t,
+          |      unnest(range(1, length(syms))) AS u(i)) pp
+          |  GROUP BY l, r
+          |), m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1
+          |), f3 AS (
+          |  SELECT w, cnt, s, 0 AS it FROM s2
+          |  UNION ALL
+          |  SELECT f.w, f.cnt,
+          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
+          |    f.it+1
+          |  FROM f3 f, m3 m
+          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
+          |                ' '||m.l||m.r||' ') <> f.s
+          |), s3 AS (
+          |  SELECT w, cnt, max_by(s, it) AS s FROM f3 GROUP BY w, cnt)
+          |SELECT w, cnt, trim(s) AS segmented FROM s3
+          |ORDER BY cnt DESC, w LIMIT 20""".stripMargin)),
   )
 }
