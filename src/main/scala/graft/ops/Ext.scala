@@ -1391,6 +1391,35 @@ object Ext {
           |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') all_nations
           |GROUP BY o_year ORDER BY o_year""".stripMargin)),
 
+    // ----- NOT IN subquery → null-aware anti join: the third
+    // decorrelation family after EXISTS/NOT EXISTS (Q4/Q21, plain
+    // semi/anti) and correlated scalar aggregate (Q17). NOT IN is
+    // NULL-poisoned three-valued logic — one NULL in the subquery
+    // output empties the whole result — so the engine must plan the
+    // null-aware variant (StorageSpec pins `isNullAwareAntiJoin` on the
+    // broadcast join), not a plain anti join. Exclusion lists (banned
+    // users, contaminated sources) are this exact shape in every
+    // production pipeline.
+    Q("m_sql_notin",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n
+            |FROM orders
+            |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+            |                        WHERE c_acctbal < 0)
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+          |                        WHERE c_acctbal < 0)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)),
+
     // ----- SCD Type-2 dimension build: each order becomes a VERSIONED
     // row of its customer's purchase history with a [valid_from,
     // valid_to) interval — valid_to = the next version's start via

@@ -64,6 +64,18 @@ class StorageSpec extends SparkSpec {
       s"decorrelated aggregate missing from plan:\n$opt")
   }
 
+  test("m_sql_notin plans the null-aware anti join") {
+    // plain LeftAnti would silently give wrong answers the day the
+    // exclusion subquery produces a NULL — the planner must pick the
+    // null-aware variant for NOT IN
+    val df = SparkEntry.queries("m_sql_notin")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
+    // bare trailing boolean: "LeftAnti, BuildRight, true"
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not plan null-aware anti join:\n$plan")
+  }
+
   test("m_aqe_skew splits the hot partition at runtime") {
     val df = SparkEntry.queries("m_aqe_skew")(spark, sf)
     // collect() (not a noop write — that plans a SEPARATE QueryExecution)
