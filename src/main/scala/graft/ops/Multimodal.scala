@@ -113,8 +113,10 @@ object Multimodal {
         val w = n % 64 + 1
         val h = n % 48 + 1
         val data = new Array[Byte](w * h)
+        // empty text renders as a single black pixel (the array stays
+        // zeroed) — `i % n` must not run with n == 0
         var i = 0
-        while (i < w * h) {
+        while (n > 0 && i < w * h) {
           data(i) = text.charAt(i % n).toByte
           i += 1
         }
@@ -254,10 +256,12 @@ object Multimodal {
           |  CAST(n_chars % 48 + 1 AS INT) AS height,
           |  CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS INT)
           |    AS n_pixels,
-          |  CAST(list_sum(list_transform(
-          |    range((n_chars % 64 + 1) * (n_chars % 48 + 1)),
-          |    i -> ascii(substr(text, CAST(i % n_chars AS INT) + 1, 1))))
-          |    % 1000003 AS BIGINT) AS checksum
+          |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST(list_sum(list_transform(
+          |         range((n_chars % 64 + 1) * (n_chars % 48 + 1)),
+          |         i -> ascii(substr(text, CAST(i % n_chars AS INT) + 1,
+          |                           1))))
+          |         % 1000003 AS BIGINT) END AS checksum
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- shard packing for blob datasets (the WebDataset/tar-shard

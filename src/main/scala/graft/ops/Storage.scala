@@ -37,6 +37,11 @@ object Storage {
   private def sfx(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+|_+$", "")
 
+  /** The day-partitioned events table's catalog name for a fixture dir —
+    * exposed so StorageSpec doesn't duplicate the mangling. */
+  private[graft] def eventsTableName(dir: String): String =
+    s"graft_events_day_${sfx(dir)}"
+
   /** Run the landing `write` once per (session, dir, table): layout is
     * ingest-time work — Verify lands each table once per run and Bench's
     * three interleaved rounds re-measure the read side, not the ETL.
@@ -92,6 +97,8 @@ object Storage {
     * a date-partitioned 100-TB log listable.
     */
   private def partedEvents(s: SparkSession, d: String): String =
+    // name must stay in sync with eventsTableName: ensureTable appends
+    // the same sfx(d)
     ensureTable(s, d, "graft_events_day") { t =>
       Tables.events(s, d)
         .withColumn("day", expr("(unix_micros(ts) div 1000000) div 86400"))

@@ -123,7 +123,10 @@ object Text {
               .otherwise(concat(acc, array(x)))).as("syms"))
     val s0 = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")).between(1, 20))
+      // the '|' exclusion mirrors the oracle's wrapped-symbol encoding
+      // (symbols must never contain the wrap char); the fixture is pure
+      // [a-z ] so nothing is actually dropped
+      .filter(length(col("w")).between(1, 20) && !col("w").contains("|"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"),
         transform(sequence(lit(1), length(col("w"))),
@@ -137,6 +140,51 @@ object Text {
     // the final merge stays lazy — t_bpe_merges never executes it
     (Seq(t1, t2, t3), merged(s2, t3))
   }
+
+  /** Shared DuckDB oracle chain for the BPE queries. Symbol lists ride
+    * as strings with EACH symbol individually wrapped — `|a||b||c|` —
+    * so one `replace('|l||r|' → '|lr|')` per round IS the greedy
+    * left-to-right non-overlapping merge: adjacent occurrences share no
+    * delimiter, so a single left-to-right replace pass consumes exactly
+    * the pairs the Spark fold consumes. (A space-joined encoding needs
+    * replace-until-fixpoint and STILL diverges from the fold when a
+    * doubled symbol wins a round, e.g. merging (a,a) in `aaaaa`:
+    * fold → [aa,aa,a], fixpoint → [aa,a,aa]. The wrapped single-pass
+    * form is exhaustively equivalence-checked against the fold over
+    * all ≤12-symbol binary words and an adversarial doubled-letter
+    * corpus.) The '|' wrap char is excluded from words on both engines.
+    */
+  private def bpePairCte(src: String, p: String, m: String): String =
+    s""", $p AS (
+       |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+       |    FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS syms
+       |          FROM $src) t,
+       |      unnest(range(1, length(syms))) AS u(i)) pp
+       |  GROUP BY l, r
+       |), $m AS (SELECT l, r, c FROM $p ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+
+  private def bpeMergeCte(src: String, m: String, out: String): String =
+    s""", $out AS (
+       |  SELECT w, cnt,
+       |    replace(s, '|'||$m.l||'||'||$m.r||'|', '|'||$m.l||$m.r||'|')
+       |      AS s
+       |  FROM $src, $m)""".stripMargin
+
+  private val bpeOracleChain: String =
+    """WITH wf AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+      |  WHERE length(w) BETWEEN 1 AND 20 AND NOT contains(w, '|')
+      |  GROUP BY w
+      |), s0 AS (
+      |  SELECT w, cnt,
+      |    '|' || array_to_string(split(w, ''), '||') || '|' AS s
+      |  FROM wf
+      |)""".stripMargin +
+      bpePairCte("s0", "p1", "m1") + bpeMergeCte("s0", "m1", "s1") +
+      bpePairCte("s1", "p2", "m2") + bpeMergeCte("s1", "m2", "s2") +
+      bpePairCte("s2", "p3", "m3")
 
   val all: Seq[Q] = Seq(
 
@@ -942,67 +990,12 @@ object Text {
             col("r").as("right_sym"), col("c").as("pair_count"))
           .orderBy("step")
       },
-      Some(
-        """WITH RECURSIVE wf AS (
-          |  SELECT w, count(*) AS cnt FROM (
-          |    SELECT unnest(string_split(text, ' ')) AS w
-          |    FROM documents) u
-          |  WHERE length(w) BETWEEN 1 AND 20 GROUP BY w
-          |), s0 AS (
-          |  SELECT w, cnt,
-          |    ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s
-          |  FROM wf
-          |), p1 AS (
-          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
-          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
-          |          FROM s0) t,
-          |      unnest(range(1, length(syms))) AS u(i)) pp
-          |  GROUP BY l, r
-          |), m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1
-          |), f1 AS (
-          |  SELECT w, cnt, s, 0 AS it FROM s0
-          |  UNION ALL
-          |  SELECT f.w, f.cnt,
-          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
-          |    f.it+1
-          |  FROM f1 f, m1 m
-          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
-          |                ' '||m.l||m.r||' ') <> f.s
-          |), s1 AS (
-          |  SELECT w, cnt, max_by(s, it) AS s FROM f1 GROUP BY w, cnt
-          |), p2 AS (
-          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
-          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
-          |          FROM s1) t,
-          |      unnest(range(1, length(syms))) AS u(i)) pp
-          |  GROUP BY l, r
-          |), m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1
-          |), f2 AS (
-          |  SELECT w, cnt, s, 0 AS it FROM s1
-          |  UNION ALL
-          |  SELECT f.w, f.cnt,
-          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
-          |    f.it+1
-          |  FROM f2 f, m2 m
-          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
-          |                ' '||m.l||m.r||' ') <> f.s
-          |), s2 AS (
-          |  SELECT w, cnt, max_by(s, it) AS s FROM f2 GROUP BY w, cnt
-          |), p3 AS (
-          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
-          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
-          |          FROM s2) t,
-          |      unnest(range(1, length(syms))) AS u(i)) pp
-          |  GROUP BY l, r
-          |), m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
-          |SELECT * FROM (
-          |  SELECT 1 AS step, l AS left_sym, r AS right_sym,
-          |         c AS pair_count FROM m1
-          |  UNION ALL SELECT 2, l, r, c FROM m2
-          |  UNION ALL SELECT 3, l, r, c FROM m3) ORDER BY step""".stripMargin)),
+      Some(bpeOracleChain + """
+        |SELECT * FROM (
+        |  SELECT 1 AS step, l AS left_sym, r AS right_sym,
+        |         c AS pair_count FROM m1
+        |  UNION ALL SELECT 2, l, r, c FROM m2
+        |  UNION ALL SELECT 3, l, r, c FROM m3) ORDER BY step""".stripMargin)),
 
     // ----- the learned merges applied: top-20 vocabulary words with
     // their post-merge subword segmentation — the tokenizer's OUTPUT
@@ -1017,74 +1010,10 @@ object Text {
           .orderBy(desc("cnt"), col("w"))
           .limit(20)
       },
-      Some(
-        """WITH RECURSIVE wf AS (
-          |  SELECT w, count(*) AS cnt FROM (
-          |    SELECT unnest(string_split(text, ' ')) AS w
-          |    FROM documents) u
-          |  WHERE length(w) BETWEEN 1 AND 20 GROUP BY w
-          |), s0 AS (
-          |  SELECT w, cnt,
-          |    ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s
-          |  FROM wf
-          |), p1 AS (
-          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
-          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
-          |          FROM s0) t,
-          |      unnest(range(1, length(syms))) AS u(i)) pp
-          |  GROUP BY l, r
-          |), m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1
-          |), f1 AS (
-          |  SELECT w, cnt, s, 0 AS it FROM s0
-          |  UNION ALL
-          |  SELECT f.w, f.cnt,
-          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
-          |    f.it+1
-          |  FROM f1 f, m1 m
-          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
-          |                ' '||m.l||m.r||' ') <> f.s
-          |), s1 AS (
-          |  SELECT w, cnt, max_by(s, it) AS s FROM f1 GROUP BY w, cnt
-          |), p2 AS (
-          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
-          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
-          |          FROM s1) t,
-          |      unnest(range(1, length(syms))) AS u(i)) pp
-          |  GROUP BY l, r
-          |), m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1
-          |), f2 AS (
-          |  SELECT w, cnt, s, 0 AS it FROM s1
-          |  UNION ALL
-          |  SELECT f.w, f.cnt,
-          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
-          |    f.it+1
-          |  FROM f2 f, m2 m
-          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
-          |                ' '||m.l||m.r||' ') <> f.s
-          |), s2 AS (
-          |  SELECT w, cnt, max_by(s, it) AS s FROM f2 GROUP BY w, cnt
-          |), p3 AS (
-          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
-          |    FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
-          |          FROM s2) t,
-          |      unnest(range(1, length(syms))) AS u(i)) pp
-          |  GROUP BY l, r
-          |), m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1
-          |), f3 AS (
-          |  SELECT w, cnt, s, 0 AS it FROM s2
-          |  UNION ALL
-          |  SELECT f.w, f.cnt,
-          |    replace(f.s, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
-          |    f.it+1
-          |  FROM f3 f, m3 m
-          |  WHERE replace(f.s, ' '||m.l||' '||m.r||' ',
-          |                ' '||m.l||m.r||' ') <> f.s
-          |), s3 AS (
-          |  SELECT w, cnt, max_by(s, it) AS s FROM f3 GROUP BY w, cnt)
-          |SELECT w, cnt, trim(s) AS segmented FROM s3
-          |ORDER BY cnt DESC, w LIMIT 20""".stripMargin)),
+      Some(bpeOracleChain + bpeMergeCte("s2", "m3", "s3") + """
+        |SELECT w, cnt,
+        |  array_to_string(string_split(trim(s, '|'), '||'), ' ')
+        |    AS segmented
+        |FROM s3 ORDER BY cnt DESC, w LIMIT 20""".stripMargin)),
   )
 }

@@ -2,10 +2,14 @@ package graft
 
 /** Scale-guard: the bucketed/keyed pipelines must never plan a
   * cartesian product — at 100 TB that plan is an auto-fail regardless
-  * of fixture-scale timings. Plan-only (no execution); driver-loop and
+  * of fixture-scale timings. Mostly plan-only; driver-loop and
   * streaming queries are excluded because building their DataFrame runs
-  * jobs. `m_cosine_topk`/`m_cosine_topk_native` are exempt by design:
-  * their 8-row probe side crosses via BroadcastNestedLoopJoin, which is
+  * unbounded jobs, while a few guarded builders do run SMALL bounded
+  * jobs at sf0.001 (the storage queries land their tables once per
+  * session; the BPE pair ride back in via eager localCheckpoint) —
+  * accepted so their joins stay under the guard.
+  * `m_cosine_topk`/`m_cosine_topk_native` are exempt by design: their
+  * 8-row probe side crosses via BroadcastNestedLoopJoin, which is
   * bounded by the broadcast side.
   */
 class PlanShapeSpec extends SparkSpec {

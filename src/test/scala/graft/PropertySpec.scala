@@ -91,7 +91,7 @@ class PropertySpec extends SparkSpec {
     // the decode stage must recover exactly what the contract says the
     // encoder rendered (width n%64+1, height n%48+1, pixels = cycled
     // code points) from genuinely compressed PNG bytes
-    val textGen = Gen.chooseNum(1, 600).flatMap(n =>
+    val textGen = Gen.chooseNum(0, 600).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString))
     val prop = Prop.forAll(Gen.nonEmptyListOf(textGen).map(_.take(16))) {
       texts =>
@@ -104,7 +104,9 @@ class PropertySpec extends SparkSpec {
         texts.zipWithIndex.forall { case (t, i) =>
           val n = t.length
           val (w, h) = (n % 64 + 1, n % 48 + 1)
-          val sum = (0 until w * h).map(p => t(p % n).toLong).sum
+          // empty text renders as one black pixel
+          val sum = if (n == 0) 0L
+            else (0 until w * h).map(p => t(p % n).toLong).sum
           got(i.toLong) == ((w, h, w * h, sum % 1000003L))
         }
     }

@@ -37,7 +37,7 @@ class StorageSpec extends SparkSpec {
 
   test("m_partition_prune scans a strict subset of the partitions") {
     val df = SparkEntry.queries("m_partition_prune")(spark, sf)
-    val all = spark.table("graft_events_day_root_testdata_sf0_001")
+    val all = spark.table(graft.ops.Storage.eventsTableName(sf))
       .inputFiles.length
     val pruned = df.inputFiles.length
     info(s"scan reads $pruned of $all files")

@@ -25,7 +25,6 @@ class WatermarkQuirkSpec extends SparkSpec {
     val s = spark
     val dir = java.nio.file.Files
       .createTempDirectory("graft_wm_quirk").toFile
-    dir.deleteOnExit()
 
     // Two single-line JSON files = two planned micro-batches under
     // maxFilesPerTrigger=1 (AvailableNow honors source read limits).
@@ -52,16 +51,26 @@ class WatermarkQuirkSpec extends SparkSpec {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
-    val q = agg.writeStream.format("memory").queryName("wm_quirk_sink")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try assert(q.awaitTermination(120000L), "stream did not finish")
-    finally q.stop()
-
-    val rows = s.table("wm_quirk_sink")
-      .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows =
+      try {
+        val q = agg.writeStream.format("memory")
+          .queryName("wm_quirk_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try assert(q.awaitTermination(120000L), "stream did not finish")
+        finally q.stop()
+        s.table("wm_quirk_sink")
+          .select(date_format(col("window.start"), "HH:mm").as("w"),
+            col("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally {
+        // deleteOnExit can't remove non-empty dirs (the source leaves
+        // the JSON inputs behind) — delete the tree depth-first now
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     // THE QUIRK: the 09:00 window materializes with the late row in it.
     // Correct cross-batch watermarking would yield Map("10:00" -> 1)
     // exactly as in StreamsSpec — if this assertion starts failing that
