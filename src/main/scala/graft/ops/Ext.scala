@@ -1420,6 +1420,44 @@ object Ext {
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)),
 
+    // ----- TPC-H Q19 (discounted revenue), adapted to the fixture's
+    // part columns: a DISJUNCTION OF CONJUNCTIONS spanning both join
+    // sides. The planning test is predicate splitting: from
+    // (A1∧B1)∨(A2∧B2)∨(A3∧B3) the optimizer must derive the
+    // single-side residuals (A1∨A2∨A3 onto part, B1∨B2∨B3 onto
+    // lineitem) and push them below the join, leaving the cross-side
+    // disjunction as the join filter — otherwise every row of both
+    // tables reaches the join. Revenue decimal-exact as everywhere.
+    Q("m_sql_q19",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |         (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+            |       AS DOUBLE) AS revenue,
+            |  count(*) AS n
+            |FROM lineitem JOIN part ON p_partkey = l_partkey
+            |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            |       AND l_quantity BETWEEN 1 AND 11)
+            |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+            |       AND l_quantity BETWEEN 10 AND 20)
+            |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+            |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      },
+      Some(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |         (1.00 - CAST(l_discount AS DECIMAL(4,2))))
+          |       AS DOUBLE) AS revenue,
+          |  count(*) AS n
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // ----- SCD Type-2 dimension build: each order becomes a VERSIONED
     // row of its customer's purchase history with a [valid_from,
     // valid_to) interval — valid_to = the next version's start via

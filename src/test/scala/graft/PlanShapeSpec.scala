@@ -40,7 +40,8 @@ class PlanShapeSpec extends SparkSpec {
     // pinned in StorageSpec; here they just stay cartesian-free)
     "m_bucketed_join", "m_partition_prune", "m_dpp", "m_aqe_skew",
     "m_sql_q4", "m_sql_q21", "m_bloom_prune", "m_sql_q17", "m_sql_q13",
-    "m_ann_pq_rerank", "m_sql_q7", "m_sql_q8", "t_bpe_merges", "t_bpe_segment", "m_sql_notin")
+    "m_ann_pq_rerank", "m_sql_q7", "m_sql_q8", "t_bpe_merges",
+    "t_bpe_segment", "m_sql_notin", "m_sql_q19")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single

@@ -76,6 +76,21 @@ class StorageSpec extends SparkSpec {
       s"NOT IN did not plan null-aware anti join:\n$plan")
   }
 
+  test("m_sql_q19 pushes single-side residual disjunctions below the join") {
+    // from (A1∧B1)∨(A2∧B2)∨(A3∧B3) the optimizer must derive the
+    // part-only and lineitem-only OR-residuals and push each below the
+    // join — without the split, every row of both tables reaches it
+    val df = SparkEntry.queries("m_sql_q19")(spark, sf)
+    val lines = df.queryExecution.optimizedPlan.toString.linesIterator
+      .map(_.dropWhile(c => !c.isLetter)).toSeq
+    def pushedFilter(has: String, lacks: String) = lines.exists(l =>
+      l.startsWith("Filter") && l.contains(has) && !l.contains(lacks))
+    assert(pushedFilter("l_quantity", "p_brand"),
+      "quantity OR-residual not pushed to the lineitem side")
+    assert(pushedFilter("p_brand", "l_quantity"),
+      "brand/size OR-residual not pushed to the part side")
+  }
+
   test("m_aqe_skew splits the hot partition at runtime") {
     val df = SparkEntry.queries("m_aqe_skew")(spark, sf)
     // collect() (not a noop write — that plans a SEPARATE QueryExecution)
