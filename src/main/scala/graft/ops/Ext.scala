@@ -187,29 +187,38 @@ object Ext {
     // that is tens of billions of doubles per reducer, a guaranteed OOM.
     // approx_percentile keeps a fixed-size sketch (Greenwald-Khanna,
     // accuracy 10000 -> rank error <= 1/10000). The sketch value is
-    // engine-specific, so the CHECKED output is the exact value plus a
-    // relative-error acceptance flag (same verified-tolerance pattern as
-    // m_approx_distinct): the oracle's literal TRUE only matches if the
-    // sketch really is inside 0.1%.
+    // engine-specific, so the CHECKED output is the exact value plus an
+    // acceptance flag (same verified-tolerance pattern as
+    // m_approx_distinct). The acceptance checks the sketch's ACTUAL
+    // contract — rank error, not value error: the approx value must lie
+    // inside the exact [p-0.001, p+0.001] percentile band. A value-error
+    // check (|a-p|/p < eps) is scale-fragile: approx_percentile returns a
+    // real data point (no interpolation), so on a sparse group the gap to
+    // the interpolated exact value exceeds any fixed eps even though the
+    // sketch is rank-perfect (observed at sf0.001, ~2k rows/group).
     Q("m_percentiles_approx",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          expr("percentile(l_extendedprice, 0.499)").as("p50_lo"),
+          expr("percentile(l_extendedprice, 0.501)").as("p50_hi"),
+          expr("percentile(l_extendedprice, 0.899)").as("p90_lo"),
+          expr("percentile(l_extendedprice, 0.901)").as("p90_hi"),
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
         .select(col("l_returnflag"), col("p50"), col("p90"),
-          (abs(col("a50") - col("p50")) / col("p50") < 0.001)
-            .as("p50_within_01pct"),
-          (abs(col("a90") - col("p90")) / col("p90") < 0.001)
-            .as("p90_within_01pct"))
+          (col("a50") >= col("p50_lo") && col("a50") <= col("p50_hi"))
+            .as("p50_within_rank_tol"),
+          (col("a90") >= col("p90_lo") && col("a90") <= col("p90_hi"))
+            .as("p90_within_rank_tol"))
         .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
           |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-          |  TRUE AS p50_within_01pct, TRUE AS p90_within_01pct
+          |  TRUE AS p50_within_rank_tol, TRUE AS p90_within_rank_tol
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)),
 
