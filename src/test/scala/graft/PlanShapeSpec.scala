@@ -41,7 +41,12 @@ class PlanShapeSpec extends SparkSpec {
     "m_bucketed_join", "m_partition_prune", "m_dpp", "m_aqe_skew",
     "m_sql_q4", "m_sql_q21", "m_bloom_prune", "m_sql_q17", "m_sql_q13",
     "m_ann_pq_rerank", "m_sql_q7", "m_sql_q8", "t_bpe_merges",
-    "t_bpe_segment", "m_sql_notin", "m_sql_q19")
+    "t_bpe_segment", "m_sql_notin", "m_sql_q19",
+    // round 6 TPC-H completion set: every subquery decorrelates to a
+    // keyed join (Q2/Q20 shapes separately pinned in StorageSpec)
+    "m_sql_q2", "m_sql_q6", "m_sql_q9", "m_sql_q10", "m_sql_q11",
+    "m_sql_q12", "m_sql_q14", "m_sql_q15", "m_sql_q16", "m_sql_q20",
+    "m_sql_q22")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single

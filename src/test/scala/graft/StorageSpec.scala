@@ -64,6 +64,35 @@ class StorageSpec extends SparkSpec {
       s"decorrelated aggregate missing from plan:\n$opt")
   }
 
+  test("m_sql_q2 decorrelates the min-cost subquery into an agg-join") {
+    // the region-wide min(ps_supplycost) correlated on p_partkey must
+    // become a per-partkey aggregate over the snowflake, joined back on
+    // the correlation key — surviving per-row execution would re-run a
+    // 4-table join once per part
+    val df = SparkEntry.queries("m_sql_q2")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"scalar subquery survived decorrelation:\n$opt")
+    assert(opt.contains("min(ps_supplycost"),
+      s"decorrelated min aggregate missing from plan:\n$opt")
+  }
+
+  test("m_sql_q20 rewrites the IN-chain to semi joins and decorrelates " +
+    "the half-sum") {
+    // TPC-H's deepest nest: IN(IN + correlated scalar on a TWO-column
+    // key). The plan must show (a) LeftSemi joins for both IN levels and
+    // (b) the scalar half-sum as a (partkey, suppkey) aggregate — no
+    // surviving correlated subquery anywhere
+    val df = SparkEntry.queries("m_sql_q20")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"scalar subquery survived decorrelation:\n$opt")
+    assert(opt.contains("LeftSemi"),
+      s"IN subqueries did not plan as semi joins:\n$opt")
+    assert(opt.contains("sum(l_quantity"),
+      s"decorrelated half-sum aggregate missing from plan:\n$opt")
+  }
+
   test("m_sql_notin plans the null-aware anti join") {
     // plain LeftAnti would silently give wrong answers the day the
     // exclusion subquery produces a NULL — the planner must pick the
