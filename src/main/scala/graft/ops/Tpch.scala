@@ -69,7 +69,12 @@ object Tpch {
       (s, d) => { views(s, d, tables: _*); s.sql(text) },
       Some(text))
 
-  /** Lineitem-derived partsupp bridge (see object doc). */
+  /** Lineitem-derived partsupp bridge (see object doc). Spark inlines a
+    * deterministic CTE at every reference, so Q2's two uses (main join +
+    * decorrelated min subquery) each aggregate lineitem once — fine here,
+    * but at 100 TB the bridge is exactly the derived dimension you'd
+    * land as a real (bucketed) table once and join twice, as
+    * m_bucketed_join demonstrates. */
   private val Bridge =
     """partsupp AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
