@@ -149,7 +149,82 @@ object Ingest {
     parsed.groupBy("file")
       .agg(count(lit(1)).as("parsed_lines"), sum("views").as("sum_views"))
 
+  // ---------- A8/A9: columnar + text format round-trips ----------
+
+  /** Land a deterministic lineitem slice in `fmt` once per (session,
+    * fixture), then read it back through the SAME `spark.read` path a
+    * production job would use. The oracle aggregates the ORIGINAL
+    * parquet — so a hash match proves the format round-trip preserved
+    * every value (doubles via shortest-repr text for CSV, timestamps
+    * through an explicit pinned format). Parquet is A1; these close the
+    * source/sink matrix with the other two formats Spark ships
+    * natively (no connector jar): ORC (columnar, predicate-pushdown
+    * capable like parquet) and CSV (the interchange lowest common
+    * denominator — schema-on-read, everything stringly).
+    */
+  private def roundTrip(s: SparkSession, d: String, fmt: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+|_+$", "")
+    val path = s"/tmp/graft_rt_${fmt}_$sfx"
+    val m = Tables.sessionScoped(s)
+    val key = s"rt:$fmt:$path"
+    if (m.get(key) == null) {
+      val slice = Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+      fmt match {
+        case "orc" => slice.write.mode("overwrite").orc(path)
+        case "csv" => slice.write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(path)
+      }
+      m.putIfAbsent(key, s.emptyDataFrame) // presence marker only
+    }
+    fmt match {
+      case "orc" => s.read.orc(path)
+      case "csv" => s.read
+        .schema(Tables.lineitem(s, d).schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    }
+  }
+
+  /** Shared content digest over a round-tripped slice: per-flag counts,
+    * decimal-exact money/quantity sums, timestamp extremum — one flipped
+    * bit anywhere in the slice flips a hash. */
+  private def digest(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("max_ship"))
+      .orderBy("l_returnflag")
+
+  private val digestOracle =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_base,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty,
+      |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
+
+    // ----- A8: ORC write → read → digest vs the parquet original
+    Q("a8_orc_roundtrip",
+      (s, d) => digest(roundTrip(s, d, "orc")),
+      Some(digestOracle)),
+
+    // ----- A9: CSV (header + pinned timestamp format) write → read with
+    // the original schema → digest vs the parquet original — doubles
+    // survive via Spark's shortest-repr text form
+    Q("a9_csv_roundtrip",
+      (s, d) => digest(roundTrip(s, d, "csv")),
+      Some(digestOracle)),
 
     // ----- A4: variadic-tail TSV parse, typed head + array tail
     Q("a4_tsv_parse",
