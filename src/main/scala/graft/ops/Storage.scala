@@ -137,6 +137,36 @@ object Storage {
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
 
+    // ----- shuffle-free bucketed WINDOW: the other half of the bucket
+    // dividend. A window partitioned by the bucket key reads its
+    // required ClusteredDistribution straight off the scan — zero
+    // exchange before the Window operator (StorageSpec pins it); only
+    // the within-partition sort on the full window order remains, and
+    // even that starts from the bucket file's sortBy order. At 100 TB
+    // this is every sessionize/rank-per-entity pass riding the same
+    // write-time layout the joins use. rank() (not row_number) keeps
+    // the result deterministic under duplicate (price, qty) lines.
+    Q("m_bucketed_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (_, lt) = bucketedTables(s, d)
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(desc("l_extendedprice"), col("l_quantity"))
+        s.table(lt)
+          .withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= 2)
+          .select("l_orderkey", "rk", "l_extendedprice", "l_quantity")
+          .orderBy("l_orderkey", "rk", "l_extendedprice", "l_quantity")
+      },
+      Some(
+        """SELECT l_orderkey, rk, l_extendedprice, l_quantity FROM (
+          |  SELECT l_orderkey, l_extendedprice, l_quantity,
+          |    rank() OVER (PARTITION BY l_orderkey
+          |      ORDER BY l_extendedprice DESC, l_quantity) AS rk
+          |  FROM lineitem)
+          |WHERE rk <= 2
+          |ORDER BY l_orderkey, rk, l_extendedprice, l_quantity""".stripMargin)),
+
     // ----- static partition pruning: the predicate is on the partition
     // column, so pruning happens at file-listing time — StorageSpec
     // asserts the query's inputFiles are a strict subset of the table's

@@ -35,6 +35,14 @@ class StorageSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("m_bucketed_window plans with zero exchange before the window") {
+    val df = SparkEntry.queries("m_bucketed_window")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"window still hash-shuffles despite bucket layout:\n$plan")
+  }
+
   test("m_partition_prune scans a strict subset of the partitions") {
     val df = SparkEntry.queries("m_partition_prune")(spark, sf)
     val all = spark.table(graft.ops.Storage.eventsTableName(sf))
