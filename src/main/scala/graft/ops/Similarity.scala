@@ -1286,5 +1286,110 @@ object Similarity {
           |  FROM ex)
           |SELECT qid, CAST(rank AS INT) AS rank, vid, d
           |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // ----- distributed k-means (Lloyd 1953/1982), the clustering
+    // primitive behind semantic dedup and topic-balanced data mixing.
+    // Shaped for 100 TB, differently from MLlib's implementation:
+    //   - ASSIGNMENT IS MAP-ONLY. The k centroids are aggregated into a
+    //     single-row array-of-structs and broadcast; each vector picks
+    //     its centroid with array_min over a transform of exact integer
+    //     L2 distances — all inside one codegen stage, no per-vector
+    //     groupBy, no shuffle of the corpus, and (unlike MLlib) no
+    //     per-iteration driver collect: centroids ride the plan.
+    //   - UPDATE IS A 640-GROUP AGG. posexplode to (cluster, dim) and
+    //     sum/count with map-side partial aggregation — the shuffle
+    //     carries k·dim partial rows per task, not the corpus.
+    //   - DETERMINISTIC ACROSS ENGINES. Init = the k lowest vec_ids
+    //     (k-means++ would sharpen quality but randomize the oracle);
+    //     coordinates floor-quantized at 1e3, centroid means
+    //     floor-divided at 1e6 scale (numerators < 2^53, so the double
+    //     floor is exact on both engines); argmin ties break on cid via
+    //     struct ordering. The fixed 3 iterations unroll into the
+    //     DuckDB oracle as MATERIALIZED CTEs (the k7_kcore convention);
+    //     131/500 fixture assignments still move between rounds 1 and
+    //     3, so the iteration is doing real work.
+    Q("m_kmeans",
+      (s, d) => kmeans(s, d, k = 10, iters = 3),
+      Some {
+        val stages = (1 to 3).map { i =>
+          val (p, a, c) = (s"c${i - 1}", s"a$i", s"c$i")
+          s"""u$i AS (
+             |  SELECT e.vec_id, c.cid, unnest(e.xi) AS x, unnest(c.c) AS cc
+             |  FROM e CROSS JOIN $p c
+             |), d$i AS (
+             |  SELECT vec_id, cid,
+             |    CAST(sum((x*1000 - cc)*(x*1000 - cc)) AS BIGINT) AS dsq
+             |  FROM u$i GROUP BY 1, 2
+             |), $a AS MATERIALIZED (
+             |  SELECT vec_id, (m).cid AS cluster, (m).dsq AS dsq FROM (
+             |    SELECT vec_id, min(struct_pack(dsq := dsq, cid := cid)) AS m
+             |    FROM d$i GROUP BY vec_id)
+             |), l$i AS (
+             |  SELECT a.cluster, generate_subscripts(e.xi, 1) AS pos,
+             |         unnest(e.xi) AS x
+             |  FROM e JOIN $a a USING (vec_id)
+             |), $c AS MATERIALIZED (
+             |  SELECT cluster AS cid, list(cv ORDER BY pos) AS c FROM (
+             |    SELECT cluster, pos,
+             |      CAST(floor(CAST(sum(x) * 1000 AS DOUBLE) / count(*))
+             |        AS BIGINT) AS cv
+             |    FROM l$i GROUP BY 1, 2) GROUP BY cluster
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xi
+           |  FROM embeddings
+           |), c0 AS MATERIALIZED (
+           |  SELECT vec_id AS cid, list_transform(xi, v -> v * 1000) AS c
+           |  FROM e WHERE vec_id < 10
+           |), $stages
+           |SELECT vec_id, cluster, dsq FROM a3 ORDER BY vec_id""".stripMargin
+      }),
   )
+
+  /** Lloyd k-means over the quantized corpus: see the m_kmeans comment
+    * for the scale shape. Coordinates live at 1e3 scale, centroids at
+    * 1e6 (mean = floor(sum·1000 / n) keeps three extra digits so 3
+    * iterations don't collapse onto the quantization grid); distances
+    * compare coordinates lifted to the common 1e6 scale, bounded by
+    * 64 · (2.2e6)² ≈ 3e14 — exact in a BIGINT. */
+  private def kmeans(s: SparkSession, d: String, k: Int,
+                     iters: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("xi"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("xi"), v => v * 1000).as("c"))
+    var asg: DataFrame = null
+    for (_ <- 1 to iters) {
+      // one row: [(cid, c), ...] — k·dim longs, broadcast-size forever
+      val cap = cents.agg(
+        collect_list(struct(col("cid"), col("c"))).as("cs"))
+      val full = e.crossJoin(broadcast(cap))
+        .withColumn("m", array_min(transform(col("cs"), ct =>
+          struct(
+            aggregate(
+              zip_with(col("xi"), ct.getField("c"),
+                (x, cc) => (x * 1000 - cc) * (x * 1000 - cc)),
+              lit(0L), (acc, v) => acc + v).as("dsq"),
+            ct.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("m.cid").as("cluster"),
+          col("m.dsq").as("dsq"), col("xi"))
+      asg = full.select("vec_id", "cluster", "dsq")
+      cents = full
+        .select(col("cluster"), posexplode(col("xi")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          floor(col("sx").cast("double") * 1000 / col("n")).cast("long"))
+        .groupBy(col("cluster").as("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          p => p.getField("cv")).as("c"))
+    }
+    asg.orderBy("vec_id")
+  }
 }

@@ -47,7 +47,7 @@ class PlanShapeSpec extends SparkSpec {
     "m_sql_q2", "m_sql_q6", "m_sql_q9", "m_sql_q10", "m_sql_q11",
     "m_sql_q12", "m_sql_q14", "m_sql_q15", "m_sql_q16", "m_sql_q20",
     "m_sql_q22", "m_bucketed_window", "a8_orc_roundtrip",
-    "a9_csv_roundtrip")
+    "a9_csv_roundtrip", "m_kmeans")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
@@ -75,5 +75,22 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$plan")
     }
+  }
+
+  test("m_kmeans never join-shuffles the corpus") {
+    // The point of the map-only assignment: the corpus meets the
+    // centroids ONLY via a broadcast of the 1-row centroid capsule
+    // (BroadcastNestedLoopJoin bounded by that side). Any
+    // SortMergeJoin/ShuffledHashJoin in the plan means an iteration
+    // started shuffling the full vector table — the MLlib-shaped
+    // regression this formulation exists to avoid. The only hash
+    // exchanges are the k·dim-group centroid updates.
+    val df = SparkEntry.queries("m_kmeans")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"m_kmeans shuffles the corpus through a join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"m_kmeans lost its broadcast centroid capsule:\n$plan")
   }
 }
