@@ -280,6 +280,63 @@ object Ext {
           |       TRUE AS within_5pct
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ----- mergeable-sketch rollup: the REAGGREGATABLE cube pattern
+    // that makes distinct counts affordable at 100 TB. Distinct does
+    // not add — the naive_sum column proves it by exceeding exact_users
+    // on every row — so a warehouse can't roll daily distinct counts
+    // into monthly ones. The answer is to STORE per-(dim, day) Theta/
+    // HLL sketch partials (a few KB per cell) and answer every coarser
+    // grain — weekly, all-time, cross-dim — by sketch UNION without
+    // ever re-touching raw data. Engine shape: the daily layer is one
+    // map-side-combinable pass; the rollup shuffles sketch bytes (KB
+    // per cell), not user ids; the acceptance flag checks the merged
+    // estimate against exact at the Datasketches lgK=14 contract
+    // (±1.6% rse at 3σ ≪ the 5% gate). The exact twin rides the same
+    // plan only as the acceptance harness — production stores just the
+    // sketch column.
+    Q("m_hll_rollup",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("day", expr("(unix_micros(ts) div 1000000) div 86400"))
+        val daily = e.groupBy("event_type", "day")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+            countDistinct(col("user_id")).as("day_users"))
+        val roll = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("day_users")).as("naive_sum"),
+            expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+              .as("approx_users"))
+        val exact = e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        roll.join(broadcast(exact), Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("naive_sum"),
+            col("exact_users"),
+            (col("naive_sum") > col("exact_users")).as("naive_overcounts"),
+            (abs(col("approx_users") - col("exact_users"))
+              / col("exact_users") < 0.05).as("merged_within_5pct"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, user_id,
+          |    CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day
+          |  FROM events
+          |), daily AS (
+          |  SELECT event_type, day, count(DISTINCT user_id) AS du
+          |  FROM e GROUP BY 1, 2
+          |), roll AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          |    CAST(sum(du) AS BIGINT) AS naive_sum
+          |  FROM daily GROUP BY 1
+          |), x AS (
+          |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+          |  FROM e GROUP BY 1)
+          |SELECT event_type, n_days, naive_sum, exact_users,
+          |  naive_sum > exact_users AS naive_overcounts,
+          |  TRUE AS merged_within_5pct
+          |FROM roll JOIN x USING (event_type)
+          |ORDER BY event_type""".stripMargin)),
+
     // ----- JSON extraction from string column (events.props)
     Q("m_json_extract",
       (s, d) => Tables.events(s, d)
