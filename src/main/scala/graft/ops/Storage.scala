@@ -107,6 +107,46 @@ object Storage {
         .format("parquet").saveAsTable(t)
     }
 
+  /** Narrow managed copies of the star-join tables with full catalog
+    * column statistics — the ANALYZE layer a warehouse maintains so the
+    * cost-based optimizer has cardinalities to plan with. Landed and
+    * analyzed ONCE in the parent session (the catalog is shared state,
+    * so stats are visible to the CBO child sessions). */
+  private def cboTables(s: SparkSession, d: String)
+      : (String, String, String, String) = {
+    def land(base: String, df: => DataFrame): String =
+      ensureTable(s, d, base) { t =>
+        df.write.mode("overwrite").saveAsTable(t)
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    (land("graft_cbo_l", Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice")),
+      land("graft_cbo_o", Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey")),
+      land("graft_cbo_c", Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey")),
+      land("graft_cbo_n", Tables.nation(s, d)
+        .select("n_nationkey", "n_name")))
+  }
+
+  /** The m_cbo_reorder query against a session with the given CBO
+    * setting — StorageSpec builds both variants to pin the reorder. */
+  private[graft] def cboQuery(s0: SparkSession, d: String,
+                              cbo: Boolean): DataFrame = {
+    val (lt, ot, ct, nt) = cboTables(s0, d)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.cbo.enabled", cbo.toString)
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+    s.sql(
+      s"""SELECT n_name, count(*) AS n_lines,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS revenue
+         |FROM $lt, $ot, $ct, $nt
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND n_name < 'E'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----- shuffle-free bucketed join: both sides pre-bucketed on the
@@ -274,5 +314,29 @@ object Storage {
           |  ON o_orderkey = CASE WHEN l_orderkey % 2 = 0 THEN 0
           |                       ELSE l_orderkey END
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----- cost-based join reorder, the third runtime planning lever
+    // next to DPP and AQE. The FROM clause deliberately lists the two
+    // fact tables first: syntactic (stats-less) planning joins
+    // lineitem⋈orders BEFORE any filter has reduced cardinality, then
+    // whittles the result through customer and the selective nation
+    // predicate. With catalog column stats (the cboTables ANALYZE
+    // layer) and spark.sql.cbo.joinReorder on, the optimizer's DP
+    // reorder starts instead from the filtered 25-row nation table and
+    // joins outward — at 100 TB the difference between shuffling the
+    // full fact⋈fact product and shuffling a fraction pre-pruned by the
+    // dim filter. StorageSpec pins the reorder by diffing the two
+    // sessions' optimized join trees; results must be identical (the
+    // oracle is the same star join — reorder must never change rows).
+    Q("m_cbo_reorder",
+      (s0, d) => cboQuery(s0, d, cbo = true),
+      Some(
+        """SELECT n_name, count(*) AS n_lines,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue
+          |FROM lineitem, orders, customer, nation
+          |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          |  AND c_nationkey = n_nationkey AND n_name < 'E'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)),
   )
 }

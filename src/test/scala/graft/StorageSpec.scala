@@ -155,4 +155,31 @@ class StorageSpec extends SparkSpec {
       .collect().toSeq
     assert(bucketed == plain, "bucketed join differs from plain join")
   }
+
+  test("m_cbo_reorder: catalog stats flip the join order, not the rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def leafJoinConds(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      def joinFree(p: LogicalPlan) =
+        p.collect { case j: Join => j }.isEmpty
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if joinFree(j.left) && joinFree(j.right) =>
+          j.condition.map(_.sql).getOrElse("")
+      }
+    }
+    // stats-less planning keeps the written order: the bottom-most join
+    // is the fact⋈fact lineitem⋈orders the FROM clause leads with
+    val off = graft.ops.Storage.cboQuery(spark, sf, cbo = false)
+    val offLeaves = leafJoinConds(off)
+    assert(offLeaves.nonEmpty && offLeaves.forall(_.contains("l_orderkey")),
+      s"expected syntactic fact-fact bottom join without CBO: $offLeaves")
+    // with ANALYZE stats + CBO join reorder, the DP plan starts from
+    // the small/filtered dim side instead
+    val on = SparkEntry.queries("m_cbo_reorder")(spark, sf)
+    val onLeaves = leafJoinConds(on)
+    assert(onLeaves.nonEmpty && onLeaves.exists(!_.contains("l_orderkey")),
+      s"CBO did not reorder away from the fact-fact bottom join: $onLeaves")
+    // reorder must be result-invisible
+    assert(on.collect().toSeq == off.collect().toSeq,
+      "CBO reorder changed query results")
+  }
 }
