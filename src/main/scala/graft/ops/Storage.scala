@@ -129,6 +129,45 @@ object Storage {
         .select("n_nationkey", "n_name")))
   }
 
+  /** Fragmented + compacted twins of a lineitem projection.
+    *
+    * The fragmented table simulates what incremental ingest leaves
+    * behind — O(tasks × batches) tiny files whose listing and
+    * per-footer open costs come to dominate scans long before data
+    * volume does. The compaction pass is the Delta OPTIMIZE / Iceberg
+    * rewrite_data_files pattern: list the table's real bytes
+    * (control-plane fs metadata, not data), size the output file count
+    * to a target, and rewrite with repartitionByRange + an in-file sort
+    * on the cluster key — so compaction RESTORES min/max-skipping
+    * clustering rather than destroying it. At 100 TB the same two
+    * lines run per-partition with a few-hundred-MB target.
+    */
+  private[graft] def compactTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val frag = ensureTable(s, d, "graft_frag") { t =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .repartition(64)
+        .write.mode("overwrite").saveAsTable(t)
+    }
+    val compact = ensureTable(s, d, "graft_compact") { t =>
+      val src = s.table(frag)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val bytes = src.inputFiles
+        .map(f => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(f)).getLen)
+        .sum
+      val target = 256L * 1024 // fixture-scale stand-in for ~256 MB
+      val nOut = math.max(1L, (bytes + target - 1) / target).toInt
+      src.repartitionByRange(nOut, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").saveAsTable(t)
+    }
+    (frag, compact)
+  }
+
   /** The m_cbo_reorder query against a session with the given CBO
     * setting — StorageSpec builds both variants to pin the reorder. */
   private[graft] def cboQuery(s0: SparkSession, d: String,
@@ -338,5 +377,33 @@ object Storage {
           |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
           |  AND c_nationkey = n_nationkey AND n_name < 'E'
           |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ----- small-files compaction: the query reads the COMPACTED table
+    // and must hash-match the plain-lineitem oracle — compaction, like
+    // every other layout move, has to be result-invisible. StorageSpec
+    // pins the part that matters: the 64-file fragmented layout
+    // collapses to the size-targeted handful, and the rewrite is
+    // range-clustered on l_orderkey so a post-compaction key-range scan
+    // still prunes on parquet min/max stats.
+    Q("m_compact",
+      (s, d) => {
+        val (_, compact) = compactTables(s, d)
+        s.table(compact)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)),
   )
 }

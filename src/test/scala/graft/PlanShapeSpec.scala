@@ -47,7 +47,8 @@ class PlanShapeSpec extends SparkSpec {
     "m_sql_q2", "m_sql_q6", "m_sql_q9", "m_sql_q10", "m_sql_q11",
     "m_sql_q12", "m_sql_q14", "m_sql_q15", "m_sql_q16", "m_sql_q20",
     "m_sql_q22", "m_bucketed_window", "a8_orc_roundtrip",
-    "a9_csv_roundtrip", "m_kmeans", "m_hll_rollup", "m_cbo_reorder")
+    "a9_csv_roundtrip", "m_kmeans", "m_hll_rollup", "m_cbo_reorder",
+    "m_compact")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single

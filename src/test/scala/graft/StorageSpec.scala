@@ -182,4 +182,32 @@ class StorageSpec extends SparkSpec {
     assert(on.collect().toSeq == off.collect().toSeq,
       "CBO reorder changed query results")
   }
+
+  test("m_compact collapses the fragmented layout into clustered files") {
+    val (frag, compact) = graft.ops.Storage.compactTables(spark, sf)
+    val nFrag = spark.table(frag).inputFiles.length
+    val nCompact = spark.table(compact).inputFiles.length
+    info(s"$nFrag fragmented files -> $nCompact compacted")
+    assert(nFrag == 64, s"fragmented fixture should hold 64 files: $nFrag")
+    assert(nCompact > 0 && nCompact <= 8,
+      s"compaction missed the size target: $nCompact files")
+    // rewrite must carry every row (same projection, same content)
+    assert(spark.table(compact).count() == spark.table(frag).count(),
+      "compaction dropped rows")
+    // clustering restored: the rewrite is range-partitioned on
+    // l_orderkey, so per-FILE key ranges must be disjoint — exactly the
+    // property that lets the parquet reader skip whole files on
+    // footer min/max stats for any key-range predicate
+    val ranges = spark.table(compact).inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    info(s"compacted file key ranges: $ranges")
+    val overlapping = ranges.zip(ranges.drop(1))
+      .filter { case ((_, hi), (lo, _)) => hi > lo }
+    assert(overlapping.isEmpty,
+      s"compacted files overlap in key ranges — clustering lost: $ranges")
+  }
 }
