@@ -1310,43 +1310,125 @@ object Similarity {
     //     3, so the iteration is doing real work.
     Q("m_kmeans",
       (s, d) => kmeans(s, d, k = 10, iters = 3),
-      Some {
-        val stages = (1 to 3).map { i =>
-          val (p, a, c) = (s"c${i - 1}", s"a$i", s"c$i")
-          s"""u$i AS (
-             |  SELECT e.vec_id, c.cid, unnest(e.xi) AS x, unnest(c.c) AS cc
-             |  FROM e CROSS JOIN $p c
-             |), d$i AS (
-             |  SELECT vec_id, cid,
-             |    CAST(sum((x*1000 - cc)*(x*1000 - cc)) AS BIGINT) AS dsq
-             |  FROM u$i GROUP BY 1, 2
-             |), $a AS MATERIALIZED (
-             |  SELECT vec_id, (m).cid AS cluster, (m).dsq AS dsq FROM (
-             |    SELECT vec_id, min(struct_pack(dsq := dsq, cid := cid)) AS m
-             |    FROM d$i GROUP BY vec_id)
-             |), l$i AS (
-             |  SELECT a.cluster, generate_subscripts(e.xi, 1) AS pos,
-             |         unnest(e.xi) AS x
-             |  FROM e JOIN $a a USING (vec_id)
-             |), $c AS MATERIALIZED (
-             |  SELECT cluster AS cid, list(cv ORDER BY pos) AS c FROM (
-             |    SELECT cluster, pos,
-             |      CAST(floor(CAST(sum(x) * 1000 AS DOUBLE) / count(*))
-             |        AS BIGINT) AS cv
-             |    FROM l$i GROUP BY 1, 2) GROUP BY cluster
-             |)""".stripMargin
-        }.mkString(", ")
-        s"""WITH e AS MATERIALIZED (
-           |  SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xi
-           |  FROM embeddings
-           |), c0 AS MATERIALIZED (
-           |  SELECT vec_id AS cid, list_transform(xi, v -> v * 1000) AS c
-           |  FROM e WHERE vec_id < 10
-           |), $stages
-           |SELECT vec_id, cluster, dsq FROM a3 ORDER BY vec_id""".stripMargin
-      }),
+      Some(
+        s"""WITH $kmeansCtes
+           |SELECT vec_id, cluster, dsq FROM a3 ORDER BY vec_id"""
+          .stripMargin)),
+
+    // ----- semantic dedup (SemDeDup, Abbas et al. 2023,
+    // arXiv:2303.09540): near-dup detection whose candidate generator
+    // is the k-means CELL — pairs are only formed inside a cluster, so
+    // the pair count is Σ|cell|², bounded by construction (production
+    // runs ~100k cells over billions of embeddings; cell size, and
+    // with it per-cell pair cost, stays roughly constant as the corpus
+    // and cell count grow together). Complements m_embed_neardup
+    // (label-bucketed) and m_minhash_dedup (shingle-bucketed): this is
+    // the EMBEDDING-space bucketing that needs no labels and no text.
+    // Drop rule is the deterministic greedy relaxation: x is dropped
+    // iff an EARLIER (lower vec_id) member of its cell sits above the
+    // cosine threshold — first-wins, parallel, no sequential scan.
+    // cos > 0.4 is evaluated in exact integers on the 1e3-quantized
+    // coordinates: dot > 0 AND 25·dot² > 4·‖a‖²·‖b‖² (all ≤ 1.2e16,
+    // exact in BIGINT) — a float cosine would tie-flip between
+    // engines at the threshold boundary. 24/500 fixture vectors drop.
+    Q("m_semdedup",
+      (s, d) => {
+        val asg = kmeans(s, d, k = 10, iters = 3)
+          .select("vec_id", "cluster")
+        val nrm = quantized(s, d).join(asg, "vec_id")
+          .withColumn("na", aggregate(
+            transform(col("xi"), v => v * v), lit(0L), (a, b) => a + b))
+        val pairs = nrm
+          .select(col("cluster"), col("vec_id").as("v1"),
+            col("xi").as("x1"), col("na").as("n1"))
+          .join(nrm.select(col("cluster"), col("vec_id").as("v2"),
+            col("xi").as("x2"), col("na").as("n2")), Seq("cluster"))
+          .filter(col("v1") < col("v2"))
+          .withColumn("dot", aggregate(
+            zip_with(col("x1"), col("x2"), (p, q) => p * q),
+            lit(0L), (acc, v) => acc + v))
+          .filter(col("dot") > 0 &&
+            col("dot") * col("dot") * 25 > col("n1") * col("n2") * 4)
+        val dropped = pairs.select(col("v2").as("vec_id")).distinct()
+          .withColumn("hit", lit(true))
+        asg.join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            coalesce(col("hit") === lit(false), lit(true)).as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH $kmeansCtes, nrm AS MATERIALIZED (
+           |  SELECT a.vec_id, a.cluster, e.xi,
+           |    CAST(list_sum(list_transform(e.xi, v -> v*v)) AS BIGINT)
+           |      AS na
+           |  FROM a3 a JOIN e USING (vec_id)
+           |), pr AS (
+           |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      i -> a.xi[i] * b.xi[i])) AS BIGINT) AS dot,
+           |    a.na AS n1, b.na AS n2
+           |  FROM nrm a JOIN nrm b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |), drops AS (
+           |  SELECT DISTINCT v2 FROM pr
+           |  WHERE dot > 0 AND 25*dot*dot > 4*n1*n2)
+           |SELECT n.vec_id, n.cluster, d.v2 IS NULL AS kept
+           |FROM nrm n LEFT JOIN drops d ON n.vec_id = d.v2
+           |ORDER BY n.vec_id""".stripMargin)),
   )
+
+  /** The shared DuckDB replica of the 3-round Lloyd chain: quantized
+    * coordinates `e`, seeded centroids `c0`, then per round i the
+    * assignment `a{i}` and updated centroids `c{i}` — consumers SELECT
+    * from `a3` (and `e`). MATERIALIZED throughout: each stage is
+    * referenced multiple times, and DuckDB inlines plain CTEs
+    * (the k7_kcore lesson — inlining is an exponential re-evaluation
+    * blowup). */
+  // lazy: referenced from `all`, which initializes first in declaration
+  // order — a strict val here interpolates as null into the oracle SQL
+  private lazy val kmeansCtes: String = {
+    val stages = (1 to 3).map { i =>
+      val (p, a, c) = (s"c${i - 1}", s"a$i", s"c$i")
+      s"""u$i AS (
+         |  SELECT e.vec_id, c.cid, unnest(e.xi) AS x, unnest(c.c) AS cc
+         |  FROM e CROSS JOIN $p c
+         |), d$i AS (
+         |  SELECT vec_id, cid,
+         |    CAST(sum((x*1000 - cc)*(x*1000 - cc)) AS BIGINT) AS dsq
+         |  FROM u$i GROUP BY 1, 2
+         |), $a AS MATERIALIZED (
+         |  SELECT vec_id, (m).cid AS cluster, (m).dsq AS dsq FROM (
+         |    SELECT vec_id, min(struct_pack(dsq := dsq, cid := cid)) AS m
+         |    FROM d$i GROUP BY vec_id)
+         |), l$i AS (
+         |  SELECT a.cluster, generate_subscripts(e.xi, 1) AS pos,
+         |         unnest(e.xi) AS x
+         |  FROM e JOIN $a a USING (vec_id)
+         |), $c AS MATERIALIZED (
+         |  SELECT cluster AS cid, list(cv ORDER BY pos) AS c FROM (
+         |    SELECT cluster, pos,
+         |      CAST(floor(CAST(sum(x) * 1000 AS DOUBLE) / count(*))
+         |        AS BIGINT) AS cv
+         |    FROM l$i GROUP BY 1, 2) GROUP BY cluster
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xi
+       |  FROM embeddings
+       |), c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, list_transform(xi, v -> v * 1000) AS c
+       |  FROM e WHERE vec_id < 10
+       |), $stages""".stripMargin
+  }
+
+  /** vec_id + floor-quantized (1e3) integer coordinates — the exact
+    * arithmetic domain shared by m_kmeans/m_semdedup. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("xi"))
 
   /** Lloyd k-means over the quantized corpus: see the m_kmeans comment
     * for the scale shape. Coordinates live at 1e3 scale, centroids at
@@ -1356,10 +1438,7 @@ object Similarity {
     * 64 · (2.2e6)² ≈ 3e14 — exact in a BIGINT. */
   private def kmeans(s: SparkSession, d: String, k: Int,
                      iters: Int): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000).cast("long")).as("xi"))
+    val e = quantized(s, d)
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
         transform(col("xi"), v => v * 1000).as("c"))
