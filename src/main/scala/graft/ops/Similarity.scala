@@ -1335,9 +1335,14 @@ object Similarity {
       (s, d) => {
         val asg = kmeans(s, d, k = 10, iters = 3)
           .select("vec_id", "cluster")
+        // checkpoint: nrm is consumed three times (both sides of the
+        // pair self-join + the final keep projection) and carries the
+        // whole unrolled Lloyd DAG — without the cut that DAG executes
+        // 3×; with it, once, and the reuses read |corpus| cached rows
         val nrm = quantized(s, d).join(asg, "vec_id")
           .withColumn("na", aggregate(
             transform(col("xi"), v => v * v), lit(0L), (a, b) => a + b))
+          .localCheckpoint()
         val pairs = nrm
           .select(col("cluster"), col("vec_id").as("v1"),
             col("xi").as("x1"), col("na").as("n1"))
@@ -1351,7 +1356,7 @@ object Similarity {
             col("dot") * col("dot") * 25 > col("n1") * col("n2") * 4)
         val dropped = pairs.select(col("v2").as("vec_id")).distinct()
           .withColumn("hit", lit(true))
-        asg.join(dropped, Seq("vec_id"), "left")
+        nrm.select("vec_id", "cluster").join(dropped, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cluster"),
             coalesce(col("hit") === lit(false), lit(true)).as("kept"))
           .orderBy("vec_id")
