@@ -627,38 +627,51 @@ object Graph {
       .orderBy("community")
   }
 
-  /** Iterative k-core peel over the symmetrized video graph: drop
-    * vertices with degree < k, recompute degrees, repeat to fixpoint
-    * (the keep-set size stopping changing ⇒ edges stable ⇒ every
-    * remaining degree ≥ k). Returns each core vertex with its in-core
-    * degree. */
+  /** Iterative k-core peel over the symmetrized video graph by DELTA
+    * propagation: degrees are computed ONCE, then each round removes
+    * the sub-k vertices and decrements only their neighbours — work
+    * per round is proportional to the edges incident to the newly
+    * removed frontier, not to the whole graph (the naive re-peel
+    * re-joined the FULL edge set against the keep-set twice per round,
+    * 13.7 s at sf0.1; PERF.md records the delta form). The full edge
+    * set is
+    * immutable (checkpointed once): an edge into an already-removed
+    * vertex decrements nothing because the left-semi-free decrement
+    * JOINS ONTO the surviving degree table — removed rows are simply
+    * absent; two vertices removed in the same round decrement each
+    * other's doomed rows, which the same subtraction then drops.
+    * Termination: the frontier empties ⇒ every surviving degree ≥ k.
+    * Survivors carry their in-core degree (all decrements applied).
+    */
   private def kcore(s: SparkSession, d: String, k: Int,
                     maxIter: Int = 20): DataFrame = {
     val de = Tables.videoEdges(s, d)
-    var e = de
+    val e = de
       .unionByName(de.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var kept = -1L
+    var deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select("src")
-        .localCheckpoint()
-      val m = keep.count()
-      if (m == kept) done = true
+      val rm = deg.filter(col("deg") < k).select("src").localCheckpoint()
+      if (rm.isEmpty) done = true
       else {
-        kept = m
-        e = e.join(keep, Seq("src"), "left_semi")
-          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        // decrement = per-survivor count of edges arriving from the
+        // removed frontier; |dec| ≤ edges incident to the frontier
+        val dec = e.join(rm, Seq("src"), "left_semi")
+          .groupBy(col("dst").as("src"))
+          .agg(count(lit(1)).as("d"))
+        deg = deg.join(rm, Seq("src"), "left_anti")
+          .join(dec, Seq("src"), "left")
+          .select(col("src"),
+            (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
           .localCheckpoint()
       }
       iter += 1
     }
-    e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("vertex"), col("deg"))
+    deg.select(col("src").as("vertex"), col("deg"))
       .orderBy("vertex")
   }
 }
