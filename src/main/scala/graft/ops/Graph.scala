@@ -632,8 +632,8 @@ object Graph {
     * the sub-k vertices and decrements only their neighbours — work
     * per round is proportional to the edges incident to the newly
     * removed frontier, not to the whole graph (the naive re-peel
-    * re-joined the FULL edge set against the keep-set twice per round,
-    * 13.7 s at sf0.1; PERF.md records the delta form). The full edge
+    * re-joined the FULL edge set against the keep-set twice per round:
+    * 13.7 s vs 8.7 s at sf0.1, same rounds — PERF.md). The full edge
     * set is
     * immutable (checkpointed once): an edge into an already-removed
     * vertex decrements nothing because the left-semi-free decrement
