@@ -210,4 +210,38 @@ class StorageSpec extends SparkSpec {
     assert(overlapping.isEmpty,
       s"compacted files overlap in key ranges — clustering lost: $ranges")
   }
+
+  test("sorted layout compresses smaller than shuffled layout") {
+    // the cheapest 100-TB lever of all: the SAME rows, the SAME codec,
+    // laid down clustered vs arbitrarily interleaved. Sorting feeds
+    // parquet's dictionary/RLE pages long runs instead of noise — the
+    // reason compaction and Z-order rewrites sort within files. Pinned
+    // as a byte-size inequality on real writes, not an assertion about
+    // intent.
+    def bytesOf(df: org.apache.spark.sql.DataFrame, dir: String): Long = {
+      val p = s"/tmp/graft_compress_$dir"
+      df.write.mode("overwrite").parquet(p)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val base = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus",
+        "l_quantity")
+    val sorted = bytesOf(
+      base.repartition(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus", "l_orderkey"),
+      "sorted")
+    // deterministic interleave: hash-order destroys every run
+    val shuffled = bytesOf(
+      base.repartition(1)
+        .sortWithinPartitions(hash(col("l_orderkey"), col("l_partkey"))),
+      "shuffled")
+    info(s"sorted $sorted bytes vs shuffled $shuffled bytes " +
+      f"(${100.0 * (shuffled - sorted) / shuffled}%.1f%% saved)")
+    assert(sorted < shuffled,
+      s"sorted layout ($sorted B) not smaller than shuffled ($shuffled B)")
+  }
 }
