@@ -671,6 +671,12 @@ object Graph {
       }
       iter += 1
     }
+    // fail loudly rather than return fringe vertices as "core": an
+    // exhausted bound is indistinguishable from convergence in the
+    // output (peel depth grows with scale: 4 → 6 → 8 across the
+    // fixture sfs, so the bound is headroom, not a convergence crutch)
+    require(done,
+      s"k-core peel did not converge within $maxIter rounds")
     deg.select(col("src").as("vertex"), col("deg"))
       .orderBy("vertex")
   }

@@ -1358,7 +1358,7 @@ object Similarity {
           .withColumn("hit", lit(true))
         nrm.select("vec_id", "cluster").join(dropped, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cluster"),
-            coalesce(col("hit") === lit(false), lit(true)).as("kept"))
+            col("hit").isNull.as("kept"))
           .orderBy("vec_id")
       },
       Some(
