@@ -258,6 +258,48 @@ object Text {
            |       ELSE 'ok' END AS length_class
            |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ----- readability profile: the Flesch/LIX component signals a
+    // quality filter thresholds on — word count, mean word length,
+    // syllable density (maximal-vowel-run proxy, the standard cheap
+    // stand-in), long-word ratio. The corpus has no sentence
+    // punctuation, so the sentence-normalized composite grades are
+    // degenerate here; the per-word components are the useful signals
+    // and each is ONE identically-associated division rounded 4dp
+    // (the engine-safe float form). Map-only — at any scale this is a
+    // scan, no shuffle but the presentation sort.
+    Q("t_readability",
+      (s, d) => {
+        val vruns = regexp_replace(col("text"), "[aeiou]+", "V")
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("nw", size(col("toks")))
+          .withColumn("vg",
+            length(vruns) - length(regexp_replace(vruns, "V", "")))
+          .select(col("doc_id"), col("nw").as("n_words"),
+            round(length(regexp_replace(col("text"), " ", ""))
+              / col("nw").cast("double"), 4).as("avg_word_len"),
+            round(col("vg") / col("nw").cast("double"), 4)
+              .as("syll_per_word"),
+            round(size(filter(col("toks"), x => length(x) >= 7))
+              / col("nw").cast("double"), 4).as("long_word_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    len(string_split(text, ' ')) AS nw,
+          |    regexp_replace(text, '[aeiou]+', 'V', 'g') AS vr,
+          |    string_split(text, ' ') AS toks
+          |  FROM documents)
+          |SELECT doc_id, CAST(nw AS INT) AS n_words,
+          |  round(length(replace(text, ' ', '')) * 1.0 / nw, 4)
+          |    AS avg_word_len,
+          |  round((length(vr) - length(replace(vr, 'V', ''))) * 1.0 / nw,
+          |    4) AS syll_per_word,
+          |  round(len(list_filter(toks, x -> length(x) >= 7)) * 1.0 / nw,
+          |    4) AS long_word_ratio
+          |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ----- heuristic language ID by marker function-words
     Q("t_langid",
       (s, d) => {
