@@ -211,6 +211,24 @@ class StorageSpec extends SparkSpec {
       s"compacted files overlap in key ranges — clustering lost: $ranges")
   }
 
+  test("join strategy hints steer the physical operator") {
+    // the manual override surface next to the automatic levers (CBO,
+    // AQE, broadcast thresholds): per-join hints must reach the
+    // planner, because at 100 TB the one join the optimizer sizes
+    // wrong gets fixed with a hint, not a cluster-wide conf
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    def planWith(hint: String): String =
+      l.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planWith("broadcast").contains("BroadcastHashJoin"),
+      "broadcast hint ignored")
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"),
+      "shuffle_hash hint ignored")
+    assert(planWith("merge").contains("SortMergeJoin"),
+      "merge hint ignored")
+  }
+
   test("sorted layout compresses smaller than shuffled layout") {
     // the cheapest 100-TB lever of all: the SAME rows, the SAME codec,
     // laid down clustered vs arbitrarily interleaved. Sorting feeds
