@@ -284,6 +284,115 @@ object Graph {
        |ORDER BY rank DESC, v LIMIT 20""".stripMargin
   }
 
+  /** Weakly connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond"). Converges in O(log n) rounds REGARDLESS of graph
+    * diameter — the reason it, and not min-label propagation, is the
+    * 100-TB form: web-scale graphs have chain diameters in the hundreds,
+    * and propagation pays one shuffle pair PER HOP while star contraction
+    * pays per doubling. (The oracle for `k9_wcc` is the diameter-bound
+    * propagation, unrolled — 19 rounds at sf0.01 vs 5 star rounds: the
+    * contrast IS the demonstration.) Each round is two keyed
+    * groupBy+join shuffle pairs; the converged state is a star forest
+    * whose centers are the component minima (paper Thm 2), so labels
+    * fall out of the final edge list without a separate relabel pass.
+    *
+    * `edges0`: directed ("src", "dst"); treated as undirected, self-loops
+    * ignored for connectivity but their endpoints kept as singleton
+    * components. Returns ("v", "component").
+    */
+  def wcc(s: SparkSession, edges0: DataFrame, maxIter: Int = 30): DataFrame = {
+    val verts = edges0.select(col("src").as("v"))
+      .unionByName(edges0.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    var e = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      // large-star: every neighbor v > u links to u's minimum neighbor
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val m1 = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(m1, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star: group by the LARGER endpoint; all its smaller
+      // neighbors (and itself) link to the group minimum
+      val m2 = ls.groupBy("b").agg(min(col("a")).as("m"))
+      val ss = ls.join(m2, Seq("b"))
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b")) // m < a by minimality
+        .unionByName(m2.select(col("m").as("a"), col("b")))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint probe: set equality via count + one anti-join — a
+      // control-plane check, same convention as the SCC/k-core loops
+      done = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+      iter += 1
+    }
+    require(done, s"WCC star contraction did not converge within $maxIter rounds")
+    val members = e.select(col("b").as("v"), col("a").as("component"))
+    verts.join(members, Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("component"), col("v")).as("component"))
+  }
+
+  /** Single-source WEIGHTED shortest paths (positive integer weights) by
+    * frontier-limited Bellman-Ford: each round relaxes only edges out of
+    * vertices whose distance improved last round, so per-round work is
+    * |frontier|·avg-degree (the k5_bfs shape) and the loop ends when no
+    * distance improves — at most (max hop count of a shortest path)
+    * rounds, 13 at sf0.01. Dijkstra's priority queue does not
+    * distribute; frontier Bellman-Ford is the standard Spark/Pregel
+    * form (delta-stepping reduces rounds further but needs bucketed
+    * priorities — unnecessary at these depths). Returns ("id", "dist").
+    */
+  def sssp(s: SparkSession, edges: DataFrame, source: Long,
+           maxIter: Int = 40): DataFrame = {
+    import s.implicits._
+    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      if (frontier.isEmpty) done = true
+      else {
+        val cand = frontier.join(edges, frontier("id") === edges("src"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+          .groupBy("id").agg(min(col("nd")).as("nd"))
+        val improved = cand.join(dist, Seq("id"), "left")
+          .filter(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("id"), col("nd").as("dist"))
+          .localCheckpoint()
+        dist = dist.join(improved, Seq("id"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+        frontier = improved
+      }
+      iter += 1
+    }
+    require(done, s"SSSP relaxation did not converge within $maxIter rounds")
+    dist
+  }
+
+  /** k9/k10 share the sparser "first lineitem per order" co-purchase
+    * graph: `l_linenumber = 1` thins the video graph to 132 components
+    * (giant: 7,169) with a ~19-hop diameter at sf0.01 — non-vacuous
+    * component structure the full graph lacks (it is one giant blob).
+    */
+  private def thinEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+
   val all: Seq[Q] = Seq(
 
     // ----- K3: PageRank over the capped video graph — the canonical
@@ -601,6 +710,86 @@ object Graph {
            |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
            |FROM l4 GROUP BY lbl ORDER BY lbl""".stripMargin
       }),
+
+    // ----- K9: weakly connected components — the dedup/partitioning
+    // primitive (cluster ids for fuzzy-dedup graphs, subgraph
+    // extraction) via O(log n) large-star/small-star contraction (see
+    // [[wcc]]). The ORACLE is the textbook alternative: min-label
+    // propagation unrolled to the graph's diameter (19 rounds at
+    // sf0.01, MATERIALIZED per stage) — the two independently-derived
+    // algorithms agreeing on every component is the correctness
+    // argument, and the round-count gap (5 vs 19) is the scale
+    // argument. Output: one row per component with its size.
+    Q("k9_wcc",
+      (s, d) => wcc(s, thinEdges(s, d))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("component"),
+      Some {
+        val stages = (1 to 22).map { i =>
+          val (p, c) = (s"l${i - 1}", s"l$i")
+          s"""$c AS MATERIALIZED (
+             |  SELECT $p.v, least($p.l, coalesce(m.m, $p.l)) AS l
+             |  FROM $p LEFT JOIN (
+             |    SELECT e.s AS v, min(p2.l) AS m
+             |    FROM sym e JOIN $p p2 ON p2.v = e.d GROUP BY e.s
+             |  ) m USING (v)
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH de AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS s, l_partkey AS d
+           |  FROM lineitem WHERE l_linenumber = 1
+           |), sym AS MATERIALIZED (
+           |  SELECT s, d FROM de WHERE s <> d
+           |  UNION SELECT d, s FROM de WHERE s <> d
+           |), verts AS MATERIALIZED (
+           |  SELECT DISTINCT v FROM (
+           |    SELECT s AS v FROM de UNION ALL SELECT d FROM de)
+           |), l0 AS MATERIALIZED (SELECT v, v AS l FROM verts),
+           |$stages
+           |SELECT l AS component, CAST(count(*) AS BIGINT) AS n_members
+           |FROM l22 GROUP BY l ORDER BY component""".stripMargin
+      }),
+
+    // ----- K10: weighted single-source shortest paths — BFS's (k5)
+    // weighted sibling: routing cost, influence distance, weighted-hop
+    // contamination radius. Frontier Bellman-Ford (see [[sssp]]) over
+    // the capped directed graph with a deterministic per-edge weight
+    // (1 + min(l_suppkey % 5) over the edge's duplicate rows — min, so
+    // any subset of lineitem rows reproduces it). Source = min src id,
+    // derived from the data (1-row control-plane aggregate, the k5
+    // convention). Oracle: recursive path closure pruned at dist 30 —
+    // a valid bound because the measured eccentricity at the oracle
+    // scale is 22 and every shortest path itself stays under the
+    // bound; min(dist) per vertex over the bounded closure is then
+    // exactly the shortest distance.
+    Q("k10_sssp",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < cap && col("l_partkey") < cap)
+          .groupBy(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+          .agg((lit(1) + min(col("l_suppkey") % 5)).as("w"))
+          .localCheckpoint()
+        val source = edges.agg(min(col("src"))).head().getLong(0)
+        sssp(s, edges, source)
+          .select(col("id"), col("dist").cast("int").as("dist"))
+          .orderBy("id")
+      },
+      Some(
+        s"""WITH RECURSIVE e AS (
+           |  SELECT l_orderkey AS src, l_partkey AS dst,
+           |         1 + min(l_suppkey % 5) AS w
+           |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+           |  GROUP BY 1, 2
+           |), s0 AS (SELECT min(src) AS s FROM e),
+           |p(v, dd) AS (
+           |  SELECT s, CAST(0 AS BIGINT) FROM s0
+           |  UNION
+           |  SELECT e.dst, p.dd + e.w FROM p JOIN e ON e.src = p.v
+           |  WHERE p.dd + e.w <= 30
+           |)
+           |SELECT v AS id, CAST(min(dd) AS INT) AS dist
+           |FROM p GROUP BY v ORDER BY id""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and
