@@ -1057,5 +1057,127 @@ object Text {
         |  array_to_string(string_split(trim(s, '|'), '||'), ' ')
         |    AS segmented
         |FROM s3 ORDER BY cnt DESC, w LIMIT 20""".stripMargin)),
+
+    // ----- bigram-LM quality score: each document's mean adjacent-pair
+    // log-probability under the corpus's own add-one-smoothed bigram
+    // model, ln((c(x,y)+1)/(c(x)+V)) — the t_unigram_logprob signal
+    // with first-order context (catches locally-incoherent token salad
+    // that unigram frequency alone scores as fluent; the CCNet/KenLM
+    // filter family, one order up). Scale shape: bigram and unigram
+    // counts are distributed map-side-combined aggregates; the vocab
+    // size rides in as a broadcast 1-row aggregate; the per-doc
+    // rollup shuffles once on doc_id. Per-pair smoothed probabilities
+    // need no model table beyond the corpus counts themselves —
+    // nothing here is driver-side.
+    Q("t_bigram_logprob",
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+        val pairs = tk.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("x"),
+              element_at(col("toks"), i + 1).as("y")))).as("p"))
+          .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+        val bi = pairs.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        val uni = tk.select(explode(col("toks")).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("cx"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        pairs.join(bi, Seq("x", "y")).join(uni, Seq("x"))
+          .join(broadcast(vocab))
+          .withColumn("lp",
+            log((col("cxy") + lit(1.0)) / (col("cx") + col("v"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_bigrams"),
+            round(avg(col("lp")), 4).as("avg_logprob"),
+            round(min(col("lp")), 4).as("min_logprob"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), pairs AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(1, len(toks)),
+          |           i -> toks[i])) AS x,
+          |         unnest(list_transform(range(1, len(toks)),
+          |           i -> toks[i+1])) AS y
+          |  FROM tk WHERE len(toks) >= 2
+          |), bi AS (
+          |  SELECT x, y, count(*) AS cxy FROM pairs GROUP BY x, y
+          |), uni AS (
+          |  SELECT x, count(*) AS cx FROM (
+          |    SELECT unnest(toks) AS x FROM tk) GROUP BY x
+          |), vocab AS (SELECT count(*) AS v FROM uni)
+          |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+          |  round(avg(ln((cxy + 1.0) / (cx + v))), 4) AS avg_logprob,
+          |  round(min(ln((cxy + 1.0) / (cx + v))), 4) AS min_logprob
+          |FROM pairs JOIN bi USING (x, y) JOIN uni USING (x)
+          |           CROSS JOIN vocab
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- RAKE keyword scoring (Rose et al. 2010): split each
+    // document into candidate phrases at stopword boundaries, then
+    // score every word by degree/frequency — degree = Σ length of the
+    // phrases it appears in (words that ride inside long multi-word
+    // phrases beat equally-frequent words that stand alone). The
+    // whole pass is map-shaped: the phrase id is a running stopword
+    // count inside a per-doc window (docs are the partition key — no
+    // global window anywhere), phrase groups aggregate once on
+    // (doc, phrase), and the word rollup is a map-side-combined count/
+    // sum. Score = single integer division rounded 4dp — no float
+    // accumulation to diverge cross-engine.
+    Q("t_rake_keywords",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = Seq("a", "the")
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+          .withColumn("is_stop",
+            when(col("t").isInCollection(stop), 1).otherwise(0))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val phr = tok
+          .withColumn("pid", sum(col("is_stop")).over(w))
+          .filter(col("is_stop") === 0)
+          .groupBy("doc_id", "pid")
+          .agg(collect_list(col("t")).as("ws"),
+            count(lit(1)).as("len"))
+        phr.select(explode(col("ws")).as("t"), col("len"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("freq"),
+            sum(col("len")).as("degree"))
+          .select(col("t").as("word"), col("freq"), col("degree"),
+            round(col("degree").cast("double") / col("freq"), 4)
+              .as("rake_score"))
+          .orderBy(desc("rake_score"), col("word"))
+      },
+      Some(
+        """WITH raw AS (
+          |  SELECT doc_id,
+          |         unnest(range(1, len(toks) + 1)) AS pos,
+          |         unnest(toks) AS t
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          |        FROM documents)
+          |), tok AS (
+          |  SELECT doc_id, pos, t,
+          |         CASE WHEN t IN ('a', 'the') THEN 1 ELSE 0 END
+          |           AS is_stop
+          |  FROM raw
+          |), marked AS (
+          |  SELECT doc_id, t, is_stop,
+          |         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+          |           AS pid
+          |  FROM tok
+          |), phr AS (
+          |  SELECT doc_id, pid, list(t) AS ws, count(*) AS len
+          |  FROM marked WHERE is_stop = 0 GROUP BY doc_id, pid
+          |), words AS (
+          |  SELECT unnest(ws) AS t, len FROM phr)
+          |SELECT t AS word, CAST(count(*) AS BIGINT) AS freq,
+          |  CAST(sum(len) AS BIGINT) AS degree,
+          |  round(sum(len) * 1.0 / count(*), 4) AS rake_score
+          |FROM words GROUP BY t
+          |ORDER BY rake_score DESC, word""".stripMargin)),
   )
 }
