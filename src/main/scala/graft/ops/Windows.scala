@@ -377,5 +377,87 @@ object Windows {
           |SELECT event_id, user_id, ts_us,
           |  round(CAST(num AS DOUBLE) / 2550000.0, 6) AS ewma
           |FROM j WHERE np = 8 ORDER BY event_id""".stripMargin)),
+
+    // ----- lag-1/lag-2 autocorrelation per user series — the
+    // time-series profiling signal (is the metric trending, mean-
+    // reverting, or noise?) that decides windowing/seasonality
+    // downstream. Determinism: values are floor-quantized to 10⁻⁴
+    // BIGINTs, every moment (Σx, Σxy, Σx², n) is an EXACT integer
+    // aggregate — order-independent — and the Pearson form
+    // (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is one
+    // identically-associated float expression over those exact
+    // integers, rounded 4dp (max |term| ~2e17 — BIGINT-safe, and the
+    // int→double conversions round identically on both engines).
+    // Scale shape: one window shuffle on user_id for the lags, then a
+    // groupBy on the SAME key (exchange reuse) with 11 map-side-
+    // combinable sum/count slots; no self-join, no driver math.
+    Q("w_acf",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val q = Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("q", floor(col("value") * 10000.0).cast("long"))
+          .withColumn("q1", lag(col("q"), 1).over(w))
+          .withColumn("q2", lag(col("q"), 2).over(w))
+        def mom(lagCol: String, suf: String) = Seq(
+          count(col(lagCol)).as(s"n$suf"),
+          sum(when(col(lagCol).isNotNull, col("q"))).as(s"sx$suf"),
+          sum(col(lagCol)).as(s"sy$suf"),
+          sum(col("q") * col(lagCol)).as(s"sxy$suf"),
+          sum(when(col(lagCol).isNotNull, col("q") * col("q")))
+            .as(s"sxx$suf"),
+          sum(col(lagCol) * col(lagCol)).as(s"syy$suf"))
+        val aggs = mom("q1", "1") ++ mom("q2", "2") :+
+          count(lit(1)).as("n_events")
+        def acf(s0: String) = {
+          val (n, sx, sy, sxy, sxx, syy) =
+            (col(s"n$s0"), col(s"sx$s0"), col(s"sy$s0"),
+              col(s"sxy$s0"), col(s"sxx$s0"), col(s"syy$s0"))
+          val dx = n * sxx - sx * sx
+          val dy = n * syy - sy * sy
+          when(n >= lit(2) && dx > 0 && dy > 0,
+            round((n * sxy - sx * sy).cast("double") /
+              (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 4))
+        }
+        q.groupBy("user_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("user_id"), col("n_events").cast("int").as("n_events"),
+            acf("1").as("acf1"), acf("2").as("acf2"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS q,
+          |    lag(CAST(floor(value * 10000.0) AS BIGINT), 1) OVER w AS q1,
+          |    lag(CAST(floor(value * 10000.0) AS BIGINT), 2) OVER w AS q2
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id
+          |               ORDER BY epoch_us(ts), event_id)
+          |), m AS (
+          |  SELECT user_id, count(*) AS n_events,
+          |    count(q1) AS n1, sum(CASE WHEN q1 IS NOT NULL THEN q END)
+          |      AS sx1, sum(q1) AS sy1, sum(q * q1) AS sxy1,
+          |    sum(CASE WHEN q1 IS NOT NULL THEN q * q END) AS sxx1,
+          |    sum(q1 * q1) AS syy1,
+          |    count(q2) AS n2, sum(CASE WHEN q2 IS NOT NULL THEN q END)
+          |      AS sx2, sum(q2) AS sy2, sum(q * q2) AS sxy2,
+          |    sum(CASE WHEN q2 IS NOT NULL THEN q * q END) AS sxx2,
+          |    sum(q2 * q2) AS syy2
+          |  FROM e GROUP BY user_id)
+          |SELECT user_id, CAST(n_events AS INT) AS n_events,
+          |  CASE WHEN n1 >= 2 AND n1 * sxx1 - sx1 * sx1 > 0
+          |            AND n1 * syy1 - sy1 * sy1 > 0 THEN
+          |    round(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) /
+          |      (sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)) *
+          |       sqrt(CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE))), 4)
+          |  END AS acf1,
+          |  CASE WHEN n2 >= 2 AND n2 * sxx2 - sx2 * sx2 > 0
+          |            AND n2 * syy2 - sy2 * sy2 > 0 THEN
+          |    round(CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE) /
+          |      (sqrt(CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)) *
+          |       sqrt(CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE))), 4)
+          |  END AS acf2
+          |FROM m ORDER BY user_id""".stripMargin)),
   )
 }
