@@ -655,6 +655,141 @@ object Similarity {
         (a, b) => dot(a, b) / (col("qn") * col("vn"))),
       Some(cosineTopkOracle)),
 
+    // ----- random-projection ANN (Johnson–Lindenstrauss): project
+    // 64-dim vectors to 32 dims through a deterministic ±1 sign matrix
+    // (Achlioptas 2003 — database-friendly projections: ±1 entries
+    // suffice for the JL guarantee), shortlist top-64 per probe in the
+    // REDUCED space, then exact-cosine re-rank the shortlist — the
+    // same coarse-then-exact pattern as m_ann_pq_rerank. This is the
+    // third ANN scale lever beside bucketing (LSH/IVF) and code
+    // compression (PQ): the candidate sweep runs at half the dot-
+    // product cost, the exact cosine touches only |probes|·64 rows,
+    // and the projection composes with both other levers (project,
+    // then bucket). Determinism: the sign matrix derives from
+    // md5(i || '_' || j) — both engines compute identical lowercase
+    // hex — coordinates are 3dp floor-quantized BIGINTs, so
+    // projections, dots, and norms are EXACT integers; the only float
+    // ops are the two round-6 cosines, each one identically-
+    // associated expression. Plan shape: the matrix is a broadcast
+    // 1-row capsule (map-only projection, no shuffle); the probe side
+    // broadcasts; both rankings use the rounded-cosine + vec_id total
+    // order. RpRecallSpec pins recall ≥ 0.8 vs the exact quantized
+    // top-3 (measured 0.85 at sf0.01 — the uniform fixture is JL's
+    // worst case: all similarities are small and closely spaced, so
+    // the distortion bound eats most of the gap; clustered production
+    // embeddings separate far better at the same dims).
+    Q("m_ann_rp",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val signs = s.range(1).select(
+          transform(sequence(lit(1), lit(32)), j =>
+            transform(sequence(lit(1), lit(64)), i =>
+              when(ascii(substring(md5(concat(i.cast("string"), lit("_"),
+                j.cast("string"))), 1, 1)) % 2 === 0, 1).otherwise(-1)))
+            .as("sgn"))
+        val q = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+          .withColumn("fn2", aggregate(transform(col("qv"), x => x * x),
+            lit(0L), (a, b) => a + b))
+        val red = q.crossJoin(broadcast(signs))
+          .select(col("vec_id"), col("qv"), col("fn2"),
+            transform(col("sgn"), srow =>
+              aggregate(zip_with(col("qv"), srow,
+                (x, sg) => x * sg.cast("long")),
+                lit(0L), (acc, x) => acc + x)).as("rv"))
+          .withColumn("n2", aggregate(transform(col("rv"), x => x * x),
+            lit(0L), (a, b) => a + b))
+        val probes = red.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("rv").as("pv"),
+            col("n2").as("qn2"), col("qv").as("pq"), col("fn2").as("qf2"))
+        val pairs = broadcast(probes).join(
+            red.select(col("vec_id").as("vid"), col("rv").as("vv"),
+              col("n2").as("vn2"), col("qv").as("vq"),
+              col("fn2").as("vf2")),
+            col("qid") =!= col("vid"))
+          .filter(col("qn2") > 0 && col("vn2") > 0)
+          .withColumn("rcos", round(
+            aggregate(zip_with(col("pv"), col("vv"), (x, y) => x * y),
+              lit(0L), (a, b) => a + b).cast("double") /
+            (sqrt(col("qn2").cast("double")) *
+              sqrt(col("vn2").cast("double"))), 6))
+        val wShort = Window.partitionBy(col("qid"))
+          .orderBy(desc("rcos"), col("vid"))
+        val short = pairs.withColumn("srk", row_number().over(wShort))
+          .filter(col("srk") <= 64)
+        val rer = short
+          .withColumn("cos", round(
+            aggregate(zip_with(col("pq"), col("vq"), (x, y) => x * y),
+              lit(0L), (a, b) => a + b).cast("double") /
+            (sqrt(col("qf2").cast("double")) *
+              sqrt(col("vf2").cast("double"))), 6))
+        val wFin = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vid"))
+        rer.withColumn("rk", row_number().over(wFin))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").cast("int").as("rank"),
+            col("vid"), col("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH sgn AS (
+          |  SELECT j, list(CASE WHEN ascii(substr(md5(i || '_' || j), 1, 1))
+          |                      % 2 = 0 THEN 1 ELSE -1 END ORDER BY i) AS sv
+          |  FROM range(1, 33) tj(j), range(1, 65) ti(i)
+          |  GROUP BY j
+          |), q AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          |  FROM embeddings
+          |), qn AS (
+          |  SELECT vec_id, qv,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> qv[i] * qv[i])) AS BIGINT) AS fn2
+          |  FROM q
+          |), proj AS (
+          |  SELECT vec_id, j,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> qv[i] * sv[i])) AS BIGINT) AS v
+          |  FROM q, sgn
+          |), red AS (
+          |  SELECT vec_id, list(v ORDER BY j) AS rv,
+          |         CAST(sum(v * v) AS BIGINT) AS n2
+          |  FROM proj GROUP BY vec_id
+          |), pr AS (
+          |  SELECT p.vec_id AS qid, p.rv AS pv, p.n2 AS qn2,
+          |         e.vec_id AS vid, e.rv AS vv, e.n2 AS vn2
+          |  FROM red p JOIN red e
+          |    ON p.vec_id % 25 = 0 AND e.vec_id <> p.vec_id
+          |  WHERE p.n2 > 0 AND e.n2 > 0
+          |), cs AS (
+          |  SELECT qid, vid,
+          |    round(CAST(list_sum(list_transform(range(1, 33),
+          |        k -> pv[k] * vv[k])) AS DOUBLE) /
+          |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(vn2 AS DOUBLE))),
+          |      6) AS rcos
+          |  FROM pr
+          |), short AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT qid, vid, row_number() OVER (PARTITION BY qid
+          |      ORDER BY rcos DESC, vid) AS srk FROM cs)
+          |  WHERE srk <= 64
+          |), rer AS (
+          |  SELECT s.qid, s.vid,
+          |    round(CAST(list_sum(list_transform(range(1, 65),
+          |        k -> a.qv[k] * b.qv[k])) AS DOUBLE) /
+          |      (sqrt(CAST(a.fn2 AS DOUBLE)) * sqrt(CAST(b.fn2 AS DOUBLE))),
+          |      6) AS cos
+          |  FROM short s JOIN qn a ON a.vec_id = s.qid
+          |               JOIN qn b ON b.vec_id = s.vid
+          |), rk AS (
+          |  SELECT qid, vid, cos,
+          |    CAST(row_number() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, vid) AS INT) AS rank
+          |  FROM rer)
+          |SELECT qid, rank, vid, cos FROM rk WHERE rank <= 3
+          |ORDER BY qid, rank""".stripMargin)),
+
     // ----- same query through the native codegen'd Expression
     // (graft.functions.CosineSim): one fused loop in whole-stage codegen
     // instead of zip_with+aggregate's per-row intermediate array. Must
