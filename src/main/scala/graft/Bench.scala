@@ -46,7 +46,13 @@ object Bench {
     // r3; m_rollup measured 1.9 s and 52 s in two same-day quiet runs).
     // Interleaving puts each query's samples minutes apart, so a burst
     // must span the whole bench to poison a median.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg: comma-separated query names — selective re-bench
+    // while iterating (the driver passes no args → full suite)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.nonEmpty && args(0).nonEmpty)
+        names0.filter(args(0).split(",").toSet)
+      else names0
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
