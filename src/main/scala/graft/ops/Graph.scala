@@ -840,6 +840,75 @@ object Graph {
            |)
            |SELECT v AS id, CAST(min(dd) AS INT) AS dist
            |FROM p GROUP BY v ORDER BY id""".stripMargin)),
+
+    // ----- K11: 2-hop neighborhood feature aggregation — the
+    // GraphSAGE-mean layer (Hamilton et al. 2017) as pure relational
+    // algebra: hop 1 averages each vertex's out-neighbors' feature
+    // (views), hop 2 averages the neighbors' hop-1 values — exactly
+    // the message-passing step every distributed GNN system (DGL,
+    // PyG-on-Spark, AliGraph) lowers to joins + keyed aggregates. Each
+    // hop: broadcast-join the (narrow, |V|-row) feature table onto the
+    // edge list's dst, then aggregate on src — the key the cached edge
+    // table is already partitioned on ([[cachedBySrc]]), and a
+    // broadcast join preserves it, so the per-hop aggregate runs with
+    // NO exchange at all. (With a feature table too wide to broadcast
+    // you'd flip to dst-partitioned edges and pay the src-keyed
+    // aggregate shuffle — the standard GNN trade.) Determinism: means
+    // are floor(sum/count) — sums are exact BIGINTs < 2^53, so the
+    // double division floors identically on both engines. Inner
+    // joins: a vertex appears at hop h only if it has an out-neighbor
+    // with a defined hop-(h-1) value.
+    Q("k11_neighbor_agg",
+      (s, d) => {
+        val e = cappedDistinctBySrc(s, d)
+        val feat = Tables.videos(s, d)
+          .select(expr("CAST(substring(id, 2) AS BIGINT)").as("v"),
+            col("views"))
+          .filter(col("v") < cap)
+        val h1 = e.join(
+            broadcast(feat.select(col("v").as("dst"), col("views"))),
+            Seq("dst"))
+          .groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("n_out"),
+            floor(sum(col("views")).cast("double") / count(lit(1)))
+              .cast("long").as("h1"))
+        val h2 = e.join(
+            broadcast(h1.select(col("v").as("dst"), col("h1"))),
+            Seq("dst"))
+          .groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("n2"),
+            floor(sum(col("h1")).cast("double") / count(lit(1)))
+              .cast("long").as("h2"))
+        h1.join(h2, Seq("v"), "left")
+          .select(col("v").as("id"), col("n_out"), col("h1"),
+            col("n2"), col("h2"))
+          .orderBy("id")
+      },
+      Some(
+        s"""WITH ${Oracles.videosCte},
+           |e AS (
+           |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+           |), feat AS (
+           |  SELECT CAST(substr(id, 2) AS BIGINT) AS v, views
+           |  FROM videos WHERE CAST(substr(id, 2) AS BIGINT) < $cap
+           |), h1 AS (
+           |  SELECT e.src AS v, count(*) AS n_out,
+           |    CAST(floor(CAST(sum(f.views) AS DOUBLE) / count(*))
+           |      AS BIGINT) AS h1
+           |  FROM e JOIN feat f ON f.v = e.dst
+           |  GROUP BY e.src
+           |), h2 AS (
+           |  SELECT e.src AS v, count(*) AS n2,
+           |    CAST(floor(CAST(sum(h.h1) AS DOUBLE) / count(*))
+           |      AS BIGINT) AS h2
+           |  FROM e JOIN h1 h ON h.v = e.dst
+           |  GROUP BY e.src
+           |)
+           |SELECT h1.v AS id, CAST(h1.n_out AS BIGINT) AS n_out, h1.h1,
+           |       CAST(h2.n2 AS BIGINT) AS n2, h2.h2
+           |FROM h1 LEFT JOIN h2 ON h2.v = h1.v
+           |ORDER BY id""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and

@@ -1179,5 +1179,45 @@ object Text {
           |  round(sum(len) * 1.0 / count(*), 4) AS rake_score
           |FROM words GROUP BY t
           |ORDER BY rake_score DESC, word""".stripMargin)),
+
+    // ----- feature hashing (Weinberger et al. 2009, the "hashing
+    // trick"): map every token to one of 64 buckets via md5 — NO vocab
+    // table, no broadcast dictionary, no OOV handling — plus the
+    // signed variant (± from a second hash bit) whose collisions
+    // cancel in expectation instead of biasing upward. This is the
+    // vocab-free featurizer for 100-TB corpora: a vocabulary join
+    // needs a dictionary build + broadcast that grows with the corpus;
+    // the hash needs nothing — the whole featurization is one map pass
+    // and one (doc, bucket)-keyed map-side-combinable aggregate.
+    // Determinism: bucket and sign derive from md5 hex both engines
+    // compute identically; outputs are pure integer counts.
+    Q("t_feature_hash",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .withColumn("bucket",
+            conv(substring(md5(col("t")), 1, 4), 16, 10)
+              .cast("long") % 64)
+          .withColumn("sgn",
+            when(ascii(substring(md5(col("t")), 5, 1)) % 2 === 0, 1L)
+              .otherwise(-1L))
+        tok.groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("n"), sum(col("sgn")).as("signed"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          |  FROM documents
+          |), h AS (
+          |  SELECT doc_id,
+          |    CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) % 64 AS bucket,
+          |    CASE WHEN ascii(substr(md5(t), 5, 1)) % 2 = 0
+          |         THEN 1 ELSE -1 END AS sgn
+          |  FROM tok)
+          |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(sgn) AS BIGINT) AS signed
+          |FROM h GROUP BY doc_id, bucket
+          |ORDER BY doc_id, bucket""".stripMargin)),
   )
 }
