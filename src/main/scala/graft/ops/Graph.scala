@@ -169,7 +169,7 @@ object Graph {
   }
 
   /** Symmetrized full video graph (k7 k-core, k8 LPA). */
-  private def symEdgesBySrc(s: SparkSession, d: String): DataFrame =
+  private[graft] def symEdgesBySrc(s: SparkSession, d: String): DataFrame =
     cachedBySrc(s, d, "symEdgesBySrc") {
       val de = Tables.videoEdges(s, d)
       de.unionByName(de.select(col("dst").as("src"), col("src").as("dst")))
