@@ -62,16 +62,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark 4's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read it
-    * with the legacy nanos-as-long conf, then convert once to microsecond
-    * timestamps via integral division — NOT `/1000` (double round-trip
-    * loses precision above 2^53, and epoch-nanos is ~1.7e18).
+  /** `events.parquet` has shipped with two `ts` encodings across fixture
+    * generations, so branch on the footer schema rather than assuming one:
+    *
+    *   - INT64 TIMESTAMP(NANOS): Spark 4's vectorized reader rejects it
+    *     (PARQUET_TYPE_ILLEGAL) unless read as long under the legacy conf;
+    *     convert once via integral division — NOT `/1000` (double
+    *     round-trip loses precision above 2^53, epoch-nanos is ~1.7e18).
+    *   - TIMESTAMP(MICROS) without UTC adjustment: surfaces as
+    *     timestamp_ntz; cast to session-timezone TimestampType (UTC
+    *     everywhere here, so the instant is unchanged) so every consumer
+    *     downstream sees one type regardless of fixture generation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        t.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => t
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -21,24 +21,37 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw parquet schema of `events` with nanos-as-long `ts`. */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw parquet schema of `events`, with `ts` as whatever the fixture
+    * generation actually stored (see [[graft.Tables.events]]: INT64
+    * TIMESTAMP(NANOS) read as long under the legacy conf, or
+    * TIMESTAMP(MICROS) read as timestamp_ntz). The file source requires
+    * an explicit schema, and an explicit LongType over a MICROS column
+    * silently yields raw micros-as-long — so the schema MUST come from
+    * the footer (one driver-side batch read), not a hardcoded guess. */
+  private def eventsRawSchema(s: SparkSession, dir: String): StructType = {
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a DIRECTORY path; select the single
     // fixture file via pathGlobFilter.
-    s.readStream
-      .schema(eventsRawSchema)
+    val raw = s.readStream
+      .schema(eventsRawSchema(s, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming DF to completion (availableNow) into a memory sink
