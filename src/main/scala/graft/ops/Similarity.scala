@@ -75,19 +75,21 @@ object Similarity {
   private val jaccardHof: (Column, Column) => Column = (a, b) =>
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  private def minhashPairs(s: SparkSession, d: String,
-      jaccard: (Column, Column) => Column = jaccardHof): DataFrame = {
-    val sh = shingled(s, d)
-    // ONE 96-hex-char hash per shingle (3 md5 calls), sliced into 12
-    // disjoint 8-char windows = 12 independent min-hash families —
-    // 4x fewer digest computations than 12 per-seed md5s
-    // (Kirsch–Mitzenmacher-style reuse).
+  /** MinHash band keys per document: `(doc_id, band, key)`.
+    * ONE 96-hex-char hash per shingle (3 md5 calls), sliced into 12
+    * disjoint 8-char windows = 12 independent min-hash families —
+    * 4x fewer digest computations than 12 per-seed md5s
+    * (Kirsch–Mitzenmacher-style reuse). At 100 TB this table is a
+    * write-once storage artifact (bucketed by `key`, Storage.scala
+    * layout) that incremental refreshes probe, not recompute.
+    */
+  private def bandTable(s: SparkSession, d: String): DataFrame = {
     val wide = concat(md5(concat(lit("a_"), col("x"))),
       md5(concat(lit("b_"), col("x"))), md5(concat(lit("c_"), col("x"))))
     val sigCols: Seq[Column] = (0 until numHashes).map { k =>
       min(substring(col("w"), k * 8 + 1, 8)).as(s"m$k")
     }
-    val sig = sh
+    val sig = shingled(s, d)
       .select(col("doc_id"), explode(col("sh")).as("x"))
       .withColumn("w", wide)
       .groupBy("doc_id")
@@ -97,21 +99,25 @@ object Similarity {
         md5(concat((0 until rowsPerBand)
           .map(r => col(s"m${b * rowsPerBand + r}")): _*)).as("key"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    // Candidate pairs WITHOUT a bands-self-join: the self-join form
-    // re-evaluates the whole scan->shingle->md5->signature subtree
-    // once per side (verified in the formatted plan — two distinct
-    // Exchange pipelines), doubling the query's dominant cost. One
-    // groupBy per (band, key) bucket + an in-bucket pair expansion
-    // computes signatures ONCE; the quadratic expansion is bounded
-    // because banding exists precisely to keep buckets tiny.
+  }
+
+  /** Candidate pairs WITHOUT a bands-self-join: the self-join form
+    * re-evaluates the whole scan->shingle->md5->signature subtree
+    * once per side (verified in the formatted plan — two distinct
+    * Exchange pipelines), doubling the query's dominant cost. One
+    * groupBy per (band, key) bucket + an in-bucket pair expansion
+    * computes signatures ONCE; the quadratic expansion is bounded
+    * because banding exists precisely to keep buckets tiny.
+    */
+  private def bucketPairs(bands: DataFrame): DataFrame = {
     val buckets = bands.groupBy("band", "key")
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val cand = buckets
+    buckets
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("ds")) - 1),
         i => transform(
@@ -120,13 +126,24 @@ object Similarity {
             x.as("d2")))))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
+  }
+
+  /** Exact-Jaccard verify of `(d1, d2)` candidates against the shingle
+    * sets; keeps pairs >= 0.5, jaccard rounded to 4dp. */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame,
+      jaccard: (Column, Column) => Column): DataFrame = {
     val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
       .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 4))
       .filter(col("jaccard") >= 0.5)
-      .select("d1", "d2", "jaccard")
+      // pass-through of any tag columns the caller added to `cand`
+      .select(cand.columns.map(col) :+ col("jaccard"): _*)
   }
+
+  private def minhashPairs(s: SparkSession, d: String,
+      jaccard: (Column, Column) => Column = jaccardHof): DataFrame =
+    verifyPairs(shingled(s, d), bucketPairs(bandTable(s, d)), jaccard)
 
   /** DuckDB twin of [[minhashPairs]]: a CTE chain (no WITH keyword) ending
     * in `pairs(d1, d2, jaccard)`. */
@@ -431,6 +448,99 @@ object Similarity {
            |SELECT cluster_id, count(*) AS n_members,
            |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
            |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
+    // ----- incremental near-dup dedup: the refresh pattern of a
+    // continuously-ingested corpus. The BASE 70% of the id space stands
+    // in for the already-deduped corpus whose band table is a WRITE-ONCE
+    // storage artifact (bucketed by band key, Storage.scala layout); the
+    // top 30% is the DELTA batch. The refresh computes MinHash bands
+    // ONLY for the delta, probes the stored base buckets (base x delta
+    // candidates — at scale a bucket-pruned join that never reshuffles
+    // the corpus), closes within-delta dups via the same in-bucket
+    // expansion on the tiny delta side, and verifies candidates with
+    // exact Jaccard. Every delta doc gets a verdict: 'near_base'
+    // (dup_of = smallest matching base doc), 'near_delta' (dup_of =
+    // smallest matching earlier delta doc), or 'kept'. Precedence
+    // base-over-delta keeps the corpus copy canonical. Transitive
+    // closure ACROSS refreshes is m_dedup_clusters' job — here dup_of
+    // is the immediate min partner, which is what an ingest-time
+    // tombstone needs. The split scalar rides a broadcast 1-row
+    // crossJoin (no driver round-trip; production parameterizes it);
+    // the band table is localCheckpointed so the base and delta
+    // branches read it once (the self-join lesson) — at 100 TB the
+    // base branch is a stored-table scan instead.
+    Q("m_incr_dedup",
+      (s, d) => {
+        // integer arithmetic (div, not /) so the boundary is exact on
+        // both engines: split = (max_id + 1) * 7 div 10
+        val splitDf = Tables.documents(s, d)
+          .agg(expr("((max(doc_id) + 1) * 7) div 10").as("split"))
+        val bands = bandTable(s, d)
+          .crossJoin(broadcast(splitDf)).localCheckpoint()
+        val sh = shingled(s, d)
+        val baseB = bands.filter(col("doc_id") < col("split"))
+          .select("doc_id", "band", "key")
+        val deltaB = bands.filter(col("doc_id") >= col("split"))
+          .select("doc_id", "band", "key")
+        // base x delta: delta probes the (stored) base band buckets —
+        // d1 = base side by construction; within-delta pairs close via
+        // the in-bucket expansion, d1 = the earlier delta doc
+        val candBase = deltaB.as("n")
+          .join(baseB.as("o"), Seq("band", "key"))
+          .select(col("o.doc_id").as("d1"), col("n.doc_id").as("d2"))
+          .distinct()
+          .withColumn("from_base", lit(true))
+        val candDelta = bucketPairs(deltaB)
+          .withColumn("from_base", lit(false))
+        val verified = verifyPairs(
+          sh, candBase.unionByName(candDelta), jaccardHof)
+        val baseHit = verified.filter(col("from_base"))
+          .groupBy("d2").agg(min(col("d1")).as("b_dup"))
+          .withColumnRenamed("d2", "doc_id")
+        val deltaHit = verified.filter(!col("from_base"))
+          .groupBy("d2").agg(min(col("d1")).as("n_dup"))
+          .withColumnRenamed("d2", "doc_id")
+        val jac = verified.select(col("d1").as("dup_of"),
+          col("d2").as("doc_id"), col("jaccard").as("jac"))
+        Tables.documents(s, d).select("doc_id")
+          .crossJoin(broadcast(splitDf))
+          .filter(col("doc_id") >= col("split"))
+          .join(baseHit, Seq("doc_id"), "left")
+          .join(deltaHit, Seq("doc_id"), "left")
+          .withColumn("status",
+            when(col("b_dup").isNotNull, lit("near_base"))
+              .when(col("n_dup").isNotNull, lit("near_delta"))
+              .otherwise(lit("kept")))
+          .withColumn("dup_of", coalesce(col("b_dup"), col("n_dup")))
+          .join(jac, Seq("doc_id", "dup_of"), "left")
+          .select("doc_id", "status", "dup_of", "jac")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $minhashPairsCtes,
+           |sp AS (
+           |  SELECT (max(doc_id) + 1) * 7 // 10 AS split FROM documents
+           |), dd AS (
+           |  SELECT doc_id FROM documents, sp WHERE doc_id >= split
+           |), bh AS (
+           |  SELECT d2 AS doc_id, min(d1) AS b_dup FROM pairs, sp
+           |  WHERE d1 < split AND d2 >= split GROUP BY d2
+           |), nh AS (
+           |  SELECT d2 AS doc_id, min(d1) AS n_dup FROM pairs, sp
+           |  WHERE d1 >= split GROUP BY d2
+           |), res AS (
+           |  SELECT dd.doc_id,
+           |    CASE WHEN bh.b_dup IS NOT NULL THEN 'near_base'
+           |         WHEN nh.n_dup IS NOT NULL THEN 'near_delta'
+           |         ELSE 'kept' END AS status,
+           |    coalesce(bh.b_dup, nh.n_dup) AS dup_of
+           |  FROM dd LEFT JOIN bh USING (doc_id)
+           |          LEFT JOIN nh USING (doc_id)
+           |)
+           |SELECT res.doc_id, res.status, res.dup_of, p.jaccard AS jac
+           |FROM res LEFT JOIN pairs p
+           |  ON p.d1 = res.dup_of AND p.d2 = res.doc_id
+           |ORDER BY res.doc_id""".stripMargin)),
 
     // ----- n-gram (bigram) Jaccard similarity, source-bucketed: a bounded
     // probe set (doc_id % 50 = 0) joins only within its `source` bucket —

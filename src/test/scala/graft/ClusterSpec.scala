@@ -44,4 +44,45 @@ class ClusterSpec extends SparkSpec {
     assert(bad == 0, "cluster id/size invariant broken")
     clusters.unpersist()
   }
+
+  /** Invariants of the incremental refresh (`m_incr_dedup`) beyond the
+    * row-level oracle: the verdict set is consistent with the GLOBAL
+    * pair graph restricted to the delta — base precedence, canonical
+    * partners on the correct side of the split, and agreement with
+    * m_minhash_dedup on which delta docs have a base partner at all.
+    */
+  test("incremental dedup verdicts agree with the global pair graph") {
+    val res = SparkEntry.queries("m_incr_dedup")(spark, sf).cache()
+    val n = res.count()
+    assert(n > 0, "no delta docs — vacuous")
+    val split = res.agg(min(col("doc_id"))).head().getLong(0)
+
+    val byStatus = res.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("near_base", 0L) > 0,
+      "no near_base verdicts — fixture split misses all cross pairs")
+
+    // dup_of side matches the verdict; kept rows carry no partner
+    assert(res.filter(col("status") === "near_base" &&
+      col("dup_of") >= split).count() == 0, "near_base partner in delta")
+    assert(res.filter(col("status") === "near_delta" &&
+      (col("dup_of") < split || col("dup_of") >= col("doc_id")))
+      .count() == 0, "near_delta partner not an earlier delta doc")
+    assert(res.filter(col("status") === "kept" &&
+      (col("dup_of").isNotNull || col("jac").isNotNull)).count() == 0,
+      "kept row carries a partner")
+    assert(res.filter(col("status") =!= "kept" && col("jac") < 0.5)
+      .count() == 0, "verified partner below the jaccard bar")
+
+    // near_base set == delta docs with ANY base partner in the global
+    // pair graph (m_minhash_dedup); base precedence implies equality
+    val pairs = SparkEntry.queries("m_minhash_dedup")(spark, sf)
+    val expect = pairs.filter(col("d1") < split && col("d2") >= split)
+      .select(col("d2").as("doc_id")).distinct()
+    val got = res.filter(col("status") === "near_base").select("doc_id")
+    assert(expect.exceptAll(got).count() == 0 &&
+      got.exceptAll(expect).count() == 0,
+      "near_base set disagrees with the global pair graph")
+    res.unpersist()
+  }
 }
