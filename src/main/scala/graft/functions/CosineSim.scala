@@ -174,6 +174,14 @@ object GraftFunctions {
           new org.apache.spark.sql.catalyst.expressions.XxHash64(
             exprs.tail)),
       "built-in")
+    // cms_estimate(sketch, key): point-frequency probe of the engine's
+    // own count_min_sketch aggregate output — the third mergeable-sketch
+    // family next to HLL (distinct counts, m_hll_rollup) and bloom
+    // (membership): bounded-overcount frequency without per-key state.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_estimate",
+      exprs => CmsEstimate(exprs.head, exprs(1)),
+      "built-in")
   }
 
   /** Install graft optimizer rules on a session built without the

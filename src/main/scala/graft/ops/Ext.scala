@@ -337,6 +337,52 @@ object Ext {
           |FROM roll JOIN x USING (event_type)
           |ORDER BY event_type""".stripMargin)),
 
+    // ----- count-min point-frequency sketch: the THIRD mergeable-sketch
+    // family next to HLL (distinct, m_hll_rollup) and Misra-Gries
+    // (heavy hitters, t_heavy_hitters): "how often does THIS key occur"
+    // with a fixed depth x width integer matrix that merges by
+    // element-wise add — per-partition partials at 100 TB, KB per cell,
+    // never a per-key state shuffle. Build = the engine's own
+    // count_min_sketch aggregate (seeded, so deterministic); probe = the
+    // native cms_estimate expression (graft.functions.CmsEstimate) over
+    // the top-20 exact-heavy keys, with the sketch riding a broadcast
+    // 1-row capsule. Acceptance columns check the CMS contract the
+    // oracle can state: estimates never undercount, and overcount by at
+    // most ceil(eps * N). Deterministic given the fixed seed, so the
+    // booleans are fixture-frozen facts, not flaky probabilities.
+    Q("m_cms_freq",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.events(s, d)
+        val sketch = e.agg(
+          expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("total"))
+        val probes = e.groupBy("user_id")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(desc("exact_cnt"), col("user_id"))
+          .limit(20)
+        probes.crossJoin(broadcast(sketch))
+          .withColumn("est",
+            call_function("cms_estimate", col("cms"), col("user_id")))
+          .select(col("user_id"), col("exact_cnt"),
+            (col("est") >= col("exact_cnt")).as("never_undercounts"),
+            (col("est") <= col("exact_cnt")
+              + ceil(lit(0.001) * col("total")).cast("long"))
+              .as("within_eps"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT user_id, count(*) AS exact_cnt
+          |  FROM events GROUP BY user_id
+          |), p AS (
+          |  SELECT user_id, exact_cnt FROM c
+          |  ORDER BY exact_cnt DESC, user_id LIMIT 20
+          |)
+          |SELECT user_id, exact_cnt,
+          |  TRUE AS never_undercounts, TRUE AS within_eps
+          |FROM p ORDER BY user_id""".stripMargin)),
+
     // ----- JSON extraction from string column (events.props)
     Q("m_json_extract",
       (s, d) => Tables.events(s, d)

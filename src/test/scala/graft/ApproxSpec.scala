@@ -36,4 +36,31 @@ class ApproxSpec extends SparkSpec {
       .toMap
     assert(stream == batch)
   }
+
+  /** CMS contract over EVERY key, not just m_cms_freq's top-20: the
+    * estimate never undercounts any user_id, and overcounts by at most
+    * ceil(eps * N). Deterministic — the sketch is seeded. */
+  test("count-min estimates bounded for all keys") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.events(spark, sf)
+    val sketch = e.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("total"))
+    val rows = e.groupBy("user_id")
+      .agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("exact"),
+        call_function("cms_estimate", col("cms"), col("user_id"))
+          .as("est"),
+        ceil(lit(0.001) * col("total")).cast("long").as("slack"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, exact, est, slack) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"user $k: CMS undercounts $est < $exact")
+      assert(est <= exact + slack,
+        s"user $k: CMS overcount $est > $exact + $slack")
+    }
+  }
 }
