@@ -492,8 +492,13 @@ object Similarity {
           .withColumn("from_base", lit(true))
         val candDelta = bucketPairs(deltaB)
           .withColumn("from_base", lit(false))
+        // checkpointed: three consumers below (baseHit / deltaHit / jac)
+        // would otherwise re-run the verify joins — and their two full
+        // shingle recomputes — once each (measured 5.9 s -> the
+        // global-dedup baseline without it at sf0.1)
         val verified = verifyPairs(
           sh, candBase.unionByName(candDelta), jaccardHof)
+          .localCheckpoint()
         val baseHit = verified.filter(col("from_base"))
           .groupBy("d2").agg(min(col("d1")).as("b_dup"))
           .withColumnRenamed("d2", "doc_id")
