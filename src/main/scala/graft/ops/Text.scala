@@ -821,6 +821,76 @@ object Text {
           |FROM tok JOIN uni USING (t) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ----- DSIR-style importance scoring (Xie et al. 2023,
+    // arXiv:2302.03169): rank pool documents by how target-like their
+    // token distribution is — the data-SELECTION counterpart of the
+    // quality filters above. Target = the lang='en' slice (standing in
+    // for the trusted corpus); pool = everything else. Each pool doc
+    // scores avg over its tokens of ln(p_target(w) / p_pool(w)), both
+    // LMs add-one-smoothed over the SHARED vocabulary (so unseen-in-
+    // target tokens penalize instead of exploding). selected = score>0,
+    // i.e. the doc is literally more likely under the target LM than
+    // the pool LM. Scale shape: two distributed token-count aggregates
+    // (map-side combined), token-keyed equi-joins (the tf-idf shape —
+    // marginals stay distributed, never collected), the three scalars
+    // ride ONE broadcast 1-row capsule, and the per-doc rollup shuffles
+    // once on doc_id. Same avg-of-logs + round(4dp) determinism
+    // contract as t_unigram_logprob.
+    Q("t_dsir",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("t"))
+        val ct = tok.filter(col("lang") === "en")
+          .groupBy("t").agg(count(lit(1)).as("ct"))
+        val cs = tok.filter(col("lang") =!= "en")
+          .groupBy("t").agg(count(lit(1)).as("cs"))
+        val k = tok.agg(
+          countDistinct(col("t")).as("v"),
+          sum(when(col("lang") === "en", 1).otherwise(0)).as("nt"),
+          sum(when(col("lang") =!= "en", 1).otherwise(0)).as("ns"))
+        tok.filter(col("lang") =!= "en")
+          .join(ct, Seq("t"), "left")
+          .join(cs, Seq("t"))
+          .crossJoin(broadcast(k))
+          .withColumn("lr",
+            log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+                / (col("nt") + col("v")))
+              - log((col("cs") + 1).cast("double")
+                / (col("ns") + col("v"))))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).cast("int").as("n_tokens"),
+            round(avg(col("lr")), 4).as("dsir_score"))
+          .withColumn("selected", col("dsir_score") > 0)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+          |  FROM documents
+          |), ct AS (
+          |  SELECT t, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY t
+          |), cs AS (
+          |  SELECT t, count(*) AS cs FROM tok WHERE lang <> 'en' GROUP BY t
+          |), k AS (
+          |  SELECT count(DISTINCT t) AS v,
+          |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS nt,
+          |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS ns
+          |  FROM tok
+          |), sc AS (
+          |  SELECT tok.doc_id, tok.lang, CAST(count(*) AS INT) AS n_tokens,
+          |    round(avg(ln((coalesce(ct, 0) + 1) * 1.0 / (nt + v))
+          |            - ln((cs + 1) * 1.0 / (ns + v))), 4) AS dsir_score
+          |  FROM tok LEFT JOIN ct USING (t) JOIN cs USING (t) CROSS JOIN k
+          |  WHERE tok.lang <> 'en'
+          |  GROUP BY tok.doc_id, tok.lang
+          |)
+          |SELECT doc_id, lang, n_tokens, dsir_score,
+          |  dsir_score > 0 AS selected
+          |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // ----- vocabulary coverage report: the top-50 corpus tokens with
     // their cumulative share of all token occurrences — the curve a
     // tokenizer/vocab-construction pass reads to pick a vocab size.
