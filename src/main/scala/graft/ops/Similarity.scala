@@ -1630,7 +1630,89 @@ object Similarity {
            |SELECT n.vec_id, n.cluster, d.v2 IS NULL AS kept
            |FROM nrm n LEFT JOIN drops d ON n.vec_id = d.v2
            |ORDER BY n.vec_id""".stripMargin)),
+
+    // ----- diversity coreset by farthest-point sampling (the 2-approx
+    // k-center greedy): after dedup REMOVES redundancy, a curation
+    // pipeline also SELECTS for coverage — k representatives where
+    // each new pick maximizes its distance to everything already
+    // picked. Seed = min vec_id (deterministic), then k-1 rounds of
+    // argmax-of-min-distance; distances are exact integer squared-L2
+    // on 3dp floor-quantized coordinates (the m_ann_pq convention —
+    // no float argmax tie risk), ties on vec_id. Scale shape: each
+    // round is ONE map pass over the (checkpointed) corpus against a
+    // broadcast <=k-row selected set, a min-rollup, and a
+    // TakeOrdered(1) — k linear scans total, the canonical FPS cost;
+    // nothing pairwise ever materializes. Production k in the
+    // thousands batches rounds via k-means|| style oversampling
+    // (Bahmani et al. 2012); the per-round selected set stays a
+    // broadcast either way. The selected set is localCheckpointed per
+    // round (<= 4 rows) so round r doesn't re-run rounds 2..r-1's
+    // TakeOrdered subtrees (the iterative-loop lineage rule,
+    // Graph.scala).
+    Q("m_diversity_fps",
+      (s, d) => {
+        val qv = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+          .localCheckpoint()
+        def d2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v)
+        var sel = qv.orderBy("vec_id").limit(1)
+          .select(lit(1).as("sel_round"), col("vec_id"),
+            lit(0L).as("mindist2"), col("q"))
+          .localCheckpoint()
+        for (r <- 2 to 4) {
+          val next = qv
+            .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .crossJoin(broadcast(sel.select(col("q").as("sq"))))
+            .select(col("vec_id"), col("q"), d2(col("q"), col("sq")).as("dd"))
+            .groupBy("vec_id")
+            .agg(min(col("dd")).as("mindist2"), first(col("q")).as("q"))
+            .orderBy(desc("mindist2"), col("vec_id")).limit(1)
+            .select(lit(r).as("sel_round"), col("vec_id"),
+              col("mindist2"), col("q"))
+          sel = sel.unionByName(next).localCheckpoint()
+        }
+        sel.select("sel_round", "vec_id", "mindist2").orderBy("sel_round")
+      },
+      Some(fpsSql)),
   )
+
+  /** DuckDB replica of the 4-round FPS chain: quantized coordinates,
+    * then per round the argmax-of-min-squared-L2 over the not-yet-
+    * selected set, ties on vec_id — unrolled CTEs, the kmeansCtes
+    * convention. */
+  private def fpsSql: String = {
+    def selSet(r: Int): String =
+      (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ")
+    val rounds = (2 to 4).map { r =>
+      s"""d$r AS (
+         |  SELECT a.vec_id,
+         |    min(CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))
+         |      AS BIGINT)) AS md
+         |  FROM q a JOIN q b ON b.vec_id IN (${selSet(r)})
+         |  WHERE a.vec_id NOT IN (${selSet(r)})
+         |  GROUP BY a.vec_id
+         |), s$r AS (
+         |  SELECT vec_id, md FROM d$r ORDER BY md DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), s1 AS (
+       |  SELECT vec_id FROM q ORDER BY vec_id LIMIT 1
+       |), $rounds
+       |SELECT 1 AS sel_round, vec_id, CAST(0 AS BIGINT) AS mindist2 FROM s1
+       |UNION ALL SELECT 2, vec_id, md FROM s2
+       |UNION ALL SELECT 3, vec_id, md FROM s3
+       |UNION ALL SELECT 4, vec_id, md FROM s4
+       |ORDER BY sel_round""".stripMargin
+  }
 
   /** The shared DuckDB replica of the 3-round Lloyd chain: quantized
     * coordinates `e`, seeded centroids `c0`, then per round i the
