@@ -186,7 +186,67 @@ object Storage {
          |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** Two parquet "ingest generations" of an orders projection under one
+    * directory — generation 2 ADDED a column (o_orderstatus), the way
+    * real logs evolve. Written once per (session, dir); read back with
+    * mergeSchema. */
+  private def schemaGenDir(s: SparkSession, d: String): String = {
+    val m = Tables.sessionScoped(s)
+    val key = s"dir:graft_schema_gen_${sfx(d)}"
+    val loc = s.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_schema_gen_${sfx(d)}")).toString
+    if (m.get(key) == null) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$loc/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$loc/gen=2")
+      m.putIfAbsent(key, s.emptyDataFrame) // presence marker only
+    }
+    loc
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ----- schema evolution across ingest generations: generation 2
+    // added o_orderstatus, and a single mergeSchema scan reads BOTH
+    // generations as one table — old files surface the new column as
+    // NULL, no rewrite of historical data (the only affordable answer
+    // at 100 TB, where a backfill of every old file is off the table).
+    // mergeSchema costs a footer read per file at planning time, which
+    // is why production sets the union schema in the catalog instead —
+    // same semantics, demonstrated here via the read option. The `gen`
+    // partition-style directory key is read back as a column and
+    // dropped, proving layout metadata stays out of the result. Oracle
+    // recomputes both generations' projections from raw orders.
+    Q("m_schema_evolution",
+      (s, d) => {
+        val dir = schemaGenDir(s, d)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first)
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+          |  FROM orders WHERE o_orderkey % 2 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_totalprice, o_orderstatus
+          |  FROM orders WHERE o_orderkey % 2 = 1
+          |)
+          |SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM g GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)),
 
     // ----- shuffle-free bucketed join: both sides pre-bucketed on the
     // join key, and the groupBy key equals the bucket key, so join AND

@@ -262,4 +262,31 @@ class StorageSpec extends SparkSpec {
     assert(sorted < shuffled,
       s"sorted layout ($sorted B) not smaller than shuffled ($shuffled B)")
   }
+
+  test("m_schema_evolution merges genuinely different on-disk schemas") {
+    // the query's oracle proves VALUES; this pins the MECHANISM — the
+    // two generations really differ on disk (gen 1 has no
+    // o_orderstatus), and the merged scan surfaces the union schema
+    // with the added column NULL exactly on gen-1 rows
+    val res = SparkEntry.queries("m_schema_evolution")(spark, sf)
+    assert(res.columns.contains("o_orderstatus"))
+    val dir = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "graft_schema_gen_" +
+          sf.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+|_+$", "")))
+      .toString
+    val gen1 = spark.read.parquet(s"$dir/gen=1")
+    val gen2 = spark.read.parquet(s"$dir/gen=2")
+    assert(!gen1.columns.contains("o_orderstatus"),
+      "gen 1 unexpectedly has the evolved column on disk")
+    assert(gen2.columns.contains("o_orderstatus"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    val nullStatus = merged.filter(col("o_orderstatus").isNull)
+      .select("o_orderkey").distinct()
+    val evenKeys = merged.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey").distinct()
+    assert(nullStatus.exceptAll(evenKeys).count() == 0 &&
+      evenKeys.exceptAll(nullStatus).count() == 0,
+      "NULL evolved column does not line up with gen-1 rows")
+  }
 }
