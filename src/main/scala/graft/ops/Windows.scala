@@ -330,6 +330,68 @@ object Windows {
           |      > 4 * np * (np*s2 - s1*s1)
           |ORDER BY event_id""".stripMargin)),
 
+    // ----- CUSUM change-point detection per event_type: w_anomaly's
+    // POINTWISE outlier flag can't see a level shift (every post-shift
+    // point looks individually normal); the cumulative sum of
+    // deviations from the series mean peaks exactly at the shift
+    // boundary (Page 1954). All integer-exact by cross-multiplication:
+    // instead of c_i - total/nd (a rational), accumulate
+    // nd*c_i - total — same argmax, scaled by nd, and Σ over the full
+    // series telescopes to 0 by construction. Bounds: nd·c ≤ 6e7 at
+    // sf0.1, partials < 2^40 — nowhere near BIGINT. Scale shape: data
+    // volume dies in the (event_type, day) pre-aggregate (map-side
+    // combined); the cumulative window runs over DAYS per type —
+    // bounded by the calendar, not by data — so the per-type partition
+    // never becomes the g2-style unbounded-window killer. Ties on the
+    // peak break to the earliest day in both engines.
+    Q("w_cusum",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .withColumn("day",
+            expr("(unix_micros(ts) div 1000000) div 86400"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val tot = daily.groupBy("event_type")
+          .agg(sum(col("c")).as("total"), count(lit(1)).as("nd"))
+        val cum = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rk = Window.partitionBy("event_type")
+          .orderBy(desc("adev"), col("day"))
+        daily.join(tot, Seq("event_type"))
+          .withColumn("s",
+            sum(col("nd") * col("c") - col("total")).over(cum))
+          .withColumn("adev", abs(col("s")))
+          .withColumn("rn", row_number().over(rk))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("change_day"),
+            col("adev").as("max_dev"), col("nd").cast("int").as("n_days"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+          |    count(*) AS c
+          |  FROM events GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+          |    CAST(count(*) AS BIGINT) AS nd
+          |  FROM daily GROUP BY 1
+          |), cs AS (
+          |  SELECT d.event_type, d.day, t.nd,
+          |    sum(t.nd * d.c - t.total) OVER (PARTITION BY d.event_type
+          |      ORDER BY d.day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+          |  FROM daily d JOIN tot t USING (event_type)
+          |), rk AS (
+          |  SELECT event_type, day, abs(s) AS adev, nd,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY abs(s) DESC, day) AS rn
+          |  FROM cs)
+          |SELECT event_type, day AS change_day,
+          |  CAST(adev AS BIGINT) AS max_dev, CAST(nd AS INT) AS n_days
+          |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // ----- exponentially-weighted moving average (α = 1/2) over each
     // user's last 8 events — the streaming-monitoring smoother. The
     // whole computation is EXACT INTEGER arithmetic: values scale to
