@@ -931,6 +931,46 @@ object Ext {
           |LEFT JOIN p USING (user_id)
           |ORDER BY user_id""".stripMargin)),
 
+    // ----- clickstream path mining: the top event-type TRIGRAMS over
+    // each user's time-ordered stream — where m_funnel checks ONE
+    // prescribed sequence, this DISCOVERS which sequences dominate
+    // (the product-analytics "path analysis" view). Two lead()s per
+    // user build the trigrams in place — no self-joins, no per-user
+    // collect; the window orders on integral (us, event_id) so
+    // same-timestamp events break ties identically on both engines.
+    // Scale shape: per-user window partitions (user-bounded, never
+    // global), a map-side-combined trigram count, and a TakeOrdered
+    // top-15 with a full lexicographic tie-break.
+    Q("m_event_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("s1"), unix_micros(col("ts")).as("us"))
+          .withColumn("s2", lead(col("s1"), 1).over(w))
+          .withColumn("s3", lead(col("s1"), 2).over(w))
+          .filter(col("s3").isNotNull)
+          .groupBy("s1", "s2", "s3")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("s1"), col("s2"), col("s3"))
+          .limit(15)
+      },
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_type AS s1,
+          |    lead(event_type, 1) OVER w AS s2,
+          |    lead(event_type, 2) OVER w AS s3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id
+          |               ORDER BY epoch_us(ts), event_id)
+          |)
+          |SELECT s1, s2, s3, count(*) AS n
+          |FROM o WHERE s3 IS NOT NULL
+          |GROUP BY s1, s2, s3
+          |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin)),
+
     // ----- UNPIVOT (stack) data-profiling report: one aggregation pass
     // computes per-column min/max/distinct, then `stack` rotates the
     // single wide row into the (column, stats) long form a profiler
