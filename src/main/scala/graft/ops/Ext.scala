@@ -971,6 +971,94 @@ object Ext {
           |GROUP BY s1, s2, s3
           |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin)),
 
+    // ----- A/B experiment readout with an integer-cleared two-
+    // proportion z-test: users hash-split into arms (the m_split md5
+    // convention — reproducible under any partitioning, balanced in
+    // expectation), conversion = ">= 1 event of this type with
+    // value > 200" (14-25% base rates on the fixture — discriminative,
+    // unlike has-any-event which saturates at 100%). The 5%-level
+    // significance decision |z| > 1.96 is evaluated ENTIRELY in
+    // integers: with D = c_a*n_b - c_b*n_a, T = n_a+n_b, C = c_a+c_b,
+    // N = n_a*n_b, the pooled z² > 1.96² rearranges to
+    // 625*D²*T > 2401*C*(T-C)*N (1.96² = 2401/625 exactly) — a
+    // boolean that can never flip on a float tie, the w_anomaly
+    // discipline applied to inference. Bounds: every product < 3e17
+    // at sf0.1 (BIGINT-safe; beyond ~1e5 users per arm the same test
+    // runs in DECIMAL). diff_bp is floor-scaled basis points —
+    // identical IEEE division inputs floor identically on both
+    // engines. Scale shape: two distinct-aggregates and a broadcast
+    // 1-row arm-size capsule; nothing quadratic, nothing driver-side.
+    Q("m_ab_test",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val users = e.select(col("user_id")).distinct()
+          .withColumn("arm",
+            when(substring(md5(concat(lit("ab_"),
+              col("user_id").cast("string"))), 1, 1) < "8", "A")
+              .otherwise("B"))
+        val conv = e.filter(col("value") > 200.0)
+          .select(col("user_id"), col("event_type")).distinct()
+          .join(users, Seq("user_id"))
+        val ns = users.agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        conv.groupBy("event_type")
+          .agg(
+            sum(when(col("arm") === "A", 1L).otherwise(0L)).as("c_a"),
+            sum(when(col("arm") === "B", 1L).otherwise(0L)).as("c_b"))
+          .crossJoin(broadcast(ns))
+          .withColumn("dd",
+            col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+          .withColumn("t", col("n_a") + col("n_b"))
+          .withColumn("cc", col("c_a") + col("c_b"))
+          .withColumn("nn", col("n_a") * col("n_b"))
+          .select(col("event_type"), col("n_a"), col("c_a"),
+            col("n_b"), col("c_b"),
+            floor(col("dd") * 10000.0 / col("nn")).cast("long")
+              .as("diff_bp"),
+            (lit(625L) * col("dd") * col("dd") * col("t") >
+              lit(2401L) * col("cc") * (col("t") - col("cc")) * col("nn"))
+              .as("significant"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT DISTINCT user_id FROM events
+          |), arms AS (
+          |  SELECT user_id,
+          |    CASE WHEN substr(md5(concat('ab_',
+          |      CAST(user_id AS VARCHAR))), 1, 1) < '8'
+          |      THEN 'A' ELSE 'B' END AS arm
+          |  FROM u
+          |), conv AS (
+          |  SELECT DISTINCT e.user_id, e.event_type, a.arm
+          |  FROM events e JOIN arms a USING (user_id)
+          |  WHERE e.value > 200.0
+          |), ns AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_a,
+          |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_b
+          |  FROM arms
+          |), cs AS (
+          |  SELECT event_type,
+          |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS c_a,
+          |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS c_b
+          |  FROM conv GROUP BY event_type
+          |), w AS (
+          |  SELECT event_type, n_a, c_a, n_b, c_b,
+          |    c_a * n_b - c_b * n_a AS dd,
+          |    n_a + n_b AS t, c_a + c_b AS cc, n_a * n_b AS nn
+          |  FROM cs CROSS JOIN ns
+          |)
+          |SELECT event_type, n_a, c_a, n_b, c_b,
+          |  CAST(floor(dd * 10000.0 / nn) AS BIGINT) AS diff_bp,
+          |  625 * dd * dd * t > 2401 * cc * (t - cc) * nn AS significant
+          |FROM w ORDER BY event_type""".stripMargin)),
+
     // ----- UNPIVOT (stack) data-profiling report: one aggregation pass
     // computes per-column min/max/distinct, then `stack` rotates the
     // single wide row into the (column, stats) long form a profiler
