@@ -603,6 +603,89 @@ object Ext {
           |FROM r JOIN q USING (source) WHERE rk <= quota
           |ORDER BY source, doc_id""".stripMargin)),
 
+    // ----- exact waterfilling of a global token budget across sources —
+    // the PLANNING step of corpus mixing (m_sample_mix executes given
+    // quotas; this COMPUTES them): find waterline W with
+    // Σ min(c_s, W) <= B < Σ min(c_s, W+1), so small sources contribute
+    // everything and large sources cap at W (max-min fair allocation).
+    // All integer: candidate waterlines come from the sorted prefix
+    // identity L_k = (B - P_k) div (n - k), and the winner is picked by
+    // VERIFYING the defining inequality directly (unique by
+    // monotonicity of Σ min(c, L) in L — the flat-region duplicates
+    // fail the strict right side). Negative division candidates differ
+    // between engines (trunc vs floor) but fail verification on both,
+    // so they never surface. Scale shape: token counts are the
+    // distributed t_tokens aggregate; everything after is windows and
+    // joins over N_SOURCES rows (20 — bounded by source cardinality,
+    // the t_vocab rule), with the verified waterline broadcast back as
+    // a 1-row capsule.
+    Q("m_mix_waterfill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // strata = (source, lang): ~100 cells of genuinely varied
+        // size, so BOTH branches are live (small cells fully included,
+        // large cells capped) — per-source alone is balanced on this
+        // fixture and everything would cap
+        val cs = Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("tk"))
+          .groupBy("source", "lang").agg(sum(col("tk")).as("c"))
+        val tot = cs.agg(sum(col("c")).as("total"),
+          count(lit(1)).as("n"))
+        val wi = Window.orderBy(col("c"), col("source"), col("lang"))
+        val wp = wi.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val cand = cs.crossJoin(broadcast(tot))
+          .withColumn("b", expr("(total * 3) div 10"))
+          .withColumn("i", row_number().over(wi).cast("long"))
+          .withColumn("p", sum(col("c")).over(wp))
+          .select(expr("(b - (p - c)) div (n - i + 1)").as("l"), col("b"))
+          .distinct()
+        val wl = cand.crossJoin(broadcast(cs.select(col("c").as("cc"))))
+          .groupBy("l", "b")
+          .agg(sum(least(col("cc"), col("l"))).as("s0"),
+            sum(least(col("cc"), col("l") + 1)).as("s1"))
+          .filter(col("s0") <= col("b") && col("s1") > col("b"))
+          .select(col("l").as("waterline"), col("b").as("budget"))
+        cs.crossJoin(broadcast(wl))
+          .select(col("source"), col("lang"), col("c").as("tokens"),
+            least(col("c"), col("waterline")).as("quota"),
+            (col("c") > col("waterline")).as("capped"),
+            col("waterline"), col("budget"))
+          .orderBy("source", "lang")
+      },
+      Some(
+        """WITH cs AS (
+          |  SELECT source, lang,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+          |  FROM documents GROUP BY source, lang
+          |), tot AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS total,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM cs
+          |), pre AS (
+          |  SELECT c, source, lang, (total * 3) // 10 AS b, n,
+          |    CAST(row_number() OVER (ORDER BY c, source, lang)
+          |      AS BIGINT) AS i,
+          |    CAST(sum(c) OVER (ORDER BY c, source, lang
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS p
+          |  FROM cs CROSS JOIN tot
+          |), cand AS (
+          |  SELECT DISTINCT (b - (p - c)) // (n - i + 1) AS l, b FROM pre
+          |), ver AS (
+          |  SELECT l, b,
+          |    CAST(sum(least(cs.c, l)) AS BIGINT) AS s0,
+          |    CAST(sum(least(cs.c, l + 1)) AS BIGINT) AS s1
+          |  FROM cand CROSS JOIN cs GROUP BY l, b
+          |), wl AS (
+          |  SELECT l AS waterline, b AS budget FROM ver
+          |  WHERE s0 <= b AND s1 > b
+          |)
+          |SELECT source, lang, c AS tokens, least(c, waterline) AS quota,
+          |  c > waterline AS capped, waterline, budget
+          |FROM cs CROSS JOIN wl ORDER BY source, lang""".stripMargin)),
+
     // ----- deterministic stratified sampling for training-data mixing:
     // each source tier keeps a quota (src0-4: 100%, src5-9: 50%,
     // src10-19: 20%) and the keep/drop draw is a pure function of doc_id
