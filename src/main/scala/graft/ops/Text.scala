@@ -821,6 +821,61 @@ object Text {
           |FROM tok JOIN uni USING (t) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ----- per-source corpus card: the release-summary profile a
+    // corpus ships with (the Datasheets/data-card table) — doc count,
+    // token volume, vocabulary size, type-token ratio, language
+    // spread, and length extremes per source, in one pass + one
+    // distinct-aggregate. TTR is floor-scaled basis points
+    // (10000*vocab div tokens — integral division, no float ties);
+    // everything else is counts. Scale shape: the token explode
+    // shuffles once on (source, token) for the distinct-vocab count
+    // (map-side partial distinct), the rest rides a per-source hash
+    // aggregate; output cardinality = source count, bounded.
+    Q("t_corpus_card",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        val agg = base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("ntok")).as("min_tokens"),
+            max(col("ntok")).as("max_tokens"))
+        val vocab = base
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .groupBy("source")
+          .agg(countDistinct(col("t")).as("vocab"))
+        agg.join(vocab, Seq("source"))
+          .withColumn("ttr_bp",
+            expr("(10000 * vocab) div tokens"))
+          .select("source", "n_docs", "tokens", "vocab", "ttr_bp",
+            "n_langs", "min_tokens", "max_tokens")
+          .orderBy("source")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT source, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+          |    text
+          |  FROM documents
+          |), agg AS (
+          |  SELECT source, count(*) AS n_docs,
+          |    CAST(sum(ntok) AS BIGINT) AS tokens,
+          |    count(DISTINCT lang) AS n_langs,
+          |    min(ntok) AS min_tokens, max(ntok) AS max_tokens
+          |  FROM base GROUP BY source
+          |), vocab AS (
+          |  SELECT source, count(DISTINCT t) AS vocab
+          |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+          |        FROM base)
+          |  GROUP BY source
+          |)
+          |SELECT source, n_docs, tokens, vocab,
+          |  (10000 * vocab) // tokens AS ttr_bp,
+          |  n_langs, min_tokens, max_tokens
+          |FROM agg JOIN vocab USING (source)
+          |ORDER BY source""".stripMargin)),
+
     // ----- DSIR-style importance scoring (Xie et al. 2023,
     // arXiv:2302.03169): rank pool documents by how target-like their
     // token distribution is — the data-SELECTION counterpart of the
