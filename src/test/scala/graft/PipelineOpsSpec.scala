@@ -184,4 +184,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(total == Tables.orders(spark, sf).count())
     h.unpersist()
   }
+
+  test("waterfill allocation is feasible, tight, and max-min fair") {
+    val w = SparkEntry.queries("m_mix_waterfill")(spark, sf).cache()
+    val b = w.select("budget").head().getLong(0)
+    val wl = w.select("waterline").head().getLong(0)
+    val used = w.agg(sum(col("quota"))).head().getLong(0)
+    // feasible: allocation fits the budget
+    assert(used <= b, s"allocation $used exceeds budget $b")
+    // tight: raising the waterline by 1 token would burst it — the
+    // certificate that W is THE waterline, not merely a valid one
+    val usedPlus = w.agg(sum(least(col("tokens"), lit(wl + 1))))
+      .head().getLong(0)
+    assert(usedPlus > b, s"waterline not tight: $usedPlus <= $b")
+    // max-min fair shape: uncapped strata contribute everything,
+    // capped strata sit exactly at the waterline
+    assert(w.filter(!col("capped") && col("quota") =!= col("tokens"))
+      .count() == 0, "uncapped stratum not fully included")
+    assert(w.filter(col("capped") && col("quota") =!= lit(wl))
+      .count() == 0, "capped stratum not at the waterline")
+    // both branches live on the fixture
+    assert(w.filter(col("capped")).count() > 0)
+    assert(w.filter(!col("capped")).count() > 0)
+    w.unpersist()
+  }
+
+  test("A/B readout: counts consistent, decision matches float z-test") {
+    val r = SparkEntry.queries("m_ab_test")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (na, ca, nb, cb) = (row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4))
+      val sig = row.getBoolean(6)
+      assert(ca <= na && cb <= nb, "converted exceeds arm size")
+      // the integer-cleared decision must equal the textbook float
+      // z-test away from exact ties (none on this fixture)
+      val (p1, p2) = (ca.toDouble / na, cb.toDouble / nb)
+      val p = (ca + cb).toDouble / (na + nb)
+      val z = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+      assert((math.abs(z) > 1.96) == sig,
+        s"integer decision $sig disagrees with float z=$z")
+    }
+  }
 }
