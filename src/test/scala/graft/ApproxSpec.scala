@@ -63,4 +63,35 @@ class ApproxSpec extends SparkSpec {
         s"user $k: CMS overcount $est > $exact + $slack")
     }
   }
+
+  /** The fixture's 150 users in a width-2719 sketch collide ~never, so
+    * the test above is satisfied trivially. This one forces the
+    * approximate regime — 2,000 distinct keys into a deliberately
+    * narrow sketch — and checks the contract where it bites: the
+    * never-undercount bound holds for EVERY key even though collisions
+    * provably occurred (some estimate strictly exceeds its exact
+    * count). */
+  test("count-min stays one-sided under forced collisions") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val keys = (0L until 2000L).map(k => k -> (k % 7 + 1)).toDF("k", "reps")
+      .select(col("k"), explode(sequence(lit(1), col("reps"))).as("r"))
+      .select("k")
+    val sketch = keys.agg(
+      expr("count_min_sketch(k, 0.5d, 0.9d, 7)").as("cms"))
+    val rows = keys.groupBy("k").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("k"), col("exact"),
+        call_function("cms_estimate", col("cms"), col("k")).as("est"))
+      .collect()
+    assert(rows.length == 2000)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"key ${r.getLong(0)}: undercount ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+    val collided = rows.count(r => r.getLong(2) > r.getLong(1))
+    assert(collided > 0,
+      "no collisions — the narrow-sketch regime did not engage")
+    info(s"$collided/2000 keys overcounted (collisions), none undercounted")
+  }
 }
