@@ -909,6 +909,79 @@ object Graph {
            |       CAST(h2.n2 AS BIGINT) AS n2, h2.h2
            |FROM h1 LEFT JOIN h2 ON h2.v = h1.v
            |ORDER BY id""".stripMargin)),
+
+    // ----- approximate neighborhood function (ANF / HyperBall, Palmer
+    // et al. 2002; Boldi & Vigna 2013): N(t) = Σ_v |ball_v(t)|, the
+    // curve behind effective-diameter and centrality estimates on
+    // graphs too large for exact reachability. Engine: one mergeable
+    // HLL sketch PER NODE (the engine's own hll_sketch_agg /
+    // hll_union machinery — the m_hll_rollup registers applied as
+    // per-vertex graph state); round t unions each node's sketch with
+    // its out-neighbors' round-t-1 sketches — O(m) sketch merges per
+    // round with CONSTANT per-node state, where exact ANF carries
+    // O(n·m) pair state (the oracle literally pays it: 4 unrolled
+    // closure CTEs). That asymptotic gap IS the 100-TB story — at
+    // billions of edges the pair table is impossible and the 4-KB
+    // sketches are not. The exact ball rides along here purely as the
+    // acceptance harness (the m_hll_rollup convention): output is the
+    // exact N(t) plus a 5%-relative-error acceptance flag on the HLL
+    // estimate; production keeps only the sketches. Edges are the
+    // k3/k5 capped cached table; both states localCheckpoint per
+    // round (the iterative-loop lineage rule).
+    Q("k12_anf",
+      (s, d) => {
+        val edges = cappedDistinctBySrc(s, d)
+        val nodes = edges.select(col("src").as("v"))
+          .unionByName(edges.select(col("dst").as("v"))).distinct()
+        var sk = nodes.groupBy("v")
+          .agg(expr("hll_sketch_agg(v, 12)").as("sk"))
+          .localCheckpoint()
+        var ball = nodes.select(col("v"), col("v").as("u"))
+          .localCheckpoint()
+        val rounds = (1 to 4).map { t =>
+          val nbr = edges
+            .join(sk.select(col("v").as("dst"), col("sk").as("nsk")),
+              Seq("dst"))
+            .groupBy(col("src"))
+            .agg(expr("hll_union_agg(nsk, false)").as("nsk"))
+            .withColumnRenamed("src", "v")
+          sk = sk.join(nbr, Seq("v"), "left")
+            .select(col("v"),
+              when(col("nsk").isNull, col("sk"))
+                .otherwise(expr("hll_union(sk, nsk, false)")).as("sk"))
+            .localCheckpoint()
+          val grow = ball.join(edges, ball("u") === edges("src"))
+            .select(ball("v"), edges("dst").as("u"))
+          ball = ball.unionByName(grow).distinct().localCheckpoint()
+          sk.agg(sum(expr("hll_sketch_estimate(sk)")).as("est"))
+            .crossJoin(ball.agg(count(lit(1)).as("exact_reach")))
+            .select(lit(t).as("t"), col("exact_reach"),
+              (abs(col("est") - col("exact_reach")).cast("double")
+                / col("exact_reach") < 0.05).as("hll_within_5pct"))
+        }
+        rounds.reduce(_ unionByName _).orderBy("t")
+      },
+      Some(
+        s"""WITH edges AS (
+           |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+           |), nodes AS (
+           |  SELECT src AS v FROM edges UNION SELECT dst FROM edges
+           |), b0 AS (SELECT v, v AS u FROM nodes),
+           |b1 AS (SELECT v, u FROM b0 UNION
+           |  SELECT b.v, e.dst FROM b0 b JOIN edges e ON b.u = e.src),
+           |b2 AS (SELECT v, u FROM b1 UNION
+           |  SELECT b.v, e.dst FROM b1 b JOIN edges e ON b.u = e.src),
+           |b3 AS (SELECT v, u FROM b2 UNION
+           |  SELECT b.v, e.dst FROM b2 b JOIN edges e ON b.u = e.src),
+           |b4 AS (SELECT v, u FROM b3 UNION
+           |  SELECT b.v, e.dst FROM b3 b JOIN edges e ON b.u = e.src)
+           |SELECT 1 AS t, (SELECT count(*) FROM b1) AS exact_reach,
+           |  TRUE AS hll_within_5pct
+           |UNION ALL SELECT 2, (SELECT count(*) FROM b2), TRUE
+           |UNION ALL SELECT 3, (SELECT count(*) FROM b3), TRUE
+           |UNION ALL SELECT 4, (SELECT count(*) FROM b4), TRUE
+           |ORDER BY t""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and
