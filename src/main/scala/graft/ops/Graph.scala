@@ -931,6 +931,16 @@ object Graph {
     Q("k12_anf",
       (s, d) => {
         val edges = cappedDistinctBySrc(s, d)
+        // the sketch-pull join keys on the NEIGHBOR end — a reversed
+        // cached copy keyed (and partitioned) on that end means the
+        // |E|-side never re-exchanges across the 4 rounds; only the
+        // n-row sketch table moves (the GraphLoopPlanSpec discipline).
+        // rev: src = the neighbor supplying its sketch, dst = the node
+        // receiving it.
+        val rev = cachedBySrc(s, d, "anfRevBySrc") {
+          cappedEdges(s, d).distinct()
+            .select(col("dst").as("src"), col("src").as("dst"))
+        }
         val nodes = edges.select(col("src").as("v"))
           .unionByName(edges.select(col("dst").as("v"))).distinct()
         var sk = nodes.groupBy("v")
@@ -939,12 +949,12 @@ object Graph {
         var ball = nodes.select(col("v"), col("v").as("u"))
           .localCheckpoint()
         val rounds = (1 to 4).map { t =>
-          val nbr = edges
-            .join(sk.select(col("v").as("dst"), col("sk").as("nsk")),
-              Seq("dst"))
-            .groupBy(col("src"))
+          val nbr = rev
+            .join(sk.select(col("v").as("src"), col("sk").as("nsk")),
+              Seq("src"))
+            .groupBy(col("dst"))
             .agg(expr("hll_union_agg(nsk, false)").as("nsk"))
-            .withColumnRenamed("src", "v")
+            .withColumnRenamed("dst", "v")
           sk = sk.join(nbr, Seq("v"), "left")
             .select(col("v"),
               when(col("nsk").isNull, col("sk"))
