@@ -992,6 +992,65 @@ object Graph {
            |UNION ALL SELECT 3, (SELECT count(*) FROM b3), TRUE
            |UNION ALL SELECT 4, (SELECT count(*) FROM b4), TRUE
            |ORDER BY t""".stripMargin)),
+
+    // ----- multi-source closeness centrality: reach count and distance
+    // mass for the top-5 out-degree hubs, via ONE batched BFS whose
+    // state is (source, node, dist) — k sources traverse together in a
+    // single frame instead of k separate loops, so the per-round join
+    // against the cached edge table is paid once for the whole seed
+    // set (the way production scores a seed set's centrality; k5_bfs
+    // is the single-source special case). First discovery = minimum
+    // distance; only each round's fresh delta is checkpointed (the
+    // bfs() lineage rule); the loop exits on the first empty frontier.
+    // Output stays integral (reach count + distance sum) — the
+    // closeness RATIO is a trivial client-side division, and emitting
+    // the integers keeps the oracle float-free.
+    Q("k13_closeness",
+      (s, d) => {
+        val edges = cappedDistinctBySrc(s, d)
+        val srcs = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+          .orderBy(desc("dg"), col("src")).limit(5)
+          .select(col("src").as("source"))
+        var dist = srcs
+          .select(col("source"), col("source").as("id"), lit(0).as("dist"))
+          .localCheckpoint()
+        var frontier = dist
+        var i = 1
+        while (i <= 40 && !frontier.isEmpty) {
+          val nbrs = frontier.join(edges, frontier("id") === edges("src"))
+            .select(col("source"), col("dst").as("id")).distinct()
+          val fresh = nbrs.join(dist, Seq("source", "id"), "left_anti")
+            .withColumn("dist", lit(i))
+            .localCheckpoint()
+          dist = dist.unionByName(fresh)
+          frontier = fresh
+          i += 1
+        }
+        dist.groupBy("source")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(col("dist")).cast("long").as("sum_dist"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH RECURSIVE edges AS (
+           |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+           |), deg AS (
+           |  SELECT src, count(*) AS dg FROM edges GROUP BY src
+           |), srcs AS (
+           |  SELECT src AS s FROM deg ORDER BY dg DESC, src LIMIT 5
+           |), walk(s, v, d) AS (
+           |  SELECT s, s, 0 FROM srcs
+           |  UNION
+           |  SELECT w.s, e.dst, w.d + 1
+           |  FROM walk w JOIN edges e ON w.v = e.src
+           |  WHERE w.d < 40
+           |), md AS (
+           |  SELECT s, v, min(d) AS d FROM walk GROUP BY s, v
+           |)
+           |SELECT s AS source, CAST(count(*) AS BIGINT) AS n_reached,
+           |  CAST(sum(d) AS BIGINT) AS sum_dist
+           |FROM md GROUP BY s ORDER BY source""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and
