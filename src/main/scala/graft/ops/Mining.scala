@@ -1,0 +1,265 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset monitoring & pattern mining — the feedback half of a
+  * training-data pipeline. Producing a corpus (dedup / filter / mix,
+  * SURVEY §2 [EXT]) is half the job; the other half is detecting when
+  * the incoming distribution MOVES — a crawler source shifts domains, a
+  * scraper starts returning errors, a feature's range drifts — and
+  * mining the co-occurrence structure that drives sampling decisions.
+  * Reference behavior spec: the `analyze_links.py`-era profile reports
+  * (aggregate + rank surfaces); the statistics are the published forms
+  * (PSI: Siddiqi 2006 credit-scorecard monitoring; two-sample
+  * Kolmogorov–Smirnov; association rules: Agrawal et al., VLDB 1994).
+  *
+  * Cross-engine discipline (SURVEY §5): every decision boolean is
+  * computed either in pure integers or from IEEE doubles produced by
+  * the IDENTICAL expression tree on both engines (deterministic
+  * left-associated multiplications of exact integers — no
+  * engine-ordered float aggregation feeds a comparison). Transcendental
+  * terms (`ln`) only ever feed `round(·, 4)` REPORT columns, the
+  * m_entropy convention.
+  */
+object Mining {
+
+  /** 2024-01-16 00:00:00 UTC in epoch micros — the fixture month's
+    * midpoint, splitting `events` into a reference fortnight and a
+    * current fortnight. Comparing `unix_micros(ts)` against an integer
+    * literal sidesteps timestamp-literal timezone semantics entirely
+    * (both engines see the same integral micros). */
+  private val SplitUs = 1705363200000000L
+
+  val all: Seq[Q] = Seq(
+
+    // ----- Population Stability Index per event_type: the standard
+    // production drift monitor. `value` is histogrammed into 10 fixed
+    // 50-unit bins (floor-based — engine-exact), each (type, bin) cell
+    // counted once per fortnight in ONE conditional-sum pass, and the
+    // densified grid (type × bin, a broadcast-tiny cross join — bins
+    // missing from BOTH periods still contribute under smoothing)
+    // left-joins the cells. Laplace-smoothed shares p=(c+1)/(n+10)
+    // keep PSI defined for empty cells with zero branching. Scale
+    // shape: one shuffle on (type, bin, period) cells — cardinality
+    // |types|×10×2 regardless of row count — then a |types|-row
+    // rollup; the 100-TB cost is exactly one map-side-combined pass
+    // over the fact table. `psi` is a round(·,4) report column
+    // (m_entropy convention); `drifted` compares the rounded value to
+    // 0.25 (exactly representable, industry "significant shift" bar).
+    Q("m_psi_drift",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("event_type"),
+          (unix_micros(col("ts")) >= lit(SplitUs)).as("cur"),
+          least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("bin"))
+        val cells = e.groupBy("event_type", "bin")
+          .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("c_ref"),
+            sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
+        val dens = broadcast(grid).join(cells, Seq("event_type", "bin"), "left")
+          .na.fill(0L, Seq("c_ref", "c_cur"))
+        val tot = dens.groupBy("event_type")
+          .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+        dens.join(broadcast(tot), Seq("event_type"))
+          .withColumn("p", (col("c_ref") + 1.0) / (col("n_ref") + 10.0))
+          .withColumn("q", (col("c_cur") + 1.0) / (col("n_cur") + 10.0))
+          .groupBy("event_type", "n_ref", "n_cur")
+          .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4)
+            .as("psi"))
+          .withColumn("drifted", col("psi") > 0.25)
+          .select("event_type", "n_ref", "n_cur", "psi", "drifted")
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type,
+          |    epoch_us(ts) >= 1705363200000000 AS cur,
+          |    CAST(least(floor("value" / 50.0), 9.0) AS INT) AS bin
+          |  FROM events
+          |), cells AS (
+          |  SELECT event_type, bin,
+          |    CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS c_ref,
+          |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS c_cur
+          |  FROM e GROUP BY event_type, bin
+          |), grid AS (
+          |  SELECT t.event_type, b.bin
+          |  FROM (SELECT DISTINCT event_type FROM e) t
+          |  CROSS JOIN (SELECT CAST(range AS INT) AS bin
+          |              FROM range(10)) b
+          |), dens AS (
+          |  SELECT g.event_type, g.bin,
+          |    coalesce(c.c_ref, 0) AS c_ref,
+          |    coalesce(c.c_cur, 0) AS c_cur
+          |  FROM grid g LEFT JOIN cells c
+          |    ON g.event_type = c.event_type AND g.bin = c.bin
+          |), tot AS (
+          |  SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+          |    CAST(sum(c_cur) AS BIGINT) AS n_cur
+          |  FROM dens GROUP BY event_type
+          |), terms AS (
+          |  SELECT d.event_type, t.n_ref, t.n_cur,
+          |    (d.c_ref + 1.0) / (t.n_ref + 10.0) AS p,
+          |    (d.c_cur + 1.0) / (t.n_cur + 10.0) AS q
+          |  FROM dens d JOIN tot t USING (event_type)
+          |)
+          |SELECT event_type, n_ref, n_cur,
+          |  round(sum((p - q) * ln(p / q)), 4) AS psi,
+          |  round(sum((p - q) * ln(p / q)), 4) > 0.25 AS drifted
+          |FROM terms GROUP BY event_type, n_ref, n_cur
+          |ORDER BY event_type""".stripMargin)),
+
+    // ----- Two-sample Kolmogorov–Smirnov drift test per event_type,
+    // computed EXACTLY in integers: with per-distinct-value counts
+    // (c_a, c_b) and running totals (cum_a, cum_b), the KS statistic is
+    // D = max|cum_a·n_b − cum_b·n_a| / (n_a·n_b) — the numerator is the
+    // integer max this query takes, so D carries no float error at all.
+    // The α=0.05 rejection c(α)=1.358 is squared into the exact decimal
+    // 1.844164, and D² > c²(n_a+n_b)/(n_a·n_b) rearranges to
+    // 1000000·d_num² > 1844164·(n_a+n_b)·n_a·n_b — evaluated in doubles
+    // from exact integers via the identical left-associated expression
+    // on both engines (products reach ~1e20, past BIGINT but
+    // deterministic in IEEE doubles; no aggregation-order term exists).
+    // Scale shape: the sort is PARTITIONED by event_type (the g2
+    // single-partition-window trap does not apply); pre-grouping by
+    // (type, value) bounds each window's row count by the number of
+    // DISTINCT values, and everything after is a per-type rollup.
+    Q("m_ks_drift",
+      (s, d) => {
+        val g = Tables.events(s, d).select(
+            col("event_type"), col("value"),
+            (unix_micros(col("ts")) >= lit(SplitUs)).as("cur"))
+          .groupBy("event_type", "value")
+          .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("c_a"),
+            sum(when(col("cur"), 1L).otherwise(0L)).as("c_b"))
+        val w = Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g
+          .withColumn("cum_a", sum("c_a").over(w))
+          .withColumn("cum_b", sum("c_b").over(w))
+        val tot = g.groupBy("event_type")
+          .agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+        cum.join(broadcast(tot), Seq("event_type"))
+          .groupBy("event_type", "n_a", "n_b")
+          .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .as("d_num"))
+          .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+            floor(col("d_num") * 10000.0 / (col("n_a") * col("n_b")))
+              .cast("long").as("ks_e4"),
+            (lit(1000000.0) * col("d_num") * col("d_num") >
+              lit(1844164.0) * (col("n_a") + col("n_b")) *
+                col("n_a") * col("n_b")).as("rejected"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT event_type, "value",
+          |    CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+          |         THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+          |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+          |         THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+          |  FROM events GROUP BY event_type, "value"
+          |), cum AS (
+          |  SELECT event_type, c_a, c_b,
+          |    CAST(sum(c_a) OVER w AS BIGINT) AS cum_a,
+          |    CAST(sum(c_b) OVER w AS BIGINT) AS cum_b
+          |  FROM g
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY "value"
+          |               ROWS BETWEEN UNBOUNDED PRECEDING
+          |               AND CURRENT ROW)
+          |), tot AS (
+          |  SELECT event_type, CAST(sum(c_a) AS BIGINT) AS n_a,
+          |    CAST(sum(c_b) AS BIGINT) AS n_b
+          |  FROM g GROUP BY event_type
+          |), dd AS (
+          |  SELECT c.event_type, t.n_a, t.n_b,
+          |    CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
+          |      AS BIGINT) AS d_num
+          |  FROM cum c JOIN tot t USING (event_type)
+          |  GROUP BY c.event_type, t.n_a, t.n_b
+          |)
+          |SELECT event_type, n_a, n_b, d_num,
+          |  CAST(floor(d_num * 10000.0 / (n_a * n_b)) AS BIGINT)
+          |    AS ks_e4,
+          |  1000000.0 * d_num * d_num >
+          |    1844164.0 * (n_a + n_b) * n_a * n_b AS rejected
+          |FROM dd ORDER BY event_type""".stripMargin)),
+
+    // ----- Association rules over user behavior baskets (Agrawal's
+    // market-basket shape on the events fixture): an "item" is an
+    // event_type a user has triggered with value > 200 (the m_ab_test
+    // conversion bar — 14–25% base rates keep supports discriminative;
+    // raw has-any-type saturates at 100% and every rule degenerates).
+    // Plan: distinct (user, item) → self-join ON user_id (both frames
+    // hash-partition on the SAME key, so the pair expansion is
+    // co-partitioned and map-local) → pair-count shuffle whose key
+    // cardinality is |vocab|², independent of user count → two
+    // broadcast joins against the |vocab|-row support table and the
+    // 1-row user-count capsule. Per-user expansion is bounded by
+    // |vocab|² — at 100 TB the only growing cost is the distinct, a
+    // map-side-combinable aggregation. Confidence and lift are
+    // floor-scaled integers from exact integer inputs (identical IEEE
+    // division both engines — the m_ab_test diff_bp discipline);
+    // support floor 5 keeps the rule set stable under fixture noise.
+    Q("m_assoc_rules",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val items = e.filter(col("value") > 200.0)
+          .select(col("user_id"), col("event_type").as("item")).distinct()
+        val nUsers = e.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val supp = items.groupBy("item").agg(count(lit(1)).as("s"))
+        val pairs = items.as("a")
+          .join(items.withColumnRenamed("item", "cons").as("b"), Seq("user_id"))
+          .filter(col("item") =!= col("cons"))
+          .groupBy(col("item").as("ante"), col("cons"))
+          .agg(count(lit(1)).as("supp_xy"))
+        pairs.filter(col("supp_xy") >= 5L)
+          .join(broadcast(supp.withColumnRenamed("item", "ante")
+            .withColumnRenamed("s", "supp_x")), Seq("ante"))
+          .join(broadcast(supp.withColumnRenamed("item", "cons")
+            .withColumnRenamed("s", "supp_y")), Seq("cons"))
+          .crossJoin(broadcast(nUsers))
+          .select(col("ante"), col("cons"), col("supp_xy"),
+            col("supp_x"), col("supp_y"), col("n_users"),
+            floor(col("supp_xy") * 10000.0 / col("supp_x")).cast("long")
+              .as("conf_bp"),
+            floor(col("supp_xy") * col("n_users") * 10000.0 /
+              (col("supp_x") * col("supp_y"))).cast("long").as("lift_e4"))
+          .orderBy("ante", "cons")
+      },
+      Some(
+        """WITH items AS (
+          |  SELECT DISTINCT user_id, event_type AS item
+          |  FROM events WHERE "value" > 200.0
+          |), nu AS (
+          |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |  FROM events
+          |), supp AS (
+          |  SELECT item, CAST(count(*) AS BIGINT) AS s
+          |  FROM items GROUP BY item
+          |), pairs AS (
+          |  SELECT a.item AS ante, b.item AS cons,
+          |    CAST(count(*) AS BIGINT) AS supp_xy
+          |  FROM items a JOIN items b ON a.user_id = b.user_id
+          |  WHERE a.item <> b.item
+          |  GROUP BY a.item, b.item
+          |)
+          |SELECT p.ante, p.cons, p.supp_xy,
+          |  sx.s AS supp_x, sy.s AS supp_y, nu.n_users,
+          |  CAST(floor(p.supp_xy * 10000.0 / sx.s) AS BIGINT)
+          |    AS conf_bp,
+          |  CAST(floor(p.supp_xy * nu.n_users * 10000.0 /
+          |       (sx.s * sy.s)) AS BIGINT) AS lift_e4
+          |FROM pairs p
+          |JOIN supp sx ON p.ante = sx.item
+          |JOIN supp sy ON p.cons = sy.item
+          |CROSS JOIN nu
+          |WHERE p.supp_xy >= 5
+          |ORDER BY p.ante, p.cons""".stripMargin))
+  )
+}
