@@ -363,6 +363,80 @@ object Streams {
       .orderBy("user_id", "rank")
   }
 
+  /** foreachBatch CDC upsert sink — the production pattern the built-in
+    * sinks don't cover: each micro-batch MERGEs into a keyed target
+    * table instead of appending. The merge state per user is
+    * (event count, DECIMAL value sum, argmax-by-(ts,event_id) last
+    * event) — all three associative and commutative, so the final
+    * table is identical under ANY batch split of the input, which is
+    * what makes the result oracle-checkable. The target is a
+    * copy-on-write versioned table: batch b reads generation b-1 and
+    * writes generation b (a lakehouse MERGE in miniature — never
+    * read-and-overwrite the same files in one job). Keying the
+    * generation directory by batchId is ALSO the exactly-once trick:
+    * foreachBatch delivers at-least-once, and a replayed batch
+    * OVERWRITES its own generation instead of double-applying.
+    * Scale shape: the per-batch partial is a map-side-combined
+    * aggregate of the batch (small), and the merge is one
+    * user_id-keyed shuffle of partials against the target — with a
+    * bucketed target (m_bucketed_join) even that shuffle drops out.
+    * The last-event argmax rides a struct max ordered (us, event_id)
+    * — integral micros first, unique id tie-break, no float compares.
+    */
+  /** Per-batch partial of the upsert merge state (count / DECIMAL sum /
+    * argmax-(us, event_id) last event) — shared with UpsertSinkSpec,
+    * which proves batch-split invariance over it. */
+  private[graft] def upsertPartial(batch: DataFrame): DataFrame =
+    batch
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("v4"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("v4")).as("sv"),
+        max(struct(col("us"), col("event_id"), col("event_type")))
+          .as("last"))
+
+  /** Merge two upsert states — associative and commutative, the
+    * property that makes the sink's result independent of batching. */
+  private[graft] def upsertCombine(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        max(col("last")).as("last"))
+
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    // foreachBatch runs sequentially on the driver; `cur` tracks the
+    // latest committed generation for the next batch's read side.
+    @volatile var cur: Option[String] = None
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      val part = upsertPartial(batch)
+      val merged = cur match {
+        case None => part
+        case Some(prev) =>
+          upsertCombine(batch.sparkSession.read.parquet(prev), part)
+      }
+      val gen = s"$base/g$batchId"
+      merged.write.mode("overwrite").parquet(gen)
+      cur = Some(gen)
+    }
+    val q = eventsStream(s, dir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .writeStream
+      .foreachBatch(mergeBatch _)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(cur.get)
+      .select(col("user_id"), col("n"),
+        col("sv").cast("double").as("sum_value"),
+        col("last.us").as("last_us"),
+        col("last.event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
   /** Queries surfaced through SparkEntry (oracles are the batch twins). */
   val all: Seq[graft.ops.Q] = Seq(
     graft.ops.Q("m_stream_tumbling",
@@ -457,6 +531,25 @@ object Streams {
           |      ORDER BY value DESC, event_id) AS rank
           |  FROM events)
           |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin)),
+    graft.ops.Q("m_stream_upsert",
+      (s, d) => upsertMerge(s, d),
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          |  FROM events
+          |), agg AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |      AS sum_value
+          |  FROM events GROUP BY user_id
+          |)
+          |SELECT a.user_id, a.n, a.sum_value,
+          |  r.us AS last_us, r.event_type AS last_type
+          |FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+          |ORDER BY a.user_id""".stripMargin)),
     graft.ops.Q("m_stream_state",
       (s, d) => userStateCounts(s, d),
       Some(
