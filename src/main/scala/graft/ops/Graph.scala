@@ -320,6 +320,39 @@ object Graph {
        |ORDER BY rank DESC, v LIMIT 20""".stripMargin
   }
 
+  /** k14_ppr oracle: the pagerank chain with restart mass confined to
+    * the v % 100 == 0 source set (teleport term gated by the source
+    * indicator). Same 6dp re-sync per unrolled round as k3. */
+  private def pprOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v,
+         |    round(0.15 * (CASE WHEN verts.v % 100 = 0
+         |                  THEN 1.0 ELSE 0.0 END) +
+         |          0.85 * coalesce(c.m, 0), 6) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, sum(r.rank / d.deg) AS m
+         |    FROM edges e JOIN deg d USING (src)
+         |                 JOIN r${i - 1} r ON r.v = e.src
+         |    GROUP BY e.dst) c USING (v))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+       |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+       |), verts AS (
+       |  SELECT o_orderkey AS v FROM orders WHERE o_orderkey < $cap
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT v, CASE WHEN v % 100 = 0 THEN 1.0 ELSE 0.0 END AS rank
+       |  FROM verts),
+       |$steps
+       |SELECT v AS id, rank FROM r$iters
+       |WHERE rank > 0.0
+       |ORDER BY rank DESC, v LIMIT 20""".stripMargin
+  }
+
   /** Weakly connected components by alternating large-star / small-star
     * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond"). Converges in O(log n) rounds REGARDLESS of graph
@@ -481,6 +514,47 @@ object Graph {
           .limit(20)
       },
       Some(pagerankOracle(5))),
+
+    // ----- K14: personalized PageRank — the recommendation-flavored
+    // variant: restart mass goes only to a SOURCE SET (here the
+    // deterministic v % 100 == 0 hubs, ~1% of vertices), so ranks
+    // measure proximity to the sources instead of global centrality.
+    // Same fixed-iteration damped loop as k3 (cached-by-key edges
+    // reused, 6dp re-sync per round, localCheckpoint lineage cuts), but
+    // the mass vector starts and STAYS sparse: only nodes already
+    // reached carry rank, so early rounds shuffle a frontier-sized
+    // contribution table, not |V| rows — at 100 TB that sparsity is
+    // the difference between PPR being an interactive query and a
+    // batch job. Output keeps only rank > 0 (nodes with PPR mass) —
+    // the reachable-neighborhood ranking a recommender consumes.
+    Q("k14_ppr",
+      (s, d) => {
+        val edges = cappedDistinctBySrc(s, d)
+        val verts = cappedVerts(s, d)
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val srcInd =
+          when(col("v") % 100 === 0, 1.0).otherwise(0.0)
+        var ranks = verts.withColumn("rank", srcInd)
+        for (_ <- 1 to 5) {
+          val contribs = edges.join(outdeg, Seq("src"))
+            .join(ranks.filter(col("rank") > 0.0)
+              .select(col("v").as("src"), col("rank")), Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("rank") / col("deg")).as("m"))
+          ranks = verts
+            .join(contribs.select(col("dst").as("v"), col("m")),
+              Seq("v"), "left")
+            .select(col("v"),
+              round(lit(0.15) * srcInd +
+                lit(0.85) * coalesce(col("m"), lit(0.0)), 6).as("rank"))
+            .localCheckpoint()
+        }
+        ranks.filter(col("rank") > 0.0)
+          .select(col("v").as("id"), col("rank"))
+          .orderBy(desc("rank"), col("id"))
+          .limit(20)
+      },
+      Some(pprOracle(5))),
 
     // ----- K1: SCC assignment (graph_filter.py:125-129)
     Q("k1_scc",
