@@ -189,6 +189,88 @@ object Mining {
           |    1844164.0 * (n_a + n_b) * n_a * n_b AS rejected
           |FROM dd ORDER BY event_type""".stripMargin)),
 
+    // ----- Mann–Kendall trend test per event_type over the daily count
+    // series — the nonparametric "is this metric trending?" monitor
+    // (Mann 1945 / Kendall 1975; the standard alongside CUSUM's
+    // change-POINT detection, w_cusum). Everything is EXACT integers:
+    // S = Σ sign(c_j − c_i) over day pairs i<j; Var(S) with the tie
+    // correction is V/18 where V = n(n−1)(2n+5) − Σ t(t−1)(2t+5); and
+    // the 5%-level decision z² > 1.96² clears its denominators into
+    // 180000·S² > 38416·V (1.96² = 38416/10⁴, the m_ab_test
+    // discipline) — no sqrt, no float, no tie to flip. Scale shape:
+    // the day series per key is BOUNDED by the monitoring window (30
+    // points here), so the in-key pair self-join is O(W²) per key with
+    // W fixed — co-partitioned on event_type, linear in keys; the only
+    // full-data pass is the daily rollup, map-side combined. Day =
+    // integral epoch-day (unix_micros div 10⁶ div 86400 — the
+    // m_resample_daily engine-exact idiom).
+    Q("m_trend_mk",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(unix_micros(ts) div 1000000) div 86400").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val sTab = daily.select(col("event_type"), col("day"), col("c"))
+          .join(daily.select(col("event_type"), col("day").as("day2"),
+            col("c").as("c2")), Seq("event_type"))
+          .filter(col("day") < col("day2"))
+          .groupBy("event_type")
+          .agg(sum(when(col("c2") > col("c"), 1L)
+            .when(col("c2") < col("c"), -1L).otherwise(0L)).as("s"))
+        val nTab = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"))
+        val tieTab = daily.groupBy("event_type", "c")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L))
+            .as("tie18"))
+        sTab.join(nTab, Seq("event_type"))
+          .join(tieTab, Seq("event_type"))
+          .withColumn("v18",
+            col("n_days") * (col("n_days") - 1L) *
+              (col("n_days") * 2L + 5L) - col("tie18"))
+          .select(col("event_type"), col("n_days"), col("s"), col("v18"),
+            when(lit(180000L) * col("s") * col("s") <=
+                lit(38416L) * col("v18"), "none")
+              .when(col("s") > 0L, "up").otherwise("down").as("trend"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    (epoch_us(ts) // 1000000) // 86400 AS day,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, day
+          |), st AS (
+          |  SELECT a.event_type,
+          |    CAST(sum(CASE WHEN b.c > a.c THEN 1
+          |             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+          |      AS s
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.day < b.day
+          |  GROUP BY a.event_type
+          |), nt AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          |  FROM daily GROUP BY event_type
+          |), ties AS (
+          |  SELECT event_type,
+          |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+          |  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+          |        FROM daily GROUP BY event_type, c)
+          |  GROUP BY event_type
+          |), w AS (
+          |  SELECT st.event_type, nt.n_days, st.s,
+          |    nt.n_days * (nt.n_days - 1) * (2 * nt.n_days + 5)
+          |      - ties.tie18 AS v18
+          |  FROM st JOIN nt USING (event_type)
+          |  JOIN ties USING (event_type)
+          |)
+          |SELECT event_type, n_days, s, v18,
+          |  CASE WHEN 180000 * s * s <= 38416 * v18 THEN 'none'
+          |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
+          |FROM w ORDER BY event_type""".stripMargin)),
+
     // ----- Association rules over user behavior baskets (Agrawal's
     // market-basket shape on the events fixture): an "item" is an
     // event_type a user has triggered with value > 200 (the m_ab_test
