@@ -271,6 +271,67 @@ object Mining {
           |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
           |FROM w ORDER BY event_type""".stripMargin)),
 
+    // ----- Gini concentration of per-key activity — the corpus-
+    // curation "is one source dominating?" metric (a mix dominated by
+    // a few users/domains is exactly what m_sample_temperature exists
+    // to flatten; this query MEASURES the skew those rebalancers act
+    // on). Exact-integer trick: Gini needs rank-weighted sums over the
+    // SORTED per-user counts, but ranking users is the g2 single-
+    // partition-window trap at scale — so the sort runs over the
+    // COMPRESSED frequency table instead: group users by their count c
+    // (t users share it), and a run of t equal values starting after
+    // cum−t predecessors contributes c·t·(2·cum − t + 1) to twice the
+    // rank-weighted sum (equal values make rank order within the run
+    // irrelevant — the sum is tie-invariant, hence deterministic). The
+    // window's row count is the number of DISTINCT activity levels
+    // (dozens), not users (millions). G = (2Σi·x − (n+1)Σx)/(n·Σx)
+    // floor-scaled to e4 from exact integers.
+    Q("m_gini",
+      (s, d) => {
+        val ua = Tables.events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("c"))
+        val freq = ua.groupBy("event_type", "c")
+          .agg(count(lit(1)).as("t"))
+        val w = Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runs = freq.withColumn("cum", sum("t").over(w))
+        runs.groupBy("event_type")
+          .agg(sum(col("t")).as("n_users"),
+            sum(col("c") * col("t")).as("total"),
+            sum(col("c") * col("t") *
+              (col("cum") * 2L - col("t") + 1L)).as("two_sw"))
+          .select(col("event_type"), col("n_users"), col("total"),
+            floor((col("two_sw") - (col("n_users") + 1L) * col("total")) *
+              10000.0 / (col("n_users") * col("total"))).cast("long")
+              .as("gini_e4"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH ua AS (
+          |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY event_type, user_id
+          |), freq AS (
+          |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+          |  FROM ua GROUP BY event_type, c
+          |), runs AS (
+          |  SELECT event_type, c, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY c
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), agg AS (
+          |  SELECT event_type,
+          |    CAST(sum(t) AS BIGINT) AS n_users,
+          |    CAST(sum(c * t) AS BIGINT) AS total,
+          |    CAST(sum(c * t * (cum * 2 - t + 1)) AS BIGINT) AS two_sw
+          |  FROM runs GROUP BY event_type
+          |)
+          |SELECT event_type, n_users, total,
+          |  CAST(floor((two_sw - (n_users + 1) * total) * 10000.0 /
+          |       (n_users * total)) AS BIGINT) AS gini_e4
+          |FROM agg ORDER BY event_type""".stripMargin)),
+
     // ----- Association rules over user behavior baskets (Agrawal's
     // market-basket shape on the events fixture): an "item" is an
     // event_type a user has triggered with value > 200 (the m_ab_test
