@@ -59,7 +59,12 @@ object Mining {
             sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur"))
         val grid = e.select("event_type").distinct()
           .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
-        val dens = broadcast(grid).join(cells, Seq("event_type", "bin"), "left")
+        // broadcast the RIGHT side: Spark cannot build the left side of
+        // a left outer join (a broadcast(grid) hint here is silently
+        // ignored and the join falls back to a shuffle). `cells` is the
+        // naturally bounded side anyway — ≤ |types|×10×2 counters at
+        // any data scale.
+        val dens = grid.join(broadcast(cells), Seq("event_type", "bin"), "left")
           .na.fill(0L, Seq("c_ref", "c_cur"))
         val tot = dens.groupBy("event_type")
           .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))

@@ -48,7 +48,11 @@ class PlanShapeSpec extends SparkSpec {
     "m_sql_q12", "m_sql_q14", "m_sql_q15", "m_sql_q16", "m_sql_q20",
     "m_sql_q22", "m_bucketed_window", "a8_orc_roundtrip",
     "a9_csv_roundtrip", "m_kmeans", "m_hll_rollup", "m_cbo_reorder",
-    "m_compact", "m_semdedup")
+    "m_compact", "m_semdedup",
+    // drift/mining session: broadcast-capsule cross joins only
+    // (densified PSI grid, n_users capsule), everything else keyed
+    "m_psi_drift", "m_ks_drift", "m_assoc_rules", "m_trend_mk",
+    "m_gini", "k14_ppr")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
