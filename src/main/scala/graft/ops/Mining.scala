@@ -276,6 +276,87 @@ object Mining {
           |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
           |FROM w ORDER BY event_type""".stripMargin)),
 
+    // ----- Benford first-digit profile of order totals — the
+    // fabricated-data / broken-upstream detector (Benford 1938;
+    // Nigrini's forensic-accounting standard): organically generated
+    // magnitudes follow P(d) = log10(1+1/d), and a synthetic uniform
+    // generator (this fixture) visibly does NOT — the profile is the
+    // point, flagging which digits deviate. Determinism: the leading
+    // digit comes from floor → BIGINT → string → substr (log10-free —
+    // a float log10 near a power of 10 could flip the digit; string
+    // truncation cannot); the Benford probabilities are 17-digit
+    // decimal LITERALS parsed to identical doubles by both engines;
+    // expected counts are floor-scaled per-row products (no float
+    // aggregation feeds them); only the χ² report column sums doubles,
+    // under round(·,4) (the m_entropy convention). Scale shape: one
+    // map-side-combined digit count (9 groups), a broadcast 9-row
+    // probability table, a 1-row total capsule — the full pass over
+    // the fact table is the only data-sized cost.
+    Q("m_benford",
+      (s, d) => {
+        import s.implicits._
+        val probs = Seq(
+          (1, 0.30102999566398120), (2, 0.17609125905568124),
+          (3, 0.12493873660829993), (4, 0.09691001300805642),
+          (5, 0.07918124604762482), (6, 0.06694678963061322),
+          (7, 0.05799194697768673), (8, 0.05115252244738129),
+          (9, 0.04575749056067514)).toDF("digit", "p")
+        val obs = Tables.orders(s, d)
+          .filter(col("o_totalprice") >= 1.0)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("obs"))
+        val dens = probs.join(obs, Seq("digit"), "left")
+          .na.fill(0L, Seq("obs"))
+        val tot = dens.agg(sum(col("obs")).as("n"))
+        val scored = dens.crossJoin(broadcast(tot))
+          .withColumn("exp_n", col("n") * col("p"))
+        val chi2 = scored
+          .agg(round(sum((col("obs") - col("exp_n")) *
+            (col("obs") - col("exp_n")) / col("exp_n")), 4).as("chi2"))
+        scored.crossJoin(broadcast(chi2))
+          .select(col("digit"), col("obs"), col("n"),
+            floor(col("exp_n") * 10000.0).cast("long").as("exp_e4"),
+            col("chi2"))
+          .orderBy("digit")
+      },
+      Some(
+        """WITH probs AS (
+          |  -- e-notation parses as DOUBLE on both engines; a plain
+          |  -- decimal literal would be DECIMAL(18,17) in DuckDB and
+          |  -- its conversion could differ in the last ulp
+          |  SELECT * FROM (VALUES
+          |    (1, 3.0102999566398120e-1), (2, 1.7609125905568124e-1),
+          |    (3, 1.2493873660829993e-1), (4, 9.691001300805642e-2),
+          |    (5, 7.918124604762482e-2), (6, 6.694678963061322e-2),
+          |    (7, 5.799194697768673e-2), (8, 5.115252244738129e-2),
+          |    (9, 4.575749056067514e-2)) AS t(digit, p)
+          |), obs AS (
+          |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+          |           AS VARCHAR), 1, 1) AS INT) AS digit,
+          |    CAST(count(*) AS BIGINT) AS obs
+          |  FROM orders WHERE o_totalprice >= 1.0
+          |  GROUP BY 1
+          |), dens AS (
+          |  SELECT p.digit, CAST(p.p AS DOUBLE) AS p,
+          |    coalesce(o.obs, 0) AS obs
+          |  FROM probs p LEFT JOIN obs o ON p.digit = o.digit
+          |), tot AS (
+          |  SELECT CAST(sum(obs) AS BIGINT) AS n FROM dens
+          |), scored AS (
+          |  SELECT d.digit, d.obs, t.n, d.p, t.n * d.p AS exp_n
+          |  FROM dens d CROSS JOIN tot t
+          |), c2 AS (
+          |  SELECT round(sum((obs - exp_n) * (obs - exp_n) / exp_n), 4)
+          |    AS chi2
+          |  FROM scored
+          |)
+          |SELECT s.digit, s.obs, s.n,
+          |  CAST(floor(s.exp_n * 10000.0) AS BIGINT) AS exp_e4,
+          |  c2.chi2
+          |FROM scored s CROSS JOIN c2
+          |ORDER BY s.digit""".stripMargin)),
+
     // ----- Gini concentration of per-key activity — the corpus-
     // curation "is one source dominating?" metric (a mix dominated by
     // a few users/domains is exactly what m_sample_temperature exists
