@@ -62,6 +62,22 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("m_benford flags the synthetic generator and re-derives exactly") {
+    val out = SparkEntry.queries("m_benford")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 9))
+    val n = out.head.getLong(2)
+    assert(out.map(_.getLong(1)).sum == n, "digit counts partition n")
+    // χ² is one value repeated per row; the uniform fixture violates
+    // Benford by orders of magnitude (critical value at α=0.05, 8 df,
+    // is 15.51) — the detector must actually detect
+    val chi2 = out.map(_.getDouble(4)).distinct
+    assert(chi2.length == 1 && chi2.head > 15.51,
+      s"fixture should violate Benford, chi2=${chi2.toSeq}")
+    // exp_e4 re-derives from the row's own n and the Benford literal
+    val p1 = 0.30102999566398120
+    assert(out.head.getLong(3) == math.floor(n * p1 * 10000.0).toLong)
+  }
+
   test("m_assoc_rules: symmetric lift, conf/lift re-derive from supports") {
     // sf0.001 has too few users to clear the support floor; use sf0.01
     val out = SparkEntry.queries("m_assoc_rules")(spark, "/root/testdata/sf0.01")
