@@ -118,6 +118,90 @@ object Mining {
           |FROM terms GROUP BY event_type, n_ref, n_cur
           |ORDER BY event_type""".stripMargin)),
 
+    // ----- Chi-square homogeneity test of the event-type MIX across
+    // the two fortnights — the categorical companion to m_psi_drift
+    // (which bins a numeric column per type) and m_ks_drift (which
+    // tests a continuous distribution): did the composition of traffic
+    // itself shift? Expected cell counts e = row·col/n are exact
+    // integer products divided once per cell (identical IEEE inputs on
+    // both engines); only the χ² sum is float-order-sensitive and it
+    // feeds round(·,4) report columns (the m_entropy convention), as
+    // does Cramér's V = sqrt(χ²/n·min(r−1,c−1)) — IEEE sqrt is
+    // correctly rounded, so it adds no engine variance. Scale shape:
+    // ONE map-side-combined pass to |types|×2 cells; everything after
+    // is arithmetic on a broadcast-sized table. Output is per-cell
+    // (observed, expected-e4, contribution) plus the test capsule.
+    Q("m_chi2_drift",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select(col("event_type"),
+            when(unix_micros(col("ts")) >= lit(SplitUs), "cur")
+              .otherwise("ref").as("period"))
+          .groupBy("event_type", "period")
+          .agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy("event_type").agg(sum("o").as("r"))
+        val colT = cells.groupBy("period").agg(sum("o").as("c"))
+        val n1 = cells.agg(sum("o").as("n"))
+        val e = cells.join(broadcast(rowT), Seq("event_type"))
+          .join(broadcast(colT), Seq("period"))
+          .crossJoin(broadcast(n1))
+          .withColumn("exp", col("r") * col("c") / col("n"))
+          .withColumn("contrib",
+            (col("o") - col("exp")) * (col("o") - col("exp")) / col("exp"))
+        val nTypes = cells.select("event_type").distinct()
+          .agg(count(lit(1)).as("k"))
+        val capsule = e.agg(sum(col("contrib")).as("chi2raw"),
+            first(col("n")).as("nn"))
+          .crossJoin(broadcast(nTypes))
+          .select(round(col("chi2raw"), 4).as("chi2"),
+            round(sqrt(col("chi2raw") / (col("nn") * (lit(1)))), 4)
+              .as("cramers_v"))
+        e.crossJoin(broadcast(capsule))
+          .select(col("event_type"), col("period"), col("o"),
+            floor(col("exp") * 10000.0).cast("long").as("exp_e4"),
+            round(col("contrib"), 4).as("contrib"),
+            col("chi2"), col("cramers_v"))
+          .orderBy("event_type", "period")
+      },
+      Some(
+        """WITH cells AS (
+          |  SELECT event_type,
+          |    CASE WHEN epoch_us(ts) >= 1705363200000000
+          |         THEN 'cur' ELSE 'ref' END AS period,
+          |    CAST(count(*) AS BIGINT) AS o
+          |  FROM events GROUP BY 1, 2
+          |), rt AS (
+          |  SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+          |  FROM cells GROUP BY event_type
+          |), ct AS (
+          |  SELECT period, CAST(sum(o) AS BIGINT) AS c
+          |  FROM cells GROUP BY period
+          |), nt AS (
+          |  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+          |), e AS (
+          |  SELECT cells.event_type, cells.period, cells.o,
+          |    rt.r * ct.c / nt.n AS exp,
+          |    (cells.o - rt.r * ct.c / nt.n) *
+          |      (cells.o - rt.r * ct.c / nt.n) /
+          |      (rt.r * ct.c / nt.n) AS contrib,
+          |    nt.n AS n
+          |  FROM cells
+          |  JOIN rt USING (event_type)
+          |  JOIN ct USING (period)
+          |  CROSS JOIN nt
+          |), capsule AS (
+          |  SELECT round(sum(contrib), 4) AS chi2,
+          |    round(sqrt(sum(contrib) / (any_value(n) * 1)), 4)
+          |      AS cramers_v
+          |  FROM e
+          |)
+          |SELECT e.event_type, e.period, e.o,
+          |  CAST(floor(e.exp * 10000.0) AS BIGINT) AS exp_e4,
+          |  round(e.contrib, 4) AS contrib,
+          |  c.chi2, c.cramers_v
+          |FROM e CROSS JOIN capsule c
+          |ORDER BY e.event_type, e.period""".stripMargin)),
+
     // ----- Two-sample Kolmogorov–Smirnov drift test per event_type,
     // computed EXACTLY in integers: with per-distinct-value counts
     // (c_a, c_b) and running totals (cum_a, cum_b), the KS statistic is
