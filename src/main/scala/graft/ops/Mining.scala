@@ -360,6 +360,54 @@ object Mining {
           |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
           |FROM w ORDER BY event_type""".stripMargin)),
 
+    // ----- First-order Markov transition matrix over per-user event
+    // streams — the behavioral sequence model under m_event_paths'
+    // trigram mining: P(next | current) with exact counts and
+    // floor-scaled basis-point probabilities (integer inputs, one
+    // identical IEEE division, floor — the m_ab_test diff_bp
+    // discipline). The lag pairing is a lead() window PARTITIONED by
+    // user (per-key state, never a global sort — each user's stream
+    // sorts independently at any scale, the same shape Structured
+    // Streaming's sessionizer keys by), ordered by (ts, event_id) so
+    // same-micro ties can't flip pairs between engines. The matrix
+    // itself is |types|² rows — a broadcast-sized artifact distilled
+    // from the full pass, like every other capsule in this module.
+    Q("m_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("s1"), unix_micros(col("ts")).as("us"))
+          .withColumn("s2", lead(col("s1"), 1).over(w))
+          .filter(col("s2").isNotNull)
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("n"))
+        val rowT = pairs.groupBy("s1").agg(sum("n").as("row_total"))
+        pairs.join(broadcast(rowT), Seq("s1"))
+          .select(col("s1"), col("s2"), col("n"), col("row_total"),
+            floor(col("n") * 10000.0 / col("row_total")).cast("long")
+              .as("p_bp"))
+          .orderBy("s1", "s2")
+      },
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_type AS s1,
+          |    lead(event_type, 1) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) AS s2
+          |  FROM events
+          |), pairs AS (
+          |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n
+          |  FROM o WHERE s2 IS NOT NULL GROUP BY s1, s2
+          |), rt AS (
+          |  SELECT s1, CAST(sum(n) AS BIGINT) AS row_total
+          |  FROM pairs GROUP BY s1
+          |)
+          |SELECT p.s1, p.s2, p.n, rt.row_total,
+          |  CAST(floor(p.n * 10000.0 / rt.row_total) AS BIGINT) AS p_bp
+          |FROM pairs p JOIN rt USING (s1)
+          |ORDER BY p.s1, p.s2""".stripMargin)),
+
     // ----- Benford first-digit profile of order totals — the
     // fabricated-data / broken-upstream detector (Benford 1938;
     // Nigrini's forensic-accounting standard): organically generated
