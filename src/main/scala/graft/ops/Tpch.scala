@@ -84,6 +84,30 @@ object Tpch {
 
   val all: Seq[Q] = Seq(
 
+    // ----- Correlated LATERAL subquery — the one decorrelation
+    // surface the 22 TPC-H queries never hit: a per-row dependent
+    // derived table (top-3 orders for EACH customer, ORDER BY ...
+    // LIMIT inside the lateral). Catalyst's DecorrelateInnerQuery
+    // rewrites the correlated limit into a partitioned rank filter —
+    // i.e. the optimizer derives the g1_rank_topk plan from the
+    // nested-loop-looking SQL, one custkey-keyed shuffle, nothing
+    // per-row. The same text runs on DuckDB (its lateral join does the
+    // nested evaluation), making this a planner differential as much
+    // as a result one. Customers are bounded to a broadcast-sized
+    // filter to keep the fixture run tight; the decorrelated plan's
+    // cost is independent of that bound.
+    sql("m_sql_lateral", Seq("customer", "orders"),
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM customer,
+        |  LATERAL (SELECT o_orderkey, o_totalprice
+        |           FROM orders
+        |           WHERE o_custkey = c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey
+        |           LIMIT 3) t
+        |WHERE c_custkey <= 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+
     // ----- Q6 (forecasting revenue change): the purest scan-bound
     // query in the suite — conjunctive range filters, no join, one
     // global sum. At 100 TB everything rides on pushdown: all three

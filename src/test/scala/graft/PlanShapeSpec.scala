@@ -52,7 +52,11 @@ class PlanShapeSpec extends SparkSpec {
     // drift/mining session: broadcast-capsule cross joins only
     // (densified PSI grid, n_users capsule), everything else keyed
     "m_psi_drift", "m_ks_drift", "m_assoc_rules", "m_trend_mk",
-    "m_gini", "k14_ppr")
+    "m_gini", "k14_ppr", "m_chi2_drift", "m_markov_transitions",
+    "m_benford",
+    // correlated LATERAL must decorrelate to a keyed join + rank
+    // filter, not a per-row nested loop
+    "m_sql_lateral")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
@@ -71,6 +75,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>")
       || plan.contains("ReadSchema: struct<l_returnflag:string,l_quantity:double>"),
       s"column pruning did not reach the scan:\n$plan")
+  }
+
+  test("correlated LATERAL decorrelates to a keyed join, not a nested loop") {
+    val df = SparkEntry.queries("m_sql_lateral")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"lateral subquery did not decorrelate:\n$plan")
+    assert(plan.contains("Window") || plan.contains("TakeOrdered"),
+      s"expected the correlated LIMIT to become a rank/top-k operator:\n$plan")
   }
 
   test("no CartesianProduct in any bucketed/keyed pipeline plan") {
