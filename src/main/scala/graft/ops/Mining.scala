@@ -360,6 +360,45 @@ object Mining {
           |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
           |FROM w ORDER BY event_type""".stripMargin)),
 
+    // ----- k-anonymity / l-diversity release gate (Sweeney 2002;
+    // Machanavajjhala 2007) — the privacy audit a dataset passes
+    // BEFORE being published or joined into training data: group rows
+    // into equivalence classes by their quasi-identifiers (nation ×
+    // 1000-unit balance band — floor-based, engine-exact), and a class
+    // re-identifies people if it is small (< k) or its sensitive
+    // attribute barely varies (< l distinct market segments). One
+    // map-side-combined pass to classes; the distinct-sensitive count
+    // rides the same shuffle key (groupBy QI carries the segment for
+    // countDistinct — exactly how it must partition at scale; class
+    // cardinality is |QI-space|, a capsule). All-integer outputs and
+    // flags — nothing can tie-flip. The violating classes are the
+    // actionable rows; full per-class output keeps the oracle total.
+    Q("m_kanon",
+      (s, d) => {
+        Tables.customer(s, d)
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+            col("c_mktsegment"))
+          .groupBy("c_nationkey", "bal_band")
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("c_mktsegment")).as("n_sensitive"))
+          .select(col("c_nationkey"), col("bal_band"), col("class_size"),
+            col("n_sensitive"),
+            (col("class_size") < 10L).as("violates_k10"),
+            (col("n_sensitive") < 3L).as("violates_l3"))
+          .orderBy("c_nationkey", "bal_band")
+      },
+      Some(
+        """SELECT c_nationkey,
+          |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+          |  CAST(count(*) AS BIGINT) AS class_size,
+          |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+          |  count(*) < 10 AS violates_k10,
+          |  count(DISTINCT c_mktsegment) < 3 AS violates_l3
+          |FROM customer
+          |GROUP BY c_nationkey, bal_band
+          |ORDER BY c_nationkey, bal_band""".stripMargin)),
+
     // ----- First-order Markov transition matrix over per-user event
     // streams — the behavioral sequence model under m_event_paths'
     // trigram mining: P(next | current) with exact counts and
