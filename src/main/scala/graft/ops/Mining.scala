@@ -399,6 +399,53 @@ object Mining {
           |GROUP BY c_nationkey, bal_band
           |ORDER BY c_nationkey, bal_band""".stripMargin)),
 
+    // ----- Differentially-private released counts (Dwork 2006 Laplace
+    // mechanism) — the third privacy surface next to m_kanon's class
+    // audit and m_redact's suppression: per-type event counts released
+    // with Laplace(1/ε) noise at ε=1, sensitivity 1 (one event moves
+    // one count by one). The inverse-CDF draw u→−sign(u−½)·b·ln(1−2|u−½|)
+    // is seeded from a HASH of the group key instead of a CSPRNG —
+    // deterministic on purpose so the release is oracle-checkable and
+    // reproducible in tests; a production release swaps exactly that
+    // one `u` expression for a secure draw, keeping the sensitivity
+    // accounting, the mechanism, and the post-processing floor (floor
+    // is DP-safe: post-processing) untouched. Scale shape: one
+    // map-side-combined count; the noise is a per-group scalar
+    // expression — zero extra passes, zero state.
+    Q("m_dp_counts",
+      (s, d) => {
+        val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
+        val g = Tables.events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+        val u = (conv(substring(md5(concat(lit("dp1_"),
+          col("event_type"))), 1, 6), 16, 10).cast("long") + 0.5) /
+          16777216.0
+        val x = u - 0.5
+        val lap = -signum(x) * log(lit(1.0) - abs(x) * 2.0) * b
+        g.select(col("event_type"), col("n_true"),
+            floor((col("n_true") + lap) * 10000.0).cast("long")
+              .as("released_e4"),
+            lit(1.0).as("epsilon"), lit(1L).as("sensitivity"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+          |  FROM events GROUP BY event_type
+          |), noise AS (
+          |  SELECT event_type, n_true,
+          |    (CAST(('0x' || substr(md5('dp1_' || event_type), 1, 6))
+          |        AS BIGINT) + 0.5) / 16777216.0 - 0.5 AS x
+          |  FROM g
+          |)
+          |SELECT event_type, n_true,
+          |  CAST(floor((n_true +
+          |    -sign(x) * ln(1.0 - abs(x) * 2.0) * 1.0) * 10000.0)
+          |    AS BIGINT) AS released_e4,
+          |  CAST(1.0 AS DOUBLE) AS epsilon,
+          |  CAST(1 AS BIGINT) AS sensitivity
+          |FROM noise ORDER BY event_type""".stripMargin)),
+
     // ----- First-order Markov transition matrix over per-user event
     // streams — the behavioral sequence model under m_event_paths'
     // trigram mining: P(next | current) with exact counts and
