@@ -575,6 +575,98 @@ object Mining {
           |FROM scored s CROSS JOIN c2
           |ORDER BY s.digit""".stripMargin)),
 
+    // ----- Winsorized robust mean via SCALABLE exact quantiles — the
+    // third quantile strategy in the engine, and the one that survives
+    // 100 TB: `m_percentiles` buffers every group value (exact, OOM at
+    // scale), `m_percentiles_approx` keeps a sketch (bounded,
+    // approximate); this computes EXACT nearest-rank P5/P95 from the
+    // value-frequency table + running counts (the m_gini/m_ks_drift
+    // compression trick) — state bounded by DISTINCT values per group,
+    // one keyed shuffle, no per-group buffering, no sketch error. Rank
+    // cutoffs are pure integers (ceil(n/20) = (n+19) div 20 — never
+    // 0.05·n in floats, whose representation error can cross an
+    // integer), the threshold is the least value whose cumulative
+    // count reaches the rank (engine-independent — no interpolation),
+    // and the clipped mean sums in DECIMAL cents with one identical
+    // floor-scaled division at the end. Winsorization itself is the
+    // robust-statistics standard for taming heavy-tailed metrics
+    // before averaging (Tukey; the outlier-resistant twin of
+    // w_anomaly's detection).
+    Q("m_winsorize",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        val freq = li.groupBy("l_returnflag", "v")
+          .agg(count(lit(1)).as("t"))
+        val w = Window.partitionBy("l_returnflag").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cum", sum("t").over(w))
+        val nTab = freq.groupBy("l_returnflag").agg(sum("t").as("n"))
+        val ranked = cum.join(broadcast(nTab), Seq("l_returnflag"))
+        val lo = ranked
+          .filter(col("cum") >= expr("(n + 19) div 20"))
+          .groupBy("l_returnflag").agg(min("v").as("lo"))
+        val hi = ranked
+          .filter(col("cum") >= expr("(n * 19 + 19) div 20"))
+          .groupBy("l_returnflag").agg(min("v").as("hi"))
+        li.join(broadcast(lo), Seq("l_returnflag"))
+          .join(broadcast(hi), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            least(greatest(col("v"), col("lo")), col("hi"))
+              .cast("decimal(18,2)").as("clipped"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("clipped")).cast("double").as("wsum"))
+          .join(broadcast(lo), Seq("l_returnflag"))
+          .join(broadcast(hi), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
+            col("wsum"),
+            floor(col("wsum") * 10000.0 / col("n")).cast("long")
+              .as("wmean_e4"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_returnflag, l_extendedprice AS v FROM lineitem
+          |), freq AS (
+          |  SELECT l_returnflag, v, CAST(count(*) AS BIGINT) AS t
+          |  FROM li GROUP BY l_returnflag, v
+          |), cum AS (
+          |  SELECT l_returnflag, v, t,
+          |    CAST(sum(t) OVER (PARTITION BY l_returnflag ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), nt AS (
+          |  SELECT l_returnflag, CAST(sum(t) AS BIGINT) AS n
+          |  FROM freq GROUP BY l_returnflag
+          |), lo AS (
+          |  SELECT c.l_returnflag, min(c.v) AS lo
+          |  FROM cum c JOIN nt USING (l_returnflag)
+          |  WHERE c.cum >= (nt.n + 19) // 20
+          |  GROUP BY c.l_returnflag
+          |), hi AS (
+          |  SELECT c.l_returnflag, min(c.v) AS hi
+          |  FROM cum c JOIN nt USING (l_returnflag)
+          |  WHERE c.cum >= (nt.n * 19 + 19) // 20
+          |  GROUP BY c.l_returnflag
+          |), clipped AS (
+          |  SELECT li.l_returnflag,
+          |    CAST(least(greatest(li.v, lo.lo), hi.hi)
+          |      AS DECIMAL(18,2)) AS cv
+          |  FROM li JOIN lo USING (l_returnflag)
+          |  JOIN hi USING (l_returnflag)
+          |), agg AS (
+          |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(cv) AS DOUBLE) AS wsum
+          |  FROM clipped GROUP BY l_returnflag
+          |)
+          |SELECT a.l_returnflag, a.n, lo.lo, hi.hi, a.wsum,
+          |  CAST(floor(a.wsum * 10000.0 / a.n) AS BIGINT) AS wmean_e4
+          |FROM agg a JOIN lo USING (l_returnflag)
+          |JOIN hi USING (l_returnflag)
+          |ORDER BY a.l_returnflag""".stripMargin)),
+
     // ----- Gini concentration of per-key activity — the corpus-
     // curation "is one source dominating?" metric (a mix dominated by
     // a few users/domains is exactly what m_sample_temperature exists
