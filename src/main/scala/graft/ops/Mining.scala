@@ -360,6 +360,78 @@ object Mining {
           |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
           |FROM w ORDER BY event_type""".stripMargin)),
 
+    // ----- Source-pair vocabulary overlap — "which crawl sources are
+    // near-copies of each other?" at the SOURCE level (document-level
+    // near-dup is the m_minhash_dedup family; this is the roll-up a
+    // curation team reads first, because dropping one redundant SOURCE
+    // is cheaper than deduping its documents one by one). Exact
+    // Jaccard over per-source BIGRAM-shingle vocabularies via an
+    // inverted-index self-join ON SHINGLE (the t_containment postings
+    // pattern): the pair expansion per shingle is bounded by
+    // |sources| — the shingle vocab, not documents, is what joins,
+    // and |sources|² output pairs are a capsule at any corpus size.
+    // Bigrams, not unigrams, on purpose: the fixture's sources share
+    // ONE unigram vocabulary (every pair Jaccard 1.0 — vacuous, the
+    // m_funnel unbounded-window lesson), while word-order shingles
+    // spread pairs across 0.61–0.68. Distinct (source, shingle) is
+    // the only full-data pass, map-side combined. Floor-scaled
+    // Jaccard from exact integer intersection/union counts.
+    Q("t_source_overlap",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .select(col("source"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ",
+                element_at(col("toks"), i),
+                element_at(col("toks"), i + 1)))).as("tok"))
+          .distinct()
+        val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
+        val inter = vocab
+          .join(vocab.select(col("source").as("source_b"),
+            col("tok")), Seq("tok"))
+          .filter(col("source") < col("source_b"))
+          .groupBy(col("source").as("src_a"), col("source_b").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("sz").as("sz_a"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("sz").as("sz_b"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("inter"),
+            col("sz_a"), col("sz_b"),
+            floor(col("inter") * 10000.0 /
+              (col("sz_a") + col("sz_b") - col("inter"))).cast("long")
+              .as("jaccard_e4"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT source, string_split(text, ' ') AS ts FROM documents
+          |), pos AS (
+          |  SELECT source, ts, unnest(range(1, len(ts))) AS i FROM toks
+          |), vocab AS (
+          |  SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] AS tok
+          |  FROM pos
+          |), sizes AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS sz
+          |  FROM vocab GROUP BY source
+          |), inter AS (
+          |  SELECT a.source AS src_a, b.source AS src_b,
+          |    CAST(count(*) AS BIGINT) AS inter
+          |  FROM vocab a JOIN vocab b ON a.tok = b.tok
+          |  WHERE a.source < b.source
+          |  GROUP BY a.source, b.source
+          |)
+          |SELECT i.src_a, i.src_b, i.inter, sa.sz AS sz_a,
+          |  sb.sz AS sz_b,
+          |  CAST(floor(i.inter * 10000.0 /
+          |       (sa.sz + sb.sz - i.inter)) AS BIGINT) AS jaccard_e4
+          |FROM inter i
+          |JOIN sizes sa ON i.src_a = sa.source
+          |JOIN sizes sb ON i.src_b = sb.source
+          |ORDER BY i.src_a, i.src_b""".stripMargin)),
+
     // ----- k-anonymity / l-diversity release gate (Sweeney 2002;
     // Machanavajjhala 2007) — the privacy audit a dataset passes
     // BEFORE being published or joined into training data: group rows
