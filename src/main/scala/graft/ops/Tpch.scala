@@ -108,6 +108,35 @@ object Tpch {
         |WHERE c_custkey <= 100
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
 
+    // ----- Recursive CTE (WITH RECURSIVE, new in Spark 4) — 3-hop
+    // BFS reachability over the order→part link graph in PURE SQL,
+    // the iterative-plan surface that k5_bfs builds in Scala: seed
+    // frontier (two hub orders) UNION ALL one join step per round,
+    // depth-bounded in the recursive arm (UNION ALL recursion must
+    // carry its own termination — the depth predicate is the
+    // fixed-point guarantee; path multiplicities are collapsed by the
+    // final min-depth aggregate exactly like the Scala BFS's
+    // first-discovery rule). Same text runs on DuckDB. At scale each
+    // round is one keyed shuffle join — the recursion IS the k5 loop,
+    // planned by the engine instead of the driver.
+    sql("m_sql_recursive", Seq("lineitem"),
+      """WITH RECURSIVE reach(id, depth) AS (
+        |  -- anchor types must match the recursive arm EXACTLY on both
+        |  -- engines (Spark refuses to widen INT→BIGINT across the
+        |  -- recursion), hence the explicit casts
+        |  SELECT CAST(id AS BIGINT) AS id, CAST(0 AS INT) AS depth
+        |  FROM (VALUES (1), (2)) AS seeds(id)
+        |  UNION ALL
+        |  SELECT l.l_partkey AS id, r.depth + 1 AS depth
+        |  FROM reach r
+        |  JOIN lineitem l ON l.l_orderkey = r.id
+        |  WHERE r.depth < 2 AND l.l_orderkey < 2000
+        |    AND l.l_partkey < 2000)
+        |SELECT CAST(depth AS INT) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_first_reached
+        |FROM (SELECT id, min(depth) AS depth FROM reach GROUP BY id)
+        |GROUP BY depth ORDER BY dist""".stripMargin),
+
     // ----- Q6 (forecasting revenue change): the purest scan-bound
     // query in the suite — conjunctive range filters, no join, one
     // global sum. At 100 TB everything rides on pushdown: all three
