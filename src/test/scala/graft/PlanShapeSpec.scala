@@ -56,7 +56,11 @@ class PlanShapeSpec extends SparkSpec {
     "m_benford",
     // correlated LATERAL must decorrelate to a keyed join + rank
     // filter, not a per-row nested loop
-    "m_sql_lateral")
+    "m_sql_lateral",
+    // wave 3: quantile thresholds and shingle postings stay keyed;
+    // the recursion plans one keyed join per round
+    "m_winsorize", "t_source_overlap", "m_kanon", "m_dp_counts",
+    "m_sql_recursive")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
