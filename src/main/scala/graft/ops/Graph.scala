@@ -1125,6 +1125,98 @@ object Graph {
            |SELECT s AS source, CAST(count(*) AS BIGINT) AS n_reached,
            |  CAST(sum(d) AS BIGINT) AS sum_dist
            |FROM md GROUP BY s ORDER BY source""".stripMargin)),
+
+    // ----- K15: common-neighbor link prediction (Liben-Nowell &
+    // Kleinberg 2003) — score UNLINKED vertex pairs by neighborhood
+    // overlap, the candidate-generation step of every graph
+    // recommender ("people you may know", related-video suggestion —
+    // exactly the edge set the reference crawls). Pipeline: symmetrize
+    // the capped graph, expand wedges through an INVERTED NEIGHBOR
+    // INDEX (u–w–v pairs grouped by center w), count common neighbors
+    // per (u,v), drop pairs that are ALREADY edges (left anti — a link
+    // predictor must not predict the training set), then attach exact
+    // degrees for the Jaccard and preferential-attachment scores.
+    // Scale levers, in order: (1) wedge centers are HUB-CAPPED
+    // (deg(w) ≤ 64) — pair fan-out is Σ deg(w)², so one celebrity hub
+    // emits O(deg²) pairs while contributing a constant to every
+    // score; capping bounds the expansion by 64·|E| rows (the k4b
+    // degree-orientation argument applied to wedges, and standard
+    // practice in production link prediction). (2) The (u,v) count is
+    // a map-side-combinable keyed shuffle. (3) Degrees join on the
+    // vertex key — at fixture scale Spark broadcasts the capped degree
+    // table; at 100 TB it degrades gracefully to two keyed shuffles.
+    // Jaccard = c/(du+dv−c) is one IEEE division of exact integers —
+    // bit-identical on both engines; no floats feed any decision.
+    Q("k15_link_predict",
+      (s, d) => {
+        val und = cappedEdges(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        val deg = adj.groupBy(col("a").as("v"))
+          .agg(count(lit(1)).as("dg"))
+        // wedge centers: w with deg(w) <= 64 (hub cap); adjW keyed by
+        // the center so both wedge legs read one shuffle of it
+        val adjW = adj.select(col("a").as("w"), col("b").as("u"))
+          .join(deg.filter(col("dg") <= 64).select(col("v").as("w")),
+            Seq("w"), "left_semi")
+        val pairs = adjW
+          .join(adjW.select(col("w"), col("u").as("v")), Seq("w"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v")
+          .agg(count(lit(1)).as("common"))
+          .filter(col("common") >= 3)
+          .join(und.select(col("a").as("u"), col("b").as("v")),
+            Seq("u", "v"), "left_anti")
+        pairs
+          .join(deg.select(col("v").as("u"), col("dg").as("deg_u")),
+            Seq("u"))
+          .join(deg.select(col("v"), col("dg").as("deg_v")), Seq("v"))
+          .select(col("u"), col("v"), col("common"),
+            col("deg_u"), col("deg_v"),
+            (col("common").cast("double") /
+              (col("deg_u") + col("deg_v") - col("common")))
+              .as("jaccard"),
+            (col("deg_u") * col("deg_v")).as("pref_attach"))
+          .orderBy(desc("common"), col("u"), col("v"))
+          .limit(50)
+      },
+      Some(
+        s"""WITH und AS (
+           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+           |                  greatest(l_orderkey, l_partkey) AS b
+           |  FROM lineitem
+           |  WHERE l_orderkey < $cap AND l_partkey < $cap
+           |    AND l_orderkey <> l_partkey
+           |), adj AS (
+           |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+           |), deg AS (
+           |  SELECT a AS v, CAST(count(*) AS BIGINT) AS dg
+           |  FROM adj GROUP BY a
+           |), adjw AS (
+           |  SELECT a AS w, b AS u FROM adj
+           |  WHERE a IN (SELECT v FROM deg WHERE dg <= 64)
+           |), pairs AS (
+           |  SELECT x.u, y.u AS v, CAST(count(*) AS BIGINT) AS common
+           |  FROM adjw x JOIN adjw y ON x.w = y.w AND x.u < y.u
+           |  GROUP BY x.u, y.u
+           |  HAVING count(*) >= 3
+           |), cand AS (
+           |  SELECT p.* FROM pairs p
+           |  WHERE NOT EXISTS (SELECT 1 FROM und
+           |                    WHERE und.a = p.u AND und.b = p.v)
+           |)
+           |SELECT c.u, c.v, c.common, du.dg AS deg_u, dv.dg AS deg_v,
+           |  CAST(c.common AS DOUBLE) / (du.dg + dv.dg - c.common)
+           |    AS jaccard,
+           |  du.dg * dv.dg AS pref_attach
+           |FROM cand c
+           |JOIN deg du ON du.v = c.u
+           |JOIN deg dv ON dv.v = c.v
+           |ORDER BY c.common DESC, c.u, c.v LIMIT 50""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and

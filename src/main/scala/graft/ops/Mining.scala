@@ -871,6 +871,195 @@ object Mining {
           |JOIN supp sy ON p.cons = sy.item
           |CROSS JOIN nu
           |WHERE p.supp_xy >= 5
-          |ORDER BY p.ante, p.cons""".stripMargin))
+          |ORDER BY p.ante, p.cons""".stripMargin)),
+
+    // ----- Theil–Sen robust trend slope (Theil 1950 / Sen 1968) — the
+    // estimator production monitoring uses when m_trend_mk says "a
+    // trend exists" and you need its MAGNITUDE without outlier days
+    // dragging a least-squares fit (one scraper-outage day ruins OLS;
+    // the median of pairwise slopes shrugs it off). Per event type:
+    // collapse events to a DAILY series first (day index = integer
+    // datediff from the fixture epoch; daily revenue = sum of
+    // floor-cents — integers, so the aggregation order is irrelevant),
+    // THEN expand day pairs and take the lower-median slope by
+    // nearest-rank selection over the slope-frequency table (the
+    // m_winsorize machinery — no interpolation, the median IS one of
+    // the computed slopes). Scale shape: the quadratic pair expansion
+    // is over DISTINCT DAYS, not events — bounded by the calendar
+    // (30 days → 435 pairs per type at every SF; a year → 66k), while
+    // the daily rollup stays one map-side-combinable keyed shuffle
+    // over the raw events. Slopes are single IEEE divisions of exact
+    // integers — bit-identical cross-engine; no float sums anywhere.
+    Q("m_theil_sen",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+            floor(col("value") * 100.0).cast("long").as("cents"))
+          .groupBy("event_type", "day")
+          .agg(sum("cents").as("r"))
+        val slopes = daily.as("a")
+          .join(daily.select(col("event_type"),
+            col("day").as("day2"), col("r").as("r2")).as("b"),
+            Seq("event_type"))
+          .filter(col("day") < col("day2"))
+          .select(col("event_type"),
+            ((col("r2") - col("r")).cast("double") /
+              (col("day2") - col("day"))).as("slope"))
+        val freq = slopes.groupBy("event_type", "slope")
+          .agg(count(lit(1)).as("t"))
+        val w = Window.partitionBy("event_type").orderBy("slope")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cum", sum("t").over(w))
+        val nTab = freq.groupBy("event_type")
+          .agg(sum("t").as("n_pairs"))
+        val nDays = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"))
+        cum.join(broadcast(nTab), Seq("event_type"))
+          .filter(col("cum") >= expr("(n_pairs + 1) div 2"))
+          .groupBy("event_type")
+          .agg(min("slope").as("slope_med"))
+          .join(broadcast(nTab), Seq("event_type"))
+          .join(broadcast(nDays), Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("n_pairs"),
+            col("slope_med"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+          |      AS day,
+          |    CAST(sum(CAST(floor("value" * 100.0) AS BIGINT))
+          |      AS BIGINT) AS r
+          |  FROM events GROUP BY 1, 2
+          |), slopes AS (
+          |  SELECT a.event_type,
+          |    CAST(b.r - a.r AS DOUBLE) / (b.day - a.day) AS slope
+          |  FROM daily a
+          |  JOIN daily b ON a.event_type = b.event_type
+          |    AND a.day < b.day
+          |), freq AS (
+          |  SELECT event_type, slope, CAST(count(*) AS BIGINT) AS t
+          |  FROM slopes GROUP BY 1, 2
+          |), cum AS (
+          |  SELECT event_type, slope, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY slope
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), nt AS (
+          |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_pairs
+          |  FROM freq GROUP BY 1
+          |), nd AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          |  FROM daily GROUP BY 1
+          |), med AS (
+          |  SELECT c.event_type, min(c.slope) AS slope_med
+          |  FROM cum c JOIN nt USING (event_type)
+          |  WHERE c.cum >= (nt.n_pairs + 1) // 2
+          |  GROUP BY c.event_type
+          |)
+          |SELECT m.event_type, nd.n_days, nt.n_pairs, m.slope_med
+          |FROM med m JOIN nt USING (event_type)
+          |JOIN nd USING (event_type)
+          |ORDER BY m.event_type""".stripMargin)),
+
+    // ----- Tukey-fence outlier profile (Tukey 1977's box-plot rule) —
+    // the per-metric data-quality gate a pipeline runs BEFORE m_dp_counts
+    // or m_ab_test consume a column: how heavy are the tails, per
+    // event type? Exact nearest-rank Q1/Q3 come from the value-
+    // frequency table + running counts (the m_winsorize strategy —
+    // state bounded by DISTINCT cent values, never a per-group buffer),
+    // and the 1.5·IQR fences are kept in DOUBLED integer cents
+    // (lo2 = 5·q1 − 3·q3, hi2 = 5·q3 − 3·q1, compare against 2·v) so
+    // the halves in q ± 1.5·(q3−q1) never materialize as floats — the
+    // classification is pure BIGINT arithmetic, bit-exact on both
+    // engines. One keyed shuffle for the frequency table, broadcast
+    // fence tables back onto it (counting tail mass from freq — t rows
+    // per distinct value — not from raw events: the second pass over
+    // the fact table is free at fixture scale and stays a COMPRESSED
+    // scan at 100 TB). Rate is floor-scaled e4 from exact integers.
+    Q("m_iqr_outliers",
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100.0).cast("long").as("cents"))
+        val freq = v.groupBy("event_type", "cents")
+          .agg(count(lit(1)).as("t"))
+        val w = Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cum", sum("t").over(w))
+        val nTab = freq.groupBy("event_type").agg(sum("t").as("n"))
+        val ranked = cum.join(broadcast(nTab), Seq("event_type"))
+        val q1 = ranked.filter(col("cum") >= expr("(n + 3) div 4"))
+          .groupBy("event_type").agg(min("cents").as("q1"))
+        val q3 = ranked.filter(col("cum") >= expr("(3 * n + 3) div 4"))
+          .groupBy("event_type").agg(min("cents").as("q3"))
+        val fences = q1.join(q3, Seq("event_type"))
+          .select(col("event_type"), col("q1"), col("q3"),
+            (lit(5L) * col("q1") - lit(3L) * col("q3")).as("lo2"),
+            (lit(5L) * col("q3") - lit(3L) * col("q1")).as("hi2"))
+        freq.join(broadcast(fences), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum("t").as("n"), first("q1").as("q1"),
+            first("q3").as("q3"),
+            sum(when(lit(2L) * col("cents") < col("lo2"), col("t"))
+              .otherwise(lit(0L))).as("n_low"),
+            sum(when(lit(2L) * col("cents") > col("hi2"), col("t"))
+              .otherwise(lit(0L))).as("n_high"))
+          .select(col("event_type"), col("n"), col("q1"), col("q3"),
+            col("n_low"), col("n_high"),
+            floor((col("n_low") + col("n_high")) * 10000.0 / col("n"))
+              .cast("long").as("outlier_rate_e4"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT event_type,
+          |    CAST(floor("value" * 100.0) AS BIGINT) AS cents
+          |  FROM events
+          |), freq AS (
+          |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t
+          |  FROM v GROUP BY 1, 2
+          |), cum AS (
+          |  SELECT event_type, cents, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), nt AS (
+          |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n
+          |  FROM freq GROUP BY 1
+          |), q1 AS (
+          |  SELECT c.event_type, min(c.cents) AS q1
+          |  FROM cum c JOIN nt USING (event_type)
+          |  WHERE c.cum >= (nt.n + 3) // 4
+          |  GROUP BY c.event_type
+          |), q3 AS (
+          |  SELECT c.event_type, min(c.cents) AS q3
+          |  FROM cum c JOIN nt USING (event_type)
+          |  WHERE c.cum >= (3 * nt.n + 3) // 4
+          |  GROUP BY c.event_type
+          |), fences AS (
+          |  SELECT event_type, q1.q1, q3.q3,
+          |    5 * q1.q1 - 3 * q3.q3 AS lo2,
+          |    5 * q3.q3 - 3 * q1.q1 AS hi2
+          |  FROM q1 JOIN q3 USING (event_type)
+          |)
+          |SELECT f.event_type, CAST(sum(f.t) AS BIGINT) AS n,
+          |  fe.q1, fe.q3,
+          |  CAST(sum(CASE WHEN 2 * f.cents < fe.lo2 THEN f.t
+          |           ELSE 0 END) AS BIGINT) AS n_low,
+          |  CAST(sum(CASE WHEN 2 * f.cents > fe.hi2 THEN f.t
+          |           ELSE 0 END) AS BIGINT) AS n_high,
+          |  CAST(floor((sum(CASE WHEN 2 * f.cents < fe.lo2 THEN f.t
+          |                   ELSE 0 END) +
+          |              sum(CASE WHEN 2 * f.cents > fe.hi2 THEN f.t
+          |                   ELSE 0 END)) * 10000.0 / sum(f.t))
+          |    AS BIGINT) AS outlier_rate_e4
+          |FROM freq f JOIN fences fe USING (event_type)
+          |GROUP BY f.event_type, fe.q1, fe.q3
+          |ORDER BY f.event_type""".stripMargin))
   )
 }
