@@ -303,5 +303,126 @@ object Multimodal {
           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
           |FROM tagged GROUP BY source, shard
           |ORDER BY source, shard""".stripMargin)),
+
+    // ----- the second modality, same contract as m_multimodal_decode:
+    // a REAL audio codec round trip. Encode renders each document into
+    // a genuine RIFF/WAVE file (PCM s16le mono 8 kHz — hand-rolled
+    // header + sample writer, the pngEncode philosophy); decode parses
+    // those bytes with the JDK's OWN independent WAV reader
+    // (`javax.sound.sampled.AudioSystem`, java.desktop — no new
+    // dependency, headless-safe: it only parses bytes) and walks the
+    // PCM frames back out. Samples are a pure function of the text
+    // (sample i = codepoint(text[i mod n]) × 257, filling the 16-bit
+    // range), so the DECODED frame count, sample rate, and sample-sum
+    // checksum are oracle-checkable arithmetic in DuckDB — they can
+    // only match if the independent parser agreed byte-for-byte with
+    // the writer on header layout AND little-endian sample framing.
+    // Same scale shape as the image path: narrow mapPartitions, no
+    // shuffle, no driver involvement; production replaces the encode
+    // stage with real blob reads.
+    Q("m_multimodal_audio",
+      (s, d) => decodeWavPartitions(
+        encodeWavPartitions(Tables.documents(s, d))).orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(n_chars % 400 + 8 AS INT) AS n_samples,
+          |  CAST(8000 AS INT) AS sample_rate,
+          |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST(list_sum(list_transform(
+          |         range(n_chars % 400 + 8),
+          |         i -> ascii(substr(text, CAST(i % n_chars AS INT) + 1,
+          |                           1)) * 257))
+          |         % 1000003 AS BIGINT) END AS checksum
+          |FROM documents ORDER BY doc_id""".stripMargin)),
   )
+
+  private val wavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("wav", BinaryType)))
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** Render each document into a real WAV blob: PCM s16le, mono,
+    * 8 kHz; n_chars%400+8 samples, sample i = codepoint(text[i mod
+    * n]) × 257 (ASCII ≤ 127 → values ≤ 32639, inside signed-16 range,
+    * so the bits written are the unsigned value read back). Empty text
+    * renders 8 zero samples. Spec-conformant RIFF: fmt chunk then data
+    * chunk, all sizes little-endian.
+    */
+  def encodeWavPartitions(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(wavSchema)
+    docs.select("doc_id", "text").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val n = text.length
+        val nS = n % 400 + 8
+        val dataLen = nS * 2
+        val out = new Array[Byte](44 + dataLen)
+        def le32(off: Int, v: Int): Unit = {
+          out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+          out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+        }
+        def tag(off: Int, t: String): Unit = {
+          val b = t.getBytes("US-ASCII")
+          System.arraycopy(b, 0, out, off, 4)
+        }
+        tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+        tag(12, "fmt "); le32(16, 16)
+        out(20) = 1; out(21) = 0 // PCM
+        out(22) = 1; out(23) = 0 // mono
+        le32(24, 8000) // sample rate
+        le32(28, 16000) // byte rate
+        out(32) = 2; out(33) = 0 // block align
+        out(34) = 16; out(35) = 0 // bits per sample
+        tag(36, "data"); le32(40, dataLen)
+        var i = 0
+        while (n > 0 && i < nS) {
+          val u = text.charAt(i % n).toInt * 257
+          out(44 + 2 * i) = (u & 0xff).toByte
+          out(44 + 2 * i + 1) = ((u >>> 8) & 0xff).toByte
+          i += 1
+        }
+        Row(id, out)
+      }
+    }(enc)
+  }
+
+  /** mapPartitions decode stage: `AudioSystem.getAudioInputStream`
+    * parses the RIFF header (format, channels, rate, frame count) and
+    * streams the PCM payload; samples are rebuilt from the frame bytes
+    * little-endian and checksummed mod 1000003 — the value can only
+    * come out right if the JDK's reader located the data chunk exactly
+    * where the writer put it.
+    */
+  def decodeWavPartitions(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    blobs.select("doc_id", "wav").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getChannels == 1 &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected decoded format for doc $id: $fmt")
+        val rate = fmt.getSampleRate.toInt
+        val nFrames = ais.getFrameLength.toInt
+        val pcm = ais.readAllBytes()
+        ais.close()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < pcm.length) {
+          sum += (pcm(i) & 0xff) | ((pcm(i + 1) & 0xff) << 8)
+          i += 2
+        }
+        Row(id, nFrames, rate, sum % 1000003L)
+      }
+    }(enc)
+  }
 }

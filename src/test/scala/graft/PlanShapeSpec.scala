@@ -60,7 +60,10 @@ class PlanShapeSpec extends SparkSpec {
     // wave 3: quantile thresholds and shingle postings stay keyed;
     // the recursion plans one keyed join per round
     "m_winsorize", "t_source_overlap", "m_kanon", "m_dp_counts",
-    "m_sql_recursive")
+    "m_sql_recursive",
+    // wave 4: wedge expansion, day-pair self join, fence broadcasts —
+    // all keyed
+    "k15_link_predict", "m_theil_sen", "m_iqr_outliers")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
