@@ -1344,5 +1344,91 @@ object Text {
           |  CAST(sum(sgn) AS BIGINT) AS signed
           |FROM h GROUP BY doc_id, bucket
           |ORDER BY doc_id, bucket""".stripMargin)),
+
+    // ----- Zipf-law fit (Zipf 1949): the corpus-health scalar behind
+    // t_vocab's rank table — natural text follows freq ∝ rank^(−s)
+    // with s ≈ 1; a corpus whose fitted exponent drifts far from the
+    // reference corpus's signals template spam (s ≫ 1: a few strings
+    // dominate) or shredded text (s ≪ 1: near-uniform tokens). Fit =
+    // OLS on (ln rank, ln freq) over the TOP-100 tokens — rank via
+    // row_number over an input already bounded to 100 rows by
+    // TakeOrdered (the g2 discipline: the single-partition window sees
+    // a constant-size input; the token count below it is one keyed
+    // map-side-combinable shuffle whatever the corpus size).
+    // Cross-engine exactness: each ln is floor-scaled to e4 integers
+    // (floor(x·1e4 + 0.5) — the one rounding both engines share), so
+    // every OLS sum (Σx, Σy, Σxy, Σx²) is exact BIGINT arithmetic;
+    // slope and r² emerge from single IEEE divisions of those
+    // integers. The transcendental only ever feeds the floor-scale —
+    // the m_entropy convention.
+    Q("t_zipf_fit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val top = counts.orderBy(col("n").desc, col("tok")).limit(100)
+        val ord = Window.orderBy(col("n").desc, col("tok"))
+        val pts = top
+          .withColumn("rank", row_number().over(ord).cast("long"))
+          .select(
+            floor(log(col("rank").cast("double")) * 10000.0 + 0.5)
+              .cast("long").as("x"),
+            floor(log(col("n").cast("double")) * 10000.0 + 0.5)
+              .cast("long").as("y"))
+        pts.agg(
+          count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+          .select(col("k"),
+            (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("k") * col("sxx") - col("sx") * col("sx")).as("denx"),
+            (col("k") * col("syy") - col("sy") * col("sy")).as("deny"))
+          // num/denx/deny are ~1e13 — exact in BIGINT and in double
+          // (< 2^53); r² as (num/denx)·(num/deny) keeps every
+          // intermediate inside those ranges (num² would overflow
+          // BIGINT, which ANSI mode turns into a runtime error)
+          .select(col("k"),
+            (col("num").cast("double") / col("denx")).as("slope"),
+            ((col("num").cast("double") / col("denx")) *
+              (col("num").cast("double") / col("deny"))).as("r2"))
+      },
+      Some(
+        """WITH counts AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+          |        FROM documents)
+          |  GROUP BY tok
+          |), top AS (
+          |  SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 100
+          |), pts AS (
+          |  SELECT
+          |    CAST(floor(ln(CAST(row_number()
+          |      OVER (ORDER BY n DESC, tok) AS DOUBLE)) * 10000.0 + 0.5)
+          |      AS BIGINT) AS x,
+          |    CAST(floor(ln(CAST(n AS DOUBLE)) * 10000.0 + 0.5)
+          |      AS BIGINT) AS y
+          |  FROM top
+          |), agg AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx,
+          |    CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM pts
+          |), fin AS (
+          |  SELECT k,
+          |    CAST(k * sxy - sx * sy AS BIGINT) AS num,
+          |    CAST(k * sxx - sx * sx AS BIGINT) AS denx,
+          |    CAST(k * syy - sy * sy AS BIGINT) AS deny
+          |  FROM agg
+          |)
+          |SELECT k,
+          |  CAST(num AS DOUBLE) / denx AS slope,
+          |  (CAST(num AS DOUBLE) / denx) *
+          |    (CAST(num AS DOUBLE) / deny) AS r2
+          |FROM fin""".stripMargin)),
   )
 }
