@@ -808,31 +808,10 @@ object Graph {
     // sizes (max 1,702) on the video graph.
     Q("k8_lpa",
       (s, d) => lpa(s, d, rounds = 4),
-      Some {
-        val stages = (1 to 4).map { i =>
-          val (p, c) = (s"l${i - 1}", s"l$i")
-          s"""n$i AS (
-             |  SELECT e.src, l.lbl FROM e0 e JOIN $p l ON l.v = e.dst
-             |), g$i AS (
-             |  SELECT src, lbl, count(*) AS c FROM n$i GROUP BY 1, 2
-             |), $c AS MATERIALIZED (
-             |  SELECT src AS v, (m).lbl AS lbl FROM (
-             |    SELECT src, min(struct_pack(nc := -c, lbl := lbl)) AS m
-             |    FROM g$i GROUP BY src)
-             |)""".stripMargin
-        }.mkString(", ")
-        s"""WITH de AS MATERIALIZED (
-           |  SELECT DISTINCT 'v' || l_orderkey AS src,
-           |         'v' || l_partkey AS dst
-           |  FROM lineitem
-           |), e0 AS MATERIALIZED (
-           |  SELECT src, dst FROM de UNION SELECT dst, src FROM de
-           |), l0 AS MATERIALIZED (
-           |  SELECT DISTINCT src AS v, src AS lbl FROM e0
-           |), $stages
+      Some(
+        s"""WITH ${lpaOracleCtes(4)}
            |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
-           |FROM l4 GROUP BY lbl ORDER BY lbl""".stripMargin
-      }),
+           |FROM l4 GROUP BY lbl ORDER BY lbl""".stripMargin)),
 
     // ----- K9: weakly connected components — the dedup/partitioning
     // primitive (cluster ids for fuzzy-dedup graphs, subgraph
@@ -1217,11 +1196,118 @@ object Graph {
            |JOIN deg du ON du.v = c.u
            |JOIN deg dv ON dv.v = c.v
            |ORDER BY c.common DESC, c.u, c.v LIMIT 50""".stripMargin)),
+
+    // ----- K16: modularity of the k8 LPA partition (Newman & Girvan
+    // 2004) — the "was that community structure real?" score: Q =
+    // Σ_c [in_c/2m − (d_c/2m)²], fraction of edges inside communities
+    // minus the fraction a degree-preserving random rewiring would
+    // put there. Detection without a quality score is half a feature —
+    // LPA always RETURNS labels; Q says whether they mean anything.
+    // Exact-integer trick: over the symmetric edge set (|rows| = 2m),
+    // Q·(2m)² = 2m·Σin_c − Σd_c² — every term a BIGINT (in_c counts
+    // same-label symmetric edges, d_c sums member degrees; at sf0.1,
+    // 2m ≈ 1.2e6 keeps all products < 1.5e12, far inside both BIGINT
+    // and double-exact range), so the only float is the final reported
+    // ratio of two exact integers. Plan: the 4-round LPA loop (same
+    // cost/shape as k8), then ONE pass over the cached edge table with
+    // two label joins (labels shuffle on the vertex key; the
+    // src-partitioned edge side never re-exchanges) and 1-row capsule
+    // cross joins for the assembly. The oracle re-runs the whole
+    // unrolled LPA and recomputes Q independently.
+    Q("k16_modularity",
+      (s, d) => {
+        val e = symEdgesBySrc(s, d)
+        val lab = lpaLabels(s, d, rounds = 4)
+        val inSum = e
+          .join(lab.select(col("v").as("src"), col("lbl").as("ls")),
+            Seq("src"))
+          .join(lab.select(col("v").as("dst"), col("lbl").as("ld")),
+            Seq("dst"))
+          .filter(col("ls") === col("ld"))
+          .agg(count(lit(1)).as("in_sum"))
+        val dc = e.groupBy("src").agg(count(lit(1)).as("dg"))
+          .join(lab.select(col("v").as("src"), col("lbl")), Seq("src"))
+          .groupBy("lbl").agg(sum("dg").as("d_c"))
+        val sums = dc.agg(count(lit(1)).as("n_communities"),
+          sum(col("d_c") * col("d_c")).as("sum_d2"))
+        val m2 = e.agg(count(lit(1)).as("two_m"))
+        sums.crossJoin(broadcast(inSum)).crossJoin(broadcast(m2))
+          .select(col("n_communities"), col("two_m"), col("in_sum"),
+            col("sum_d2"),
+            (col("two_m") * col("in_sum") - col("sum_d2")).as("q_num"),
+            ((col("two_m") * col("in_sum") - col("sum_d2"))
+              .cast("double") /
+              (col("two_m").cast("double") * col("two_m")))
+              .as("modularity"))
+      },
+      Some(
+        s"""WITH ${lpaOracleCtes(4)}, deg AS (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS dg
+           |  FROM e0 GROUP BY src
+           |), ins AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS in_sum
+           |  FROM e0 e JOIN l4 a ON e.src = a.v JOIN l4 b ON e.dst = b.v
+           |  WHERE a.lbl = b.lbl
+           |), dc AS (
+           |  SELECT a.lbl, CAST(sum(d.dg) AS BIGINT) AS d_c
+           |  FROM deg d JOIN l4 a ON d.src = a.v GROUP BY a.lbl
+           |), sums AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           |    CAST(sum(d_c * d_c) AS BIGINT) AS sum_d2
+           |  FROM dc
+           |), m2 AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS two_m FROM e0
+           |)
+           |SELECT s.n_communities, m2.two_m, i.in_sum, s.sum_d2,
+           |  CAST(m2.two_m * i.in_sum - s.sum_d2 AS BIGINT) AS q_num,
+           |  CAST(m2.two_m * i.in_sum - s.sum_d2 AS DOUBLE) /
+           |    (CAST(m2.two_m AS DOUBLE) * m2.two_m) AS modularity
+           |FROM sums s, ins i, m2""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and
     * scale shape. Returns (community, n_members) after `rounds`. */
-  private def lpa(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  private def lpa(s: SparkSession, d: String, rounds: Int): DataFrame =
+    lpaLabels(s, d, rounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("community")
+
+  /** DuckDB CTE chain for `rounds` unrolled synchronous-LPA stages —
+    * `de` (distinct directed edges), `e0` (symmetrized), `l0` (seed
+    * labels) and `l1..l{rounds}`; shared by the k8_lpa and
+    * k16_modularity oracles. Every stage is MATERIALIZED: each
+    * references its predecessor multiple times and DuckDB 1.0 inlines
+    * plain CTEs (the k7 3^depth blowup). */
+  private def lpaOracleCtes(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      val (p, c) = (s"l${i - 1}", s"l$i")
+      s"""n$i AS (
+         |  SELECT e.src, l.lbl FROM e0 e JOIN $p l ON l.v = e.dst
+         |), g$i AS (
+         |  SELECT src, lbl, count(*) AS c FROM n$i GROUP BY 1, 2
+         |), $c AS MATERIALIZED (
+         |  SELECT src AS v, (m).lbl AS lbl FROM (
+         |    SELECT src, min(struct_pack(nc := -c, lbl := lbl)) AS m
+         |    FROM g$i GROUP BY src)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""de AS MATERIALIZED (
+       |  SELECT DISTINCT 'v' || l_orderkey AS src,
+       |         'v' || l_partkey AS dst
+       |  FROM lineitem
+       |), e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM de UNION SELECT dst, src FROM de
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v, src AS lbl FROM e0
+       |), $stages""".stripMargin
+  }
+
+  /** Per-vertex LPA labels ("v", "lbl") after `rounds` synchronous
+    * rounds — the shared core of k8_lpa's rollup and k16_modularity's
+    * quality score. */
+  private def lpaLabels(s: SparkSession, d: String,
+                        rounds: Int): DataFrame = {
     // e is loop-invariant: src-partitioned + persisted (see
     // [[cachedBySrc]]). Each round joins the label table on e's
     // PARTITIONED side (labels shuffle, edges don't) and counts
@@ -1240,9 +1326,7 @@ object Graph {
         .select(col("dst").as("v"), col("m.lbl").as("lbl"))
         .localCheckpoint()
     }
-    lbl.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy("community")
+    lbl
   }
 
   /** Iterative k-core peel over the symmetrized video graph by DELTA
