@@ -1263,6 +1263,132 @@ object Graph {
            |  CAST(m2.two_m * i.in_sum - s.sum_d2 AS DOUBLE) /
            |    (CAST(m2.two_m AS DOUBLE) * m2.two_m) AS modularity
            |FROM sums s, ins i, m2""".stripMargin)),
+
+    // ----- K17: global clustering coefficient (transitivity) —
+    // C = 3·triangles / wedges, the one-number answer to "is this a
+    // social graph or a random one?" (random graphs: C ≈ d̄/n; social
+    // graphs: orders of magnitude higher). Numerator reuses the
+    // [[triangleCounts]] machinery (the k4 wedge-join plan, O(m^1.5)
+    // under the low-id orientation); the denominator is a pure degree
+    // aggregate — Σ d(d−1)/2, one keyed shuffle, no joins. Both sides
+    // stay BIGINT; the coefficient is the single final division of
+    // exact integers. The per-vertex membership sum equals 3T exactly
+    // (each triangle counted once per corner), which the oracle
+    // recomputes from an independently-oriented triangle enumeration.
+    Q("k17_clustering_coeff",
+      (s, d) => {
+        val und = cappedEdges(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        val wedges = adj.groupBy(col("a").as("v"))
+          .agg(count(lit(1)).as("dg"))
+          .agg(count(lit(1)).as("n_vertices"),
+            sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+        val tri = triangleCounts(cappedEdges(s, d))
+          .agg(coalesce(sum(col("n_triangles")), lit(0L))
+            .as("tri_memberships"))
+        wedges.crossJoin(broadcast(tri))
+          .select(col("n_vertices"), col("n_wedges"),
+            col("tri_memberships"),
+            (col("tri_memberships").cast("double") / col("n_wedges"))
+              .as("global_coeff"))
+      },
+      Some(
+        s"""WITH und AS (
+           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+           |                  greatest(l_orderkey, l_partkey) AS b
+           |  FROM lineitem
+           |  WHERE l_orderkey < $cap AND l_partkey < $cap
+           |    AND l_orderkey <> l_partkey
+           |), adj AS (
+           |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+           |), w AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           |    CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+           |  FROM (SELECT a, CAST(count(*) AS BIGINT) AS dg
+           |        FROM adj GROUP BY a)
+           |), tri AS (
+           |  SELECT t1.a, t1.b, t2.b AS c
+           |  FROM und t1
+           |  JOIN und t2 ON t2.a = t1.b
+           |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+           |), t AS (
+           |  SELECT CAST(3 * count(*) AS BIGINT) AS tri_memberships
+           |  FROM tri
+           |)
+           |SELECT w.n_vertices, w.n_wedges, t.tri_memberships,
+           |  CAST(t.tri_memberships AS DOUBLE) / w.n_wedges
+           |    AS global_coeff
+           |FROM w, t""".stripMargin)),
+
+    // ----- K18: degree assortativity (Newman 2002) — the Pearson
+    // correlation of endpoint degrees over the edge list: do hubs link
+    // to hubs (r > 0, social networks) or to leaves (r < 0, the
+    // hub-and-spoke shape of web/biology graphs — and of this
+    // order→part fixture)? One pass: attach each symmetric edge's two
+    // endpoint degrees (the edge table and the degree table both key
+    // on the vertex — two keyed joins, the k15 degree-attach shape),
+    // then a single 4-sum aggregate. Over the symmetric list Σx = Σy
+    // and Σx² = Σy², so r = (Se·Σxy − (Σx)²) / (Se·Σx² − (Σx)²) with
+    // every sum BIGINT-exact on the capped graph (at 100 TB the sums
+    // are Σd³-scale — the production move is the same formula over
+    // DECIMAL(38) partial aggregates, same plan shape). The only
+    // floats are the final two exact-integer divisions.
+    Q("k18_assortativity",
+      (s, d) => {
+        val und = cappedEdges(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        val deg = adj.groupBy(col("a").as("v"))
+          .agg(count(lit(1)).as("dg"))
+        adj
+          .join(deg.select(col("v").as("a"), col("dg").as("x")),
+            Seq("a"))
+          .join(deg.select(col("v").as("b"), col("dg").as("y")),
+            Seq("b"))
+          .agg(count(lit(1)).as("se"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("se"), col("sxy"), col("sx"), col("sxx"),
+            ((col("se") * col("sxy") - col("sx") * col("sx"))
+              .cast("double") /
+              (col("se") * col("sxx") - col("sx") * col("sx")))
+              .as("assortativity"))
+      },
+      Some(
+        s"""WITH und AS (
+           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+           |                  greatest(l_orderkey, l_partkey) AS b
+           |  FROM lineitem
+           |  WHERE l_orderkey < $cap AND l_partkey < $cap
+           |    AND l_orderkey <> l_partkey
+           |), adj AS (
+           |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+           |), deg AS (
+           |  SELECT a AS v, CAST(count(*) AS BIGINT) AS dg
+           |  FROM adj GROUP BY a
+           |), agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS se,
+           |    CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy,
+           |    CAST(sum(dx.dg) AS BIGINT) AS sx,
+           |    CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sxx
+           |  FROM adj e
+           |  JOIN deg dx ON e.a = dx.v
+           |  JOIN deg dy ON e.b = dy.v
+           |)
+           |SELECT se, sxy, sx, sxx,
+           |  CAST(se * sxy - sx * sx AS DOUBLE) /
+           |    (se * sxx - sx * sx) AS assortativity
+           |FROM agg""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and

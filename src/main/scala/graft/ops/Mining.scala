@@ -1060,6 +1060,72 @@ object Mining {
           |    AS BIGINT) AS outlier_rate_e4
           |FROM freq f JOIN fences fe USING (event_type)
           |GROUP BY f.event_type, fe.q1, fe.q3
-          |ORDER BY f.event_type""".stripMargin))
+          |ORDER BY f.event_type""".stripMargin)),
+
+    // ----- Co-purchase projection ("customers who bought X also
+    // bought Y"): project the order→part bipartite graph onto parts by
+    // counting orders containing both — the item-item co-occurrence
+    // matrix behind every neighborhood recommender, and m_assoc_rules'
+    // graph-shaped sibling (baskets = orders instead of users, output
+    // = top weighted pairs instead of rules). Scale shape: the pair
+    // expansion self-joins the distinct (order, part) table ON THE
+    // ORDER KEY — co-partitioned, map-local, and fan-out bounded by
+    // the square of the ORDER SIZE (≤ 7 lineitems per order in this
+    // schema, a data invariant independent of corpus scale), so there
+    // is no hub problem by construction — the contrast to k15, where
+    // wedge centers needed an explicit cap. Pair counts shuffle on the
+    // (p1, p2) key with map-side combine; lift comes from the
+    // broadcast per-part support table + 1-row order-count capsule,
+    // floor-scaled e4 from exact integers (the m_assoc_rules
+    // discipline). Top-50 by count is a TakeOrdered — no global sort.
+    Q("m_copurchase",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val nOrders = li.select("o").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val supp = li.groupBy("p").agg(count(lit(1)).as("s"))
+        li.as("a")
+          .join(li.select(col("o"), col("p").as("p2")).as("b"), Seq("o"))
+          .filter(col("p") < col("p2"))
+          .groupBy(col("p").as("p1"), col("p2"))
+          .agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 2)
+          .join(broadcast(supp.select(col("p").as("p1"),
+            col("s").as("s1"))), Seq("p1"))
+          .join(broadcast(supp.select(col("p").as("p2"),
+            col("s").as("s2"))), Seq("p2"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("p1"), col("p2"), col("n_both"), col("s1"),
+            col("s2"),
+            floor(col("n_both") * col("n_orders") * 10000.0 /
+              (col("s1") * col("s2"))).cast("long").as("lift_e4"))
+          .orderBy(desc("n_both"), col("p1"), col("p2"))
+          .limit(50)
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem
+          |), no AS (
+          |  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li
+          |), supp AS (
+          |  SELECT p, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY p
+          |), pairs AS (
+          |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT)
+          |    AS n_both
+          |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY a.p, b.p
+          |)
+          |SELECT pr.p1, pr.p2, pr.n_both, s1.s AS s1, s2.s AS s2,
+          |  CAST(floor(pr.n_both * no.n_orders * 10000.0 /
+          |       (s1.s * s2.s)) AS BIGINT) AS lift_e4
+          |FROM pairs pr
+          |JOIN supp s1 ON pr.p1 = s1.p
+          |JOIN supp s2 ON pr.p2 = s2.p
+          |CROSS JOIN no
+          |WHERE pr.n_both >= 2
+          |ORDER BY pr.n_both DESC, pr.p1, pr.p2 LIMIT 50""".stripMargin))
   )
 }

@@ -63,7 +63,9 @@ class PlanShapeSpec extends SparkSpec {
     "m_sql_recursive",
     // wave 4: wedge expansion, day-pair self join, fence broadcasts —
     // all keyed
-    "k15_link_predict", "m_theil_sen", "m_iqr_outliers")
+    "k15_link_predict", "m_theil_sen", "m_iqr_outliers",
+    "m_copurchase", "k17_clustering_coeff", "k18_assortativity",
+    "t_zipf_fit")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
