@@ -1126,6 +1126,117 @@ object Mining {
           |JOIN supp s2 ON pr.p2 = s2.p
           |CROSS JOIN no
           |WHERE pr.n_both >= 2
-          |ORDER BY pr.n_both DESC, pr.p1, pr.p2 LIMIT 50""".stripMargin))
+          |ORDER BY pr.n_both DESC, pr.p1, pr.p2 LIMIT 50""".stripMargin)),
+
+    // ----- Inter-arrival profile + burstiness (Goh & Barabási 2008):
+    // per event type, the distribution of per-user gaps between
+    // consecutive events — the signal that separates organic activity
+    // (heavy-tailed, bursty, B > 0) from bot/scheduler traffic
+    // (metronomic, B < 0). Plan: one lag window PARTITIONED BY
+    // (user, type) — keyed, thousands of small partitions, never the
+    // g2 single-partition trap — then integer-second gaps pool into a
+    // per-type frequency table for exact nearest-rank median/P90 (the
+    // m_winsorize strategy). Burstiness B = (σ−μ)/(σ+μ) comes from
+    // the three exact integer sums (n, Σg, Σg²): each is cast to
+    // DOUBLE once and pushed through the IDENTICAL expression tree on
+    // both engines — deterministic even where Σg² exceeds 2^53,
+    // because both engines round the same integer the same way. The
+    // n·Σg² integer form would overflow BIGINT at scale, so the
+    // variance stays in doubles BY the same fixed tree.
+    Q("m_interarrival",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val gaps = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          // integer micros diff floor-divided to whole seconds —
+          // epoch()/unix_timestamp() fractional-vs-floored semantics
+          // differ across engines, micro integers do not
+          .select(col("event_type"),
+            expr("(unix_micros(ts) - unix_micros(prev)) div 1000000")
+              .as("gap"))
+        val freq = gaps.groupBy("event_type", "gap")
+          .agg(count(lit(1)).as("t"))
+        val cw = Window.partitionBy("event_type").orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cum", sum("t").over(cw))
+        val nTab = freq.groupBy("event_type").agg(sum("t").as("n"))
+        val ranked = cum.join(broadcast(nTab), Seq("event_type"))
+        val med = ranked.filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy("event_type").agg(min("gap").as("gap_med"))
+        val p90 = ranked.filter(col("cum") >= expr("(9 * n + 9) div 10"))
+          .groupBy("event_type").agg(min("gap").as("gap_p90"))
+        val moments = gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("gap").as("sg"),
+            sum(col("gap") * col("gap")).as("sg2"))
+        moments
+          .join(broadcast(med), Seq("event_type"))
+          .join(broadcast(p90), Seq("event_type"))
+          .select(col("event_type"), col("n"), col("gap_med"),
+            col("gap_p90"),
+            (col("sg").cast("double") / col("n")).as("mean_s"),
+            ((sqrt(col("sg2").cast("double") / col("n") -
+              (col("sg").cast("double") / col("n")) *
+                (col("sg").cast("double") / col("n"))) -
+              col("sg").cast("double") / col("n")) /
+              (sqrt(col("sg2").cast("double") / col("n") -
+                (col("sg").cast("double") / col("n")) *
+                  (col("sg").cast("double") / col("n"))) +
+                col("sg").cast("double") / col("n")))
+              .as("burstiness"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH gaps AS (
+          |  SELECT event_type,
+          |    CAST((epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+          |      PARTITION BY user_id, event_type
+          |      ORDER BY ts, event_id))) // 1000000 AS BIGINT) AS gap
+          |  FROM events
+          |  QUALIFY lag(ts, 1) OVER (
+          |    PARTITION BY user_id, event_type
+          |    ORDER BY ts, event_id) IS NOT NULL
+          |), freq AS (
+          |  SELECT event_type, gap, CAST(count(*) AS BIGINT) AS t
+          |  FROM gaps GROUP BY 1, 2
+          |), cum AS (
+          |  SELECT event_type, gap, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY gap
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), nt AS (
+          |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n
+          |  FROM freq GROUP BY 1
+          |), med AS (
+          |  SELECT c.event_type, min(c.gap) AS gap_med
+          |  FROM cum c JOIN nt USING (event_type)
+          |  WHERE c.cum >= (nt.n + 1) // 2 GROUP BY c.event_type
+          |), p90 AS (
+          |  SELECT c.event_type, min(c.gap) AS gap_p90
+          |  FROM cum c JOIN nt USING (event_type)
+          |  WHERE c.cum >= (9 * nt.n + 9) // 10 GROUP BY c.event_type
+          |), mo AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(gap) AS BIGINT) AS sg,
+          |    CAST(sum(gap * gap) AS BIGINT) AS sg2
+          |  FROM gaps GROUP BY 1
+          |)
+          |SELECT mo.event_type, mo.n, med.gap_med, p90.gap_p90,
+          |  CAST(sg AS DOUBLE) / mo.n AS mean_s,
+          |  (sqrt(CAST(sg2 AS DOUBLE) / mo.n -
+          |        (CAST(sg AS DOUBLE) / mo.n) *
+          |          (CAST(sg AS DOUBLE) / mo.n)) -
+          |   CAST(sg AS DOUBLE) / mo.n) /
+          |  (sqrt(CAST(sg2 AS DOUBLE) / mo.n -
+          |        (CAST(sg AS DOUBLE) / mo.n) *
+          |          (CAST(sg AS DOUBLE) / mo.n)) +
+          |   CAST(sg AS DOUBLE) / mo.n) AS burstiness
+          |FROM mo JOIN med USING (event_type)
+          |JOIN p90 USING (event_type)
+          |ORDER BY mo.event_type""".stripMargin))
   )
 }
