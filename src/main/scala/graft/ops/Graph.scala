@@ -1389,6 +1389,116 @@ object Graph {
            |  CAST(se * sxy - sx * sx AS DOUBLE) /
            |    (se * sxx - sx * sx) AS assortativity
            |FROM agg""".stripMargin)),
+
+    // ----- K19: bow-tie decomposition (Broder et al., WWW 2000) — the
+    // macroscopic map of a directed graph: CORE (the largest SCC), IN
+    // (reaches the core), OUT (reached from it), TENDRILS (attached to
+    // the core's undirected component but on no core-through path),
+    // DISCONNECTED (elsewhere). The original web-crawl census query —
+    // run here over the same crawl-shaped capped graph as k1, composing
+    // three primitives the engine already has: the session-cached SCC
+    // labeling (k1's loop, computed once), and three seeded
+    // reachability loops (forward / backward / undirected) over the
+    // src-partitioned cached edge tables — per round only the frontier
+    // shuffles, first-discovery semantics, early exit on empty
+    // frontier (the bfs() lineage rules). Classification is four
+    // anti-joins with fixed precedence — pure set algebra, no floats
+    // anywhere. The oracle recomputes the SCC from the recursive
+    // transitive closure and each region from its own seeded recursive
+    // CTE — fully independent derivation of all five counts.
+    Q("k19_bowtie",
+      (s, d) => {
+        val fwd = cappedDistinctBySrc(s, d)
+        val rev = cachedBySrc(s, d, "anfRevBySrc") {
+          cappedEdges(s, d).distinct()
+            .select(col("dst").as("src"), col("src").as("dst"))
+        }
+        val sym = cachedBySrc(s, d, "cappedSymBySrc") {
+          val e = cappedEdges(s, d)
+          e.unionByName(e.select(col("dst").as("src"),
+            col("src").as("dst"))).distinct()
+        }
+        val comp = cappedScc(s, d)
+        val top = comp.groupBy("component")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("component")).limit(1)
+        val core = comp
+          .join(broadcast(top.select("component")), Seq("component"))
+          .select(col("id").as("v")).localCheckpoint()
+        def reach(edges: DataFrame): DataFrame = {
+          var reached = core
+          var frontier = core
+          var i = 0
+          while (i < 100 && !frontier.isEmpty) {
+            val nxt = edges
+              .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+              .select(col("dst").as("v")).distinct()
+            frontier = nxt.join(reached, Seq("v"), "left_anti")
+              .localCheckpoint()
+            reached = reached.unionByName(frontier)
+            i += 1
+          }
+          require(frontier.isEmpty,
+            s"reachability did not converge within $i rounds")
+          reached
+        }
+        val outR = reach(fwd)
+        val inR = reach(rev)
+        val undR = reach(sym)
+        val verts = cappedVerts(s, d)
+        val inS = inR.join(core, Seq("v"), "left_anti")
+        val outS = outR.join(core, Seq("v"), "left_anti")
+        val tendril = undR.join(core, Seq("v"), "left_anti")
+          .join(inS, Seq("v"), "left_anti")
+          .join(outS, Seq("v"), "left_anti")
+        val disc = verts.join(undR, Seq("v"), "left_anti")
+        Seq(core.withColumn("bowtie_class", lit("core")),
+          inS.withColumn("bowtie_class", lit("in")),
+          outS.withColumn("bowtie_class", lit("out")),
+          tendril.withColumn("bowtie_class", lit("tendril")),
+          disc.withColumn("bowtie_class", lit("disconnected")))
+          .reduce(_ unionByName _)
+          .join(verts, Seq("v"), "left_semi")
+          .groupBy("bowtie_class")
+          .agg(count(lit(1)).as("n_vertices"))
+          .orderBy("bowtie_class")
+      },
+      Some(
+        s"""WITH RECURSIVE $sccOracleCtes, sizes AS (
+           |  SELECT component, count(*) AS n FROM comp
+           |  GROUP BY component ORDER BY n DESC, component LIMIT 1
+           |), core AS (
+           |  SELECT id AS v FROM comp
+           |  JOIN sizes USING (component)
+           |), se AS (
+           |  SELECT src, dst FROM edges
+           |  UNION SELECT dst, src FROM edges
+           |), outr(v) AS (
+           |  SELECT v FROM core
+           |  UNION
+           |  SELECT e.dst FROM outr o JOIN edges e ON e.src = o.v
+           |), inr(v) AS (
+           |  SELECT v FROM core
+           |  UNION
+           |  SELECT e.src FROM inr i JOIN edges e ON e.dst = i.v
+           |), undr(v) AS (
+           |  SELECT v FROM core
+           |  UNION
+           |  SELECT e.dst FROM undr u JOIN se e ON e.src = u.v
+           |)
+           |SELECT CASE
+           |    WHEN c.v IS NOT NULL THEN 'core'
+           |    WHEN i.v IS NOT NULL THEN 'in'
+           |    WHEN o.v IS NOT NULL THEN 'out'
+           |    WHEN u.v IS NOT NULL THEN 'tendril'
+           |    ELSE 'disconnected' END AS bowtie_class,
+           |  CAST(count(*) AS BIGINT) AS n_vertices
+           |FROM verts t
+           |LEFT JOIN core c ON t.v = c.v
+           |LEFT JOIN (SELECT DISTINCT v FROM inr) i ON t.v = i.v
+           |LEFT JOIN (SELECT DISTINCT v FROM outr) o ON t.v = o.v
+           |LEFT JOIN (SELECT DISTINCT v FROM undr) u ON t.v = u.v
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and
