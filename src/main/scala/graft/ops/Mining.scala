@@ -1237,6 +1237,93 @@ object Mining {
           |   CAST(sg AS DOUBLE) / mo.n) AS burstiness
           |FROM mo JOIN med USING (event_type)
           |JOIN p90 USING (event_type)
-          |ORDER BY mo.event_type""".stripMargin))
+          |ORDER BY mo.event_type""".stripMargin)),
+
+    // ----- Higher-moment profile: skewness + excess kurtosis per
+    // metric — the tail-shape numbers a pipeline reads BEFORE choosing
+    // between mean (γ₁ ≈ 0), winsorized mean (m_winsorize, moderate
+    // skew), or median (m_iqr_outliers territory). The whole query is
+    // ONE map-side-combinable pass accumulating (n, Σx, Σx², Σx³, Σx⁴)
+    // — the textbook distributed-moments shape. Exactness under
+    // overflow: x is integer cents (≤ ~5e4), so x⁴ ≤ ~6e18 — the
+    // 3rd/4th-power SUMS overflow BIGINT at scale, so they accumulate
+    // in 38-digit fixed-point (Spark DECIMAL(38,0) / DuckDB HUGEINT:
+    // different names, both exact 128-bit integer arithmetic — good to
+    // 1e38, i.e. exabytes of rows). Every sum is exact; each is cast
+    // to DOUBLE exactly once (correctly rounded on both engines) and
+    // pushed through the IDENTICAL standardized-moment expression
+    // tree, so the reported floats are bit-equal cross-engine.
+    Q("m_moments",
+      (s, d) => {
+        val x = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100.0).cast("long").as("c"))
+          .withColumn("c2", col("c") * col("c"))
+        val sums = x.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("c").as("s1"),
+          sum("c2").as("s2"),
+          sum(col("c2").cast("decimal(25,0)") * col("c")).as("s3"),
+          sum(col("c2").cast("decimal(20,0)") * col("c2")).as("s4"))
+        sums.select(col("event_type"), col("n"),
+            (col("s1").cast("double") / col("n")).as("mu"),
+            col("s2").cast("double").as("d2"),
+            col("s3").cast("double").as("d3"),
+            col("s4").cast("double").as("d4"))
+          .select(col("event_type"), col("n"), col("mu"),
+            (col("d2") / col("n") - col("mu") * col("mu")).as("m2"),
+            (col("d3") / col("n") - lit(3.0) * col("mu") *
+              (col("d2") / col("n")) +
+              lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+            (col("d4") / col("n") - lit(4.0) * col("mu") *
+              (col("d3") / col("n")) +
+              lit(6.0) * col("mu") * col("mu") *
+                (col("d2") / col("n")) -
+              lit(3.0) * col("mu") * col("mu") * col("mu") *
+                col("mu")).as("m4"))
+          .select(col("event_type"), col("n"),
+            col("mu").as("mean_cents"),
+            col("m2").as("variance"),
+            (col("m3") / (col("m2") * sqrt(col("m2"))))
+              .as("skewness"),
+            (col("m4") / (col("m2") * col("m2")) - lit(3.0))
+              .as("kurtosis_excess"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH x AS (
+          |  SELECT event_type,
+          |    CAST(floor("value" * 100.0) AS BIGINT) AS c,
+          |    CAST(floor("value" * 100.0) AS BIGINT) *
+          |      CAST(floor("value" * 100.0) AS BIGINT) AS c2
+          |  FROM events
+          |), sums AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(c) AS BIGINT) AS s1,
+          |    CAST(sum(c2) AS BIGINT) AS s2,
+          |    sum(CAST(c2 AS HUGEINT) * c) AS s3,
+          |    sum(CAST(c2 AS HUGEINT) * c2) AS s4
+          |  FROM x GROUP BY event_type
+          |), d AS (
+          |  SELECT event_type, n,
+          |    CAST(s1 AS DOUBLE) / n AS mu,
+          |    CAST(s2 AS DOUBLE) AS d2,
+          |    CAST(s3 AS DOUBLE) AS d3,
+          |    CAST(s4 AS DOUBLE) AS d4
+          |  FROM sums
+          |), m AS (
+          |  SELECT event_type, n, mu,
+          |    d2 / n - mu * mu AS m2,
+          |    d3 / n - 3.0 * mu * (d2 / n) +
+          |      2.0 * mu * mu * mu AS m3,
+          |    d4 / n - 4.0 * mu * (d3 / n) +
+          |      6.0 * mu * mu * (d2 / n) -
+          |      3.0 * mu * mu * mu * mu AS m4
+          |  FROM d
+          |)
+          |SELECT event_type, n, mu AS mean_cents, m2 AS variance,
+          |  m3 / (m2 * sqrt(m2)) AS skewness,
+          |  m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+          |FROM m ORDER BY event_type""".stripMargin))
   )
 }
