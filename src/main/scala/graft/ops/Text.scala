@@ -1430,5 +1430,99 @@ object Text {
           |  (CAST(num AS DOUBLE) / denx) *
           |    (CAST(num AS DOUBLE) / deny) AS r2
           |FROM fin""".stripMargin)),
+
+    // ----- The corpus-curation funnel: the whole pre-training
+    // data-prep pipeline as ONE query — raw → length gate → language
+    // gate → token-shape quality gate → exact dedup → bag-of-words
+    // near-dup — reporting the surviving document count after each
+    // cumulative stage (the "data funnel" chart every corpus paper
+    // prints; C4/RefinedWeb's pipeline reduced to its count
+    // signature). Stage rules are the engine's own primitives in
+    // miniature: the quality gate compares mean token length in CROSS-
+    // MULTIPLIED integers (4.0 ≤ alpha/toks ≤ 4.8 as 40·toks ≤
+    // 10·alpha ≤ 48·toks — no float division; the band brackets the
+    // fixture's token-length median so the gate discriminates at every
+    // SF), exact dedup is first-wins min
+    // doc_id per md5(text) (the l1 rule), and near-dup collapses
+    // REORDERED duplicates by hashing the SORTED token multiset —
+    // the cheapest member of the minhash family, catching the
+    // shuffled-copy case exact dedup misses. Scale: stages 1–3 are
+    // map-only predicates (stacked into one scan pass by Catalyst);
+    // each dedup is one md5-keyed min-aggregate + semi join — the
+    // m_exact_dedup shape twice. The funnel emits 6 rows whatever the
+    // corpus size; every count is an exact integer.
+    Q("t_curation_funnel",
+      (s, d) => {
+        val raw = Tables.documents(s, d)
+        val lenOk = raw.filter(col("n_chars").between(50, 5000))
+        val langOk = lenOk.filter(col("lang") === "en")
+        val toks = langOk
+          .withColumn("n_toks",
+            size(split(col("text"), " ")).cast("long"))
+          .withColumn("alpha",
+            length(regexp_replace(col("text"), " ", "")).cast("long"))
+        val qualOk = toks.filter(col("n_toks") >= 10 &&
+          col("alpha") * 10L >= lit(40L) * col("n_toks") &&
+          col("alpha") * 10L <= lit(48L) * col("n_toks"))
+        val exact = qualOk
+          .withColumn("h", md5(col("text")))
+          .withColumn("keep",
+            min("doc_id").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("h")))
+          .filter(col("doc_id") === col("keep"))
+        val near = exact
+          .withColumn("bow",
+            md5(concat_ws(" ", array_sort(split(col("text"), " ")))))
+          .withColumn("keep2",
+            min("doc_id").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("bow")))
+          .filter(col("doc_id") === col("keep2"))
+        val stages = Seq(
+          (1, "raw", raw), (2, "length", lenOk), (3, "lang", langOk),
+          (4, "quality", qualOk), (5, "exact_dedup", exact),
+          (6, "neardup_bow", near))
+        stages.map { case (i, nm, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(i).as("stage_no"), lit(nm).as("stage"),
+              col("n_docs"))
+        }.reduce(_ unionByName _).orderBy("stage_no")
+      },
+      Some(
+        """WITH raw AS (
+          |  SELECT doc_id, text, lang, n_chars FROM documents
+          |), len_ok AS (
+          |  SELECT * FROM raw WHERE n_chars BETWEEN 50 AND 5000
+          |), lang_ok AS (
+          |  SELECT * FROM len_ok WHERE lang = 'en'
+          |), toks AS (
+          |  SELECT *,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha
+          |  FROM lang_ok
+          |), qual_ok AS (
+          |  SELECT * FROM toks
+          |  WHERE n_toks >= 10 AND alpha * 10 >= 40 * n_toks
+          |    AND alpha * 10 <= 48 * n_toks
+          |), exact AS (
+          |  SELECT * FROM (
+          |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text))
+          |      AS keep FROM qual_ok)
+          |  WHERE doc_id = keep
+          |), near AS (
+          |  SELECT * FROM (
+          |    SELECT *, min(doc_id) OVER (PARTITION BY
+          |      md5(array_to_string(list_sort(string_split(text, ' ')),
+          |          ' '))) AS keep2 FROM exact)
+          |  WHERE doc_id = keep2
+          |)
+          |SELECT * FROM (
+          |  SELECT 1 AS stage_no, 'raw' AS stage,
+          |    CAST(count(*) AS BIGINT) AS n_docs FROM raw
+          |  UNION ALL SELECT 2, 'length', count(*) FROM len_ok
+          |  UNION ALL SELECT 3, 'lang', count(*) FROM lang_ok
+          |  UNION ALL SELECT 4, 'quality', count(*) FROM qual_ok
+          |  UNION ALL SELECT 5, 'exact_dedup', count(*) FROM exact
+          |  UNION ALL SELECT 6, 'neardup_bow', count(*) FROM near
+          |) ORDER BY stage_no""".stripMargin)),
   )
 }
