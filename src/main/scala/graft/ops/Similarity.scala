@@ -1678,6 +1678,84 @@ object Similarity {
         sel.select("sel_round", "vec_id", "mindist2").orderBy("sel_round")
       },
       Some(fpsSql)),
+
+    // ----- Per-label centroid geometry: the class-separation audit an
+    // embedding pipeline runs before trusting labels (overlapping
+    // centroids ⇒ the labels don't live in this embedding space; also
+    // the "did my fine-tune collapse the clusters?" regression
+    // number). Exactness strategy: dimensions quantize ONCE to global
+    // micro-units (floor(x·1e6 + 0.5) — engine-identical), so centroid
+    // SUMS are exact BIGINTs; the inter-centroid squared distance
+    // avoids the mean's division entirely by cross-multiplying —
+    // Σ_d (sa_d·n_b − sb_d·n_a)² accumulates in 128-bit fixed-point
+    // (Spark DECIMAL(38,0) / DuckDB HUGEINT — the m_moments trick) and
+    // the only floats are one sqrt and one division of exact values at
+    // the very end. Plan: explode to (label, dim, xq) — map-only —
+    // one (label, dim) keyed aggregate (10 labels × 64 dims = 640
+    // rows whatever the corpus size), then a dim-keyed self-join of
+    // that TINY table; the heavy corpus is touched exactly once. The
+    // 45-row output is every label pair's distance in original units.
+    Q("m_embed_centroids",
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select(col("label"),
+            posexplode(transform(col("embedding"),
+              x => floor(x.cast("double") * 1000000.0 + 0.5)
+                .cast("long"))).as(Seq("dim", "xq")))
+        val nTab = Tables.embeddings(s, d).groupBy("label")
+          .agg(count(lit(1)).as("n"))
+        val cent = q.groupBy("label", "dim").agg(sum("xq").as("sd"))
+        val num = cent.as("a")
+          .join(cent.select(col("label").as("lb"), col("dim"),
+            col("sd").as("sdb")).as("b"), Seq("dim"))
+          .filter(col("label") < col("lb"))
+          .join(broadcast(nTab.select(col("label"), col("n").as("na"))),
+            Seq("label"))
+          .join(broadcast(nTab.select(col("label").as("lb"),
+            col("n").as("nb"))), Seq("lb"))
+          .select(col("label").as("label_a"), col("lb").as("label_b"),
+            col("na"), col("nb"),
+            (col("sd") * col("nb") - col("sdb") * col("na"))
+              .cast("decimal(25,0)").as("t"))
+          .groupBy("label_a", "label_b", "na", "nb")
+          .agg(sum(col("t") * col("t")).as("num"))
+        num.select(col("label_a"), col("label_b"), col("na"), col("nb"),
+            (sqrt(col("num").cast("double")) /
+              (col("na").cast("double") * col("nb") * lit(1000000.0)))
+              .as("dist"))
+          .orderBy("label_a", "label_b")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT label,
+          |    unnest(range(len(embedding))) AS dim,
+          |    unnest(list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+          |           AS BIGINT))) AS xq
+          |  FROM embeddings
+          |), nt AS (
+          |  SELECT label, CAST(count(*) AS BIGINT) AS n
+          |  FROM embeddings GROUP BY label
+          |), cent AS (
+          |  SELECT label, dim, CAST(sum(xq) AS BIGINT) AS sd
+          |  FROM q GROUP BY label, dim
+          |), pairs AS (
+          |  SELECT a.label AS label_a, b.label AS label_b,
+          |    na.n AS na, nb.n AS nb,
+          |    a.sd * nb.n - b.sd * na.n AS t
+          |  FROM cent a
+          |  JOIN cent b ON a.dim = b.dim AND a.label < b.label
+          |  JOIN nt na ON na.label = a.label
+          |  JOIN nt nb ON nb.label = b.label
+          |), num AS (
+          |  SELECT label_a, label_b, na, nb,
+          |    sum(CAST(t AS HUGEINT) * t) AS num
+          |  FROM pairs GROUP BY label_a, label_b, na, nb
+          |)
+          |SELECT label_a, label_b, na, nb,
+          |  sqrt(CAST(num AS DOUBLE)) /
+          |    (CAST(na AS DOUBLE) * nb * 1000000.0) AS dist
+          |FROM num ORDER BY label_a, label_b""".stripMargin)),
   )
 
   /** DuckDB replica of the 4-round FPS chain: quantized coordinates,
