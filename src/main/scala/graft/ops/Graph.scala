@@ -1499,6 +1499,90 @@ object Graph {
            |LEFT JOIN (SELECT DISTINCT v FROM outr) o ON t.v = o.v
            |LEFT JOIN (SELECT DISTINCT v FROM undr) u ON t.v = u.v
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- K20: edge reciprocity — the fraction of directed edges
+    // whose reverse also exists, the 1-line dyad census that separates
+    // mutual-link graphs (social follows, r ≫ 0) from broadcast graphs
+    // (citations, r ≈ 0), and the cheapest structural fingerprint to
+    // monitor as a crawl grows. One self-semi-join of the edge table
+    // against its own transpose on the composite (src, dst) key — both
+    // sides are the same cached src-partitioned table, integers all
+    // the way, one final exact division.
+    Q("k20_reciprocity",
+      (s, d) => {
+        val e = cappedDistinctBySrc(s, d)
+          .filter(col("src") =!= col("dst"))
+        val recip = e.join(
+          e.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(
+            recip.agg(count(lit(1)).as("n_reciprocal"))))
+          .select(col("n_edges"), col("n_reciprocal"),
+            (col("n_reciprocal").cast("double") / col("n_edges"))
+              .as("reciprocity"))
+      },
+      Some(
+        s"""WITH e AS (
+           |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           |  FROM lineitem
+           |  WHERE l_orderkey < $cap AND l_partkey < $cap
+           |    AND l_orderkey <> l_partkey
+           |), r AS (
+           |  SELECT e.src, e.dst FROM e
+           |  WHERE EXISTS (SELECT 1 FROM e t
+           |                WHERE t.src = e.dst AND t.dst = e.src)
+           |)
+           |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           |  CAST((SELECT count(*) FROM r) AS BIGINT) AS n_reciprocal,
+           |  CAST((SELECT count(*) FROM r) AS DOUBLE) /
+           |    (SELECT count(*) FROM e) AS reciprocity""".stripMargin)),
+
+    // ----- K21: SCC condensation census — collapse the graph to its
+    // component DAG (relabel both edge endpoints with the k1 labels,
+    // then count intra-component edges and DISTINCT inter-component
+    // pairs). The condensation is what scheduling/dependency engines
+    // actually traverse — cycles live inside components, the DAG
+    // between them is topologically sortable — and its edge count vs
+    // the raw edge count measures how much structure the SCC
+    // contraction removed. Reuses the session-cached SCC labeling (no
+    // second loop); two vertex-keyed label joins + one distinct — all
+    // exact integers. Edges whose destination lies outside the
+    // labeled vertex set (parts that are not order keys) fall out of
+    // the inner label join, matching the oracle's comp scope.
+    Q("k21_condensation",
+      (s, d) => {
+        val comp = cappedScc(s, d)
+        val el = cappedDistinctBySrc(s, d)
+          .join(comp.select(col("id").as("src"),
+            col("component").as("ca")), Seq("src"))
+          .join(comp.select(col("id").as("dst"),
+            col("component").as("cb")), Seq("dst"))
+        val intra = el.filter(col("ca") === col("cb"))
+          .agg(count(lit(1)).as("n_intra_edges"))
+        val inter = el.filter(col("ca") =!= col("cb"))
+          .select("ca", "cb").distinct()
+          .agg(count(lit(1)).as("n_condensed_edges"))
+        comp.select("component").distinct()
+          .agg(count(lit(1)).as("n_components"))
+          .crossJoin(broadcast(intra))
+          .crossJoin(broadcast(inter))
+      },
+      Some(
+        s"""WITH RECURSIVE $sccOracleCtes, el AS (
+           |  SELECT a.component AS ca, b.component AS cb
+           |  FROM edges e
+           |  JOIN comp a ON e.src = a.id
+           |  JOIN comp b ON e.dst = b.id
+           |)
+           |SELECT
+           |  CAST((SELECT count(DISTINCT component) FROM comp)
+           |    AS BIGINT) AS n_components,
+           |  CAST((SELECT count(*) FROM el WHERE ca = cb)
+           |    AS BIGINT) AS n_intra_edges,
+           |  CAST((SELECT count(*) FROM (
+           |      SELECT DISTINCT ca, cb FROM el WHERE ca <> cb))
+           |    AS BIGINT) AS n_condensed_edges""".stripMargin)),
   )
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and

@@ -1291,7 +1291,7 @@ object Mining {
           .orderBy("event_type")
       },
       Some(
-        """WITH x AS (
+        """WITH xx AS (
           |  SELECT event_type,
           |    CAST(floor("value" * 100.0) AS BIGINT) AS c,
           |    CAST(floor("value" * 100.0) AS BIGINT) *
@@ -1303,7 +1303,7 @@ object Mining {
           |    CAST(sum(c2) AS BIGINT) AS s2,
           |    sum(CAST(c2 AS HUGEINT) * c) AS s3,
           |    sum(CAST(c2 AS HUGEINT) * c2) AS s4
-          |  FROM x GROUP BY event_type
+          |  FROM xx GROUP BY event_type
           |), d AS (
           |  SELECT event_type, n,
           |    CAST(s1 AS DOUBLE) / n AS mu,
@@ -1324,6 +1324,75 @@ object Mining {
           |SELECT event_type, n, mu AS mean_cents, m2 AS variance,
           |  m3 / (m2 * sqrt(m2)) AS skewness,
           |  m4 / (m2 * m2) - 3.0 AS kurtosis_excess
-          |FROM m ORDER BY event_type""".stripMargin))
+          |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ----- ROC-AUC by pair counting — the classifier-evaluation
+    // metric a labeling pipeline needs at corpus scale, computed
+    // WITHOUT the textbook global rank (the g2 single-partition-window
+    // trap): AUC = P(score_pos > score_neg) + ½·P(tie), counted from
+    // the score-FREQUENCY table — group scores, carry positive/
+    // negative counts per distinct score, and a running-total window
+    // over DISTINCT scores gives, for each score s, how many negatives
+    // lie strictly below: Σ np(s)·negs_below(s) counts the correctly-
+    // ordered pairs and Σ np(s)·nn(s) the ties. Window rows = distinct
+    // quantized scores (bounded by the e6 quantization grid, NOT the
+    // corpus — the m_gini compression argument). Evaluated here:
+    // embedding dim 0 as a detector for label ≥ 5 (an honest ≈0.5 on
+    // this fixture — dim 0 carries no class signal; the MACHINERY is
+    // what's under test). Doubled numerator keeps the ½ exact:
+    // auc = (2·Σ np·below + Σ np·nn) / (2·P·N), all BIGINTs until one
+    // final division.
+    Q("m_auc",
+      (s, d) => {
+        val scored = Tables.embeddings(s, d)
+          .select(
+            floor(element_at(col("embedding"), 1).cast("double")
+              * 1000000.0 + 0.5).cast("long").as("sc"),
+            when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        val freq = scored.groupBy("sc")
+          .agg(sum("pos").as("np"),
+            (count(lit(1)) - sum("pos")).as("nn"))
+        val w = Window.orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val below = freq
+          .withColumn("cumn", sum("nn").over(w) - col("nn"))
+        below.agg(
+          sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(col("np") * col("cumn")).as("gt_pairs"),
+          sum(col("np") * col("nn")).as("tie_pairs"))
+          .select(col("n_pos"), col("n_neg"), col("gt_pairs"),
+            col("tie_pairs"),
+            ((lit(2L) * col("gt_pairs") + col("tie_pairs"))
+              .cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+              .as("auc"))
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0
+          |           + 0.5) AS BIGINT) AS sc,
+          |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+          |  FROM embeddings
+          |), freq AS (
+          |  SELECT sc, CAST(sum(pos) AS BIGINT) AS np,
+          |    CAST(count(*) - sum(pos) AS BIGINT) AS nn
+          |  FROM scored GROUP BY sc
+          |), below AS (
+          |  SELECT sc, np, nn,
+          |    CAST(sum(nn) OVER (ORDER BY sc
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      - nn AS BIGINT) AS cumn
+          |  FROM freq
+          |), agg AS (
+          |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          |    CAST(sum(nn) AS BIGINT) AS n_neg,
+          |    CAST(sum(np * cumn) AS BIGINT) AS gt_pairs,
+          |    CAST(sum(np * nn) AS BIGINT) AS tie_pairs
+          |  FROM below
+          |)
+          |SELECT n_pos, n_neg, gt_pairs, tie_pairs,
+          |  CAST(2 * gt_pairs + tie_pairs AS DOUBLE) /
+          |    CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+          |FROM agg""".stripMargin))
   )
 }

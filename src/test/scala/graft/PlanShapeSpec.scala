@@ -66,7 +66,7 @@ class PlanShapeSpec extends SparkSpec {
     "k15_link_predict", "m_theil_sen", "m_iqr_outliers",
     "m_copurchase", "k17_clustering_coeff", "k18_assortativity",
     "t_zipf_fit", "m_interarrival", "m_embed_centroids",
-    "t_curation_funnel")
+    "t_curation_funnel", "k20_reciprocity", "m_auc", "m_moments")
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
