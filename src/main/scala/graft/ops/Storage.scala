@@ -168,6 +168,35 @@ object Storage {
     (frag, compact)
   }
 
+  /** Generation retention ("VACUUM"): under `root`, keep the `keep`
+    * HIGHEST-numbered `gen=N` directories and delete the rest —
+    * the garbage-collection half of the copy-on-write generation
+    * layout that `m_stream_upsert` writes (each CDC batch lands
+    * `gen=b` and readers follow the max generation; without retention
+    * the table's footprint grows by one full copy per batch, the
+    * classic snapshot-table cost at 100 TB). Deleting only STRICTLY
+    * OLDER generations than the live one can never be observed by a
+    * max-generation reader — the invariant StorageSpec pins. Returns
+    * (kept, deleted) generation numbers, both sorted ascending.
+    */
+  private[graft] def vacuumGenerations(s: SparkSession, root: String,
+      keep: Int): (Seq[Long], Seq[Long]) = {
+    require(keep >= 1, "must keep at least the live generation")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val gens = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("gen="))
+      .map(st => st.getPath.getName.stripPrefix("gen=").toLong)
+      .sorted
+    val (drop, retain) = gens.splitAt(math.max(0, gens.size - keep))
+    drop.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"gen=$g"), true)
+    }
+    (retain, drop)
+  }
+
   /** The m_cbo_reorder query against a session with the given CBO
     * setting — StorageSpec builds both variants to pin the reorder. */
   private[graft] def cboQuery(s0: SparkSession, d: String,

@@ -289,4 +289,43 @@ class StorageSpec extends SparkSpec {
       evenKeys.exceptAll(nullStatus).count() == 0,
       "NULL evolved column does not line up with gen-1 rows")
   }
+
+  test("vacuum retains the newest generations and never changes the " +
+      "live read") {
+    // five copy-on-write generations (the m_stream_upsert layout):
+    // gen=N holds the orders projection with a marker generation
+    // column; a max-generation reader sees only gen=5
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum").toString
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").limit(100)
+    (1 to 5).foreach { g =>
+      base.withColumn("gen", lit(g))
+        .write.mode("overwrite").parquet(s"$root/gen=$g")
+    }
+    def liveRows(): Array[org.apache.spark.sql.Row] = {
+      val live = spark.read.parquet(s"$root/gen=5")
+      live.orderBy("o_orderkey").collect()
+    }
+    val before = liveRows()
+    val (kept, deleted) =
+      graft.ops.Storage.vacuumGenerations(spark, root, keep = 2)
+    info(s"kept generations $kept, deleted $deleted")
+    assert(kept == Seq(4L, 5L), s"wrong retained set: $kept")
+    assert(deleted == Seq(1L, 2L, 3L), s"wrong deleted set: $deleted")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(left.sameElements(Array("gen=4", "gen=5")),
+      s"on-disk generations after vacuum: ${left.mkString(",")}")
+    // the GC of strictly-older generations is invisible to the reader
+    assert(liveRows().sameElements(before),
+      "vacuum changed the live generation's content")
+    // idempotent: a second vacuum deletes nothing
+    val (kept2, deleted2) =
+      graft.ops.Storage.vacuumGenerations(spark, root, keep = 2)
+    assert(kept2 == Seq(4L, 5L) && deleted2.isEmpty,
+      "vacuum is not idempotent")
+  }
 }
