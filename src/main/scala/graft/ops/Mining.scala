@@ -1393,6 +1393,89 @@ object Mining {
           |SELECT n_pos, n_neg, gt_pairs, tie_pairs,
           |  CAST(2 * gt_pairs + tie_pairs AS DOUBLE) /
           |    CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
-          |FROM agg""".stripMargin))
+          |FROM agg""".stripMargin)),
+
+    // ----- Day-of-week seasonality χ² — "does traffic have a weekly
+    // pulse, or is the dashboard's weekend dip just noise?" —
+    // complementing m_chi2_drift (two periods' type mixes; this is one
+    // period against its own calendar null). The null is CALENDAR-
+    // WEIGHTED, not naive-uniform: a 30-day window holds two weekdays
+    // 5× and five 4×, so perfectly day-uniform traffic is already
+    // non-uniform over dow cells — expected counts are n·days_c/D
+    // (days_c = how often weekday c occurs in the window). Exact
+    // clearing: χ²·(20·D·n) = Σ (20/days_c)·(D·obs_c − n·days_c)² is
+    // pure BIGINT because any one-month window has days_c ∈ {4, 5},
+    // both dividing 20 (the lcm trick; a window breaking that
+    // assumption would change both engines identically — the
+    // n_cells/n outputs surface fixture drift). The α=0.05/df=6
+    // decision clears to 1000·NUM > 251840·D·n (12.592·20·1000) — no
+    // float feeds the boolean (the m_ab_test discipline). One
+    // map-side-combinable (type, dow) count + a 7-row broadcast
+    // calendar table; the report χ² is the single final division.
+    Q("m_dow_uniformity",
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .select(col("event_type"),
+            dayofweek(col("ts")).cast("long").as("dw"),
+            to_date(col("ts")).as("day"))
+        val cal = base.select("dw", "day").distinct()
+          .groupBy("dw").agg(count(lit(1)).as("days"))
+        val dTot = cal.agg(sum("days").as("bigd"))
+        val obs = base.groupBy("event_type", "dw")
+          .agg(count(lit(1)).as("obs"))
+        val nTab = obs.groupBy("event_type").agg(sum("obs").as("n"),
+          count(lit(1)).as("n_cells"))
+        obs.join(broadcast(cal), Seq("dw"))
+          .join(broadcast(nTab), Seq("event_type"))
+          .crossJoin(broadcast(dTot))
+          .select(col("event_type"), col("n"), col("n_cells"),
+            col("bigd"),
+            (expr("20 div days") *
+              (col("bigd") * col("obs") - col("n") * col("days")) *
+              (col("bigd") * col("obs") - col("n") * col("days")))
+              .as("sq"))
+          .groupBy("event_type", "n", "n_cells", "bigd")
+          .agg(sum("sq").as("num"))
+          .select(col("event_type"), col("n"),
+            col("n_cells").cast("int").as("n_cells"),
+            (col("num").cast("double") /
+              (lit(20.0) * col("bigd") * col("n"))).as("chi2"),
+            (lit(1000L) * col("num") >
+              lit(251840L) * col("bigd") * col("n"))
+              .as("weekly_pulse"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dw,
+          |    CAST(ts AS DATE) AS day
+          |  FROM events
+          |), cal AS (
+          |  SELECT dw, CAST(count(*) AS BIGINT) AS days
+          |  FROM (SELECT DISTINCT dw, day FROM base) GROUP BY dw
+          |), dt AS (
+          |  SELECT CAST(sum(days) AS BIGINT) AS bigd FROM cal
+          |), obs AS (
+          |  SELECT event_type, dw, CAST(count(*) AS BIGINT) AS obs
+          |  FROM base GROUP BY 1, 2
+          |), nt AS (
+          |  SELECT event_type, CAST(sum(obs) AS BIGINT) AS n,
+          |    CAST(count(*) AS INT) AS n_cells
+          |  FROM obs GROUP BY 1
+          |), sq AS (
+          |  SELECT o.event_type, nt.n, nt.n_cells, dt.bigd,
+          |    CAST(sum((20 // c.days) *
+          |      (dt.bigd * o.obs - nt.n * c.days) *
+          |      (dt.bigd * o.obs - nt.n * c.days)) AS BIGINT) AS num
+          |  FROM obs o
+          |  JOIN cal c USING (dw)
+          |  JOIN nt USING (event_type)
+          |  CROSS JOIN dt
+          |  GROUP BY o.event_type, nt.n, nt.n_cells, dt.bigd
+          |)
+          |SELECT event_type, n, n_cells,
+          |  CAST(num AS DOUBLE) / (20.0 * bigd * n) AS chi2,
+          |  1000 * num > 251840 * bigd * n AS weekly_pulse
+          |FROM sq ORDER BY event_type""".stripMargin))
   )
 }

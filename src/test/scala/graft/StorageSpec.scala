@@ -290,6 +290,31 @@ class StorageSpec extends SparkSpec {
       "NULL evolved column does not line up with gen-1 rows")
   }
 
+  test("bucket pruning: a bucket-key equality scans 1 of 8 buckets") {
+    // the read-side sibling of the zero-Exchange join pin: the same
+    // write-time bucketing also lets a point/IN predicate on the
+    // bucket key open only the matching bucket's files — at 100 TB,
+    // 1/8th of the listing and IO before any row is read
+    SparkEntry.queries("m_bucketed_join")(spark, sf) // land the tables
+    val tbl = "graft_orders_bkt_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+|_+$", "")
+    // DisableUnnecessaryBucketedScan un-buckets a scan that feeds no
+    // distribution-requiring operator — a bare filter qualifies, so
+    // hold the bucketed read on to expose the pruning
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val plan = spark.table(tbl)
+        .filter(col("o_orderkey") === 42L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"scan is not bucket-aware:\n$plan")
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not select exactly one bucket:\n$plan")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("vacuum retains the newest generations and never changes the " +
       "live read") {
     // five copy-on-write generations (the m_stream_upsert layout):
