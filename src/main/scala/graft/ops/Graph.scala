@@ -353,6 +353,48 @@ object Graph {
        |ORDER BY rank DESC, v LIMIT 20""".stripMargin
   }
 
+  /** Unrolled HITS oracle (see `k22_hits` for the integer-arithmetic
+    * design). Every per-round CTE is MATERIALIZED — each is referenced
+    * twice (matvec + its own normalizing scalar-sum subquery), and
+    * DuckDB's default inlining would re-evaluate the upstream chain
+    * per reference, exponential in the round count (the
+    * `pcaPowerOracle` lesson). */
+  private def hitsOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""a${k}u AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a1
+         |  FROM edges e JOIN h${k - 1} h USING (src) GROUP BY e.dst),
+         |a$k AS MATERIALIZED (
+         |  SELECT dst, CAST(floor(CAST(a1 AS DOUBLE) * 1000000000000.0 /
+         |    CAST((SELECT sum(a1) FROM a${k}u) AS DOUBLE)) AS BIGINT)
+         |    AS a
+         |  FROM a${k}u),
+         |h${k}u AS MATERIALIZED (
+         |  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h1
+         |  FROM edges e JOIN a$k a USING (dst) GROUP BY e.src),
+         |h$k AS MATERIALIZED (
+         |  SELECT src, CAST(floor(CAST(h1 AS DOUBLE) * 1000000000000.0 /
+         |    CAST((SELECT sum(h1) FROM h${k}u) AS DOUBLE)) AS BIGINT)
+         |    AS h
+         |  FROM h${k}u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+       |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+       |), h0 AS (
+       |  SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM edges
+       |),
+       |$steps
+       |SELECT * FROM (
+       |  SELECT 'auth' AS role, dst AS id, a AS score FROM a$rounds
+       |  ORDER BY a DESC, dst LIMIT 20)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 'hub' AS role, src AS id, h AS score FROM h$rounds
+       |  ORDER BY h DESC, src LIMIT 20)
+       |ORDER BY role, score DESC, id""".stripMargin
+  }
+
   /** Weakly connected components by alternating large-star / small-star
     * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond"). Converges in O(log n) rounds REGARDLESS of graph
@@ -555,6 +597,59 @@ object Graph {
           .limit(20)
       },
       Some(pprOracle(5))),
+
+    // ----- K22: HITS hubs & authorities (Kleinberg 1999, JACM 46(5))
+    // — the bipartite-flavored companion to k3's PageRank: on the
+    // order→part purchase graph a high AUTHORITY is a part bought
+    // across many well-connected orders and a high HUB an order that
+    // touches many authoritative parts. Three mutual-reinforcement
+    // rounds, each two shuffles (a: groupBy dst, h: groupBy src over
+    // the src-cached edge table) + a broadcast 1-row normalizing
+    // capsule, lineage cut per round — the k3 loop shape. Exactness:
+    // instead of Kleinberg's L2 normalization (a global FLOAT sum —
+    // order-dependent across engines), scores live on an integer
+    // grid: each round's raw score is an exact BIGINT sum of the
+    // previous integer vector, and renormalization floors the
+    // identical double division a·10¹²/Σa on both engines — so every
+    // iterate is an exact integer vector and no float aggregate ever
+    // feeds a comparison (sum-normalized HITS converges to the same
+    // principal eigenvectors; Kleinberg §3 notes the normalization
+    // choice is free). Output: top-20 authorities + top-20 hubs,
+    // score-desc with id tie-break.
+    Q("k22_hits",
+      (s, d) => {
+        val edges = cappedDistinctBySrc(s, d)
+        var h = edges.select(col("src")).distinct()
+          .select(col("src"), lit(1000000L).as("h"))
+        var a: DataFrame = null
+        for (_ <- 1 to 3) {
+          val a1 = edges.join(h, Seq("src"))
+            .groupBy("dst").agg(sum(col("h")).as("a1"))
+          val sa = a1.groupBy().agg(sum(col("a1")).as("sa"))
+          a = a1.crossJoin(broadcast(sa))
+            .select(col("dst"),
+              floor(col("a1").cast("double") * 1000000000000.0 /
+                col("sa").cast("double")).cast("long").as("a"))
+            .localCheckpoint()
+          val h1 = edges.join(a, Seq("dst"))
+            .groupBy("src").agg(sum(col("a")).as("h1"))
+          val sh = h1.groupBy().agg(sum(col("h1")).as("sh"))
+          h = h1.crossJoin(broadcast(sh))
+            .select(col("src"),
+              floor(col("h1").cast("double") * 1000000000000.0 /
+                col("sh").cast("double")).cast("long").as("h"))
+            .localCheckpoint()
+        }
+        val topA = a.orderBy(desc("a"), col("dst")).limit(20)
+          .select(lit("auth").as("role"), col("dst").as("id"),
+            col("a").as("score"))
+        val topH = h.orderBy(desc("h"), col("src")).limit(20)
+          .select(lit("hub").as("role"), col("src").as("id"),
+            col("h").as("score"))
+        topA.unionByName(topH)
+          .orderBy(col("role"), desc("score"), col("id"))
+      },
+      Some(hitsOracle(3))),
 
     // ----- K1: SCC assignment (graph_filter.py:125-129)
     Q("k1_scc",

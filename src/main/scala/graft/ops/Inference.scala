@@ -1,0 +1,662 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank statistics, robust estimators, resampling, and spectral
+  * decomposition — the inference layer a corpus pipeline runs on top of
+  * the monitoring surface in [[Mining]]: PSI/KS/χ² say *whether* two
+  * samples differ; the tests here say so with tie-corrected rank
+  * machinery (Spearman/Kendall/Mann–Whitney are the standard answers
+  * when the metric is heavy-tailed and moments lie), MAD gives the
+  * robust location/scale the outlier gates should have used, the
+  * bootstrap attaches uncertainty to any released mean, and the power
+  * iteration extracts the dominant covariance direction from the
+  * embedding table without ever materializing a dense matrix on one
+  * machine. Reference behavior spec: the correlation-analysis job
+  * (`analysis/correlation_analysis.py:1-142`) computes product-moment
+  * correlations; this module is the rank/robust/resampling completion
+  * of that surface. Published forms: Spearman 1904; Kendall 1938
+  * (τ-b tie correction); Mann & Whitney 1947; Hampel 1974 (MAD);
+  * Efron 1979 (bootstrap); von Mises / power iteration (Mises &
+  * Pollaczek-Geiringer 1929).
+  *
+  * Cross-engine discipline (SURVEY §5, the m_gini / m_moments rules):
+  * every rank is derived from a FREQUENCY table (group by distinct
+  * value — the window's row count is the number of distinct levels,
+  * never the corpus), doubled ranks (2r = 2·cum − t + 1) keep
+  * tie-averaged ranks integral, moment combinations that can exceed
+  * 2⁶³ run in exact 128-bit fixed point (Spark DECIMAL(38,0) / DuckDB
+  * HUGEINT), and every reported float is ONE identically-associated
+  * expression over exact integers, rounded at the end. Decision
+  * booleans (Mann–Whitney rejection) are cleared of all division and
+  * sqrt into pure integer products — 1.96² = 2401/625 exactly — so no
+  * float tie can ever flip them (the m_ab_test rearrangement).
+  */
+object Inference {
+
+  /** Engine-proof day-of-week: epoch day 0 (1970-01-01) was a
+    * Thursday, so `(epoch_day + 4) % 7` is 0 for Sunday on both
+    * engines — sidestepping Spark's 1=Sunday vs DuckDB's 0=Sunday
+    * `dayofweek` disagreement with pure integer arithmetic. Integer
+    * division (`div` / `//`), never a float floor: a midnight-exact
+    * timestamp must not ride a 1-ulp division error across the day
+    * boundary. */
+  private val WeekendSpark =
+    "(((unix_micros(ts) div 86400000000) + 4) % 7) IN (0, 6)"
+  private val WeekendDuck =
+    "(((epoch_us(ts) // 86400000000) + 4) % 7) IN (0, 6)"
+
+  val all: Seq[Q] = Seq(
+
+    // ----- Spearman rank correlation (tie-corrected, per return
+    // flag) between quantity and discount — the monotone-association
+    // answer when Pearson (f8) is distorted by heavy tails. Ranks are
+    // NEVER computed per row: the average rank of a value v with t
+    // occurrences after cum−t predecessors is cum−(t−1)/2, so the
+    // doubled rank 2r = 2·cum−t+1 is an integer derived from the
+    // per-flag FREQUENCY table (≤ 50 quantity levels, ≤ 11 discount
+    // levels — the cum window runs over dozens of rows, not the
+    // corpus; the g2/m_gini compression argument). Each fact row then
+    // picks up its two doubled ranks via broadcast joins against
+    // those tiny rank tables and the Pearson form runs over exact
+    // integer moments: Σ(2r)·(2r') fits BIGINT at any tested SF, but
+    // the n·Σxy−Σx·Σy combination does not at warehouse scale, so the
+    // sums are combined in DECIMAL(38,0)/HUGEINT (exact 128-bit) and
+    // cast to DOUBLE exactly once into one identically-associated
+    // expression, rounded 4dp. Scale shape: two map-side-combinable
+    // aggregations over the fact table (freq + moments) plus two
+    // broadcast joins — no global sort, no per-row window, ever.
+    Q("m_spearman",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_discount") * 100.0).cast("long").as("y"))
+        def rankTable(c: String) = {
+          val w = Window.partitionBy("flag").orderBy(c)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          li.groupBy("flag", c).agg(count(lit(1)).as("t"))
+            .withColumn("cum", sum("t").over(w))
+            .select(col("flag"), col(c),
+              (col("cum") * 2L - col("t") + 1L).as(s"r2$c"))
+        }
+        val ranked = li
+          .join(broadcast(rankTable("x")), Seq("flag", "x"))
+          .join(broadcast(rankTable("y")), Seq("flag", "y"))
+        val m = ranked.groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+          sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        m.select(col("flag").as("l_returnflag"), col("n"),
+            round((dec(col("n")) * col("sxy") -
+                dec(col("sx")) * dec(col("sy"))).cast("double") /
+              (sqrt((dec(col("n")) * col("sxx") -
+                  dec(col("sx")) * dec(col("sx"))).cast("double")) *
+               sqrt((dec(col("n")) * col("syy") -
+                  dec(col("sy")) * dec(col("sy"))).cast("double"))), 4)
+              .as("rho"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_returnflag AS flag,
+          |    CAST(floor(l_quantity) AS BIGINT) AS x,
+          |    CAST(floor(l_discount * 100.0) AS BIGINT) AS y
+          |  FROM lineitem
+          |), fx AS (
+          |  SELECT flag, x, CAST(count(*) AS BIGINT) AS t FROM li
+          |  GROUP BY flag, x
+          |), rx AS (
+          |  SELECT flag, x,
+          |    CAST(sum(t) OVER (PARTITION BY flag ORDER BY x
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) * 2 - t + 1 AS r2x
+          |  FROM fx
+          |), fy AS (
+          |  SELECT flag, y, CAST(count(*) AS BIGINT) AS t FROM li
+          |  GROUP BY flag, y
+          |), ry AS (
+          |  SELECT flag, y,
+          |    CAST(sum(t) OVER (PARTITION BY flag ORDER BY y
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) * 2 - t + 1 AS r2y
+          |  FROM fy
+          |), m AS (
+          |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(r2x) AS BIGINT) AS sx,
+          |    CAST(sum(r2y) AS BIGINT) AS sy,
+          |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+          |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+          |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+          |  FROM li JOIN rx USING (flag, x) JOIN ry USING (flag, y)
+          |  GROUP BY flag
+          |)
+          |SELECT flag AS l_returnflag, n,
+          |  round(CAST(CAST(n AS HUGEINT) * sxy -
+          |        CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+          |    (sqrt(CAST(CAST(n AS HUGEINT) * sxx -
+          |          CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+          |     sqrt(CAST(CAST(n AS HUGEINT) * syy -
+          |          CAST(sy AS HUGEINT) * sy AS DOUBLE))), 4) AS rho
+          |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- Kendall τ-b (per return flag, same variable pair) — the
+    // pair-concordance twin of Spearman, preferred when the report
+    // must be interpretable as P(concordant)−P(discordant). The
+    // textbook O(n²) pair scan is replaced by the JOINT-frequency
+    // contraction: group rows into (x, y) cells (≤ 50·11 = 550 per
+    // flag — bounded by the value grids, NOT the corpus), and every
+    // unordered row pair with x₁<x₂ is counted once by the cell
+    // self-join a.x < b.x with weight cₐ·c_b, concordant when the y
+    // order agrees, discordant when it disagrees (x-or-y-tied pairs
+    // belong to neither — exactly τ-b's exclusions). Tie terms n₁/n₂
+    // come from the marginal frequency tables; n₀−n₁ and n₀−n₂ each
+    // fit BIGINT, and √(n₀−n₁)·√(n₀−n₂) multiplies two correctly-
+    // rounded square roots instead of one 128-bit product — the whole
+    // denominator never leaves 64-bit integers. Scale shape: one
+    // map-side-combinable cell aggregation over the corpus, then a
+    // broadcast 550×550 cell join — pair cost is grid², independent
+    // of row count (the m_assoc_rules argument).
+    Q("m_kendall",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_discount") * 100.0).cast("long").as("y"))
+        val cells = li.groupBy("flag", "x", "y")
+          .agg(count(lit(1)).as("c"))
+        val cd = cells.as("a")
+          .join(broadcast(cells.select(col("flag"),
+              col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+            .as("b")), Seq("flag"))
+          .filter(col("x") < col("x2"))
+          .groupBy("flag")
+          .agg(sum(when(col("y") < col("y2"), col("c") * col("c2"))
+              .otherwise(0L)).as("conc"),
+            sum(when(col("y") > col("y2"), col("c") * col("c2"))
+              .otherwise(0L)).as("disc"))
+        val margx = li.groupBy("flag", "x").agg(count(lit(1)).as("t"))
+          .groupBy("flag")
+          .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n1"),
+            sum(col("t")).as("n"))
+        val margy = li.groupBy("flag", "y").agg(count(lit(1)).as("t"))
+          .groupBy("flag")
+          .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n2"))
+        cd.join(broadcast(margx), Seq("flag"))
+          .join(broadcast(margy), Seq("flag"))
+          .select(col("flag").as("l_returnflag"), col("n"),
+            col("conc"), col("disc"),
+            round((col("conc") - col("disc")).cast("double") /
+              (sqrt((col("n") * (col("n") - 1L) / 2L - col("n1"))
+                  .cast("double")) *
+               sqrt((col("n") * (col("n") - 1L) / 2L - col("n2"))
+                  .cast("double"))), 4).as("tau_b"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_returnflag AS flag,
+          |    CAST(floor(l_quantity) AS BIGINT) AS x,
+          |    CAST(floor(l_discount * 100.0) AS BIGINT) AS y
+          |  FROM lineitem
+          |), cells AS (
+          |  SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+          |  FROM li GROUP BY flag, x, y
+          |), cd AS (
+          |  SELECT a.flag,
+          |    CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+          |      AS BIGINT) AS conc,
+          |    CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+          |      AS BIGINT) AS disc
+          |  FROM cells a JOIN cells b
+          |    ON a.flag = b.flag AND a.x < b.x
+          |  GROUP BY a.flag
+          |), mx AS (
+          |  SELECT flag, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+          |         CAST(sum(t) AS BIGINT) AS n
+          |  FROM (SELECT flag, x, CAST(count(*) AS BIGINT) AS t
+          |        FROM li GROUP BY flag, x) GROUP BY flag
+          |), my AS (
+          |  SELECT flag, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+          |  FROM (SELECT flag, y, CAST(count(*) AS BIGINT) AS t
+          |        FROM li GROUP BY flag, y) GROUP BY flag
+          |)
+          |SELECT flag AS l_returnflag, n, conc, disc,
+          |  round(CAST(conc - disc AS DOUBLE) /
+          |    (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) *
+          |     sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 4) AS tau_b
+          |FROM cd JOIN mx USING (flag) JOIN my USING (flag)
+          |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- Mann–Whitney U (per event type): do weekend and weekday
+    // `value` distributions differ? The nonparametric two-sample test
+    // the KS monitor (m_ks_drift) escalates to when the decision must
+    // be rank-based and tie-aware. Values floor-quantized to integer
+    // units (documented quantization — MW on the quantized grid IS
+    // the test being run); the rank sum R comes from the shared
+    // frequency table via doubled ranks, so 2U = 2·n₁n₂ + n₁(n₁+1)
+    // − 2R is an exact integer. The tie-corrected normal rejection at
+    // α = 0.05 is cleared of ALL division and sqrt:
+    //   |z| > 1.96  ⟺  1875·n·(n−1)·(2U−n₁n₂)² >
+    //                   2401·n₁·n₂·(n·(n−1)·(n+1) − Σ(t³−t))
+    // (1.96² = 2401/625, ×4 from doubling, ×12·n·(n−1) from the tie-
+    // corrected variance) — both sides exact 128-bit products, so the
+    // boolean can never flip on a float tie. The reported z itself is
+    // one identically-associated double expression, rounded 4dp.
+    // Scale: two map-side-combinable passes (frequency cells, then
+    // ≤ |grid| rank rows per type) — never a per-row rank.
+    Q("m_mannwhitney",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("event_type"),
+          floor(col("value")).cast("long").as("v"),
+          expr(WeekendSpark).as("wk"))
+        val freq = e.groupBy("event_type", "v")
+          .agg(sum(when(col("wk"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("wk"), 1L).otherwise(0L)).as("nb"))
+          .withColumn("t", col("na") + col("nb"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = freq.withColumn("cum", sum("t").over(w))
+        val m = ranked.groupBy("event_type").agg(
+          sum("na").as("n1"), sum("nb").as("n2"),
+          sum(col("na") * (col("cum") * 2L - col("t") + 1L)).as("r2a"),
+          sum((col("t") * col("t") * col("t") - col("t"))
+            .cast("decimal(38,0)")).as("tcorr"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val n = col("n1") + col("n2")
+        val u2 = lit(2L) * col("n1") * col("n2") +
+          col("n1") * (col("n1") + 1L) - col("r2a")
+        val dev = dec(u2 - col("n1") * col("n2"))
+        val vTerm = dec(n) * dec(n - 1L) * dec(n + 1L) - col("tcorr")
+        m.select(col("event_type"), col("n1"), col("n2"),
+            u2.as("u2"),
+            (dec(lit(1875L)) * dec(n) * dec(n - 1L) * dev * dev >
+              dec(lit(2401L)) * dec(col("n1")) * dec(col("n2")) * vTerm)
+              .as("reject_05"),
+            round(dev.cast("double") /
+              sqrt((dec(col("n1")) * dec(col("n2")) * vTerm)
+                  .cast("double") /
+                (lit(3.0) * (n * (n - 1L)).cast("double"))), 4)
+              .as("z"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH e AS (
+          |  SELECT event_type, CAST(floor("value") AS BIGINT) AS v,
+          |    $WeekendDuck AS wk
+          |  FROM events
+          |), freq AS (
+          |  SELECT event_type, v,
+          |    CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          |    CAST(sum(CASE WHEN wk THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+          |    CAST(count(*) AS BIGINT) AS t
+          |  FROM e GROUP BY event_type, v
+          |), ranked AS (
+          |  SELECT event_type, na, nb, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), m AS (
+          |  SELECT event_type,
+          |    CAST(sum(na) AS BIGINT) AS n1,
+          |    CAST(sum(nb) AS BIGINT) AS n2,
+          |    CAST(sum(na * (cum * 2 - t + 1)) AS BIGINT) AS r2a,
+          |    sum(CAST(t AS HUGEINT) * t * t - t) AS tcorr
+          |  FROM ranked GROUP BY event_type
+          |), f AS (
+          |  SELECT event_type, n1, n2,
+          |    2 * n1 * n2 + n1 * (n1 + 1) - r2a AS u2,
+          |    n1 + n2 AS n,
+          |    CAST(2 * n1 * n2 + n1 * (n1 + 1) - r2a - n1 * n2
+          |      AS HUGEINT) AS dev,
+          |    CAST(n1 + n2 AS HUGEINT) * (n1 + n2 - 1) * (n1 + n2 + 1)
+          |      - tcorr AS vterm
+          |  FROM m
+          |)
+          |SELECT event_type, n1, n2, u2,
+          |  1875 * CAST(n AS HUGEINT) * (n - 1) * dev * dev >
+          |    2401 * CAST(n1 AS HUGEINT) * n2 * vterm AS reject_05,
+          |  round(CAST(dev AS DOUBLE) /
+          |    sqrt(CAST(CAST(n1 AS HUGEINT) * n2 * vterm AS DOUBLE) /
+          |      (3.0 * CAST(n * (n - 1) AS DOUBLE))), 4) AS z
+          |FROM f ORDER BY event_type""".stripMargin)),
+
+    // ----- Median / MAD robust profile (per event type) — the
+    // location/scale pair the outlier gates (w_anomaly's 2σ,
+    // m_iqr_outliers' fences) should be calibrated from when the
+    // metric is contaminated: one wild value moves a mean arbitrarily
+    // but moves the median not at all. Lower median over the integer-
+    // quantized frequency table (min v with cum ≥ ⌈n/2⌉ — the
+    // m_winsorize quantile selection), deviations re-contracted into
+    // a second frequency table keyed by |v−med| (grid-bounded, not
+    // corpus-bounded), MAD as ITS lower median, and the outlier count
+    // compares 10000·|v−med| > 44478·MAD — the 3·1.4826 consistency
+    // bar (1/Φ⁻¹(¾) ≈ 1.4826, a fixed decimal literal that parses to
+    // the identical double on both engines) cross-multiplied into
+    // pure BIGINTs. Scale: two frequency aggregations + two tiny cum
+    // windows over distinct levels; no global sort, no collect.
+    Q("m_mad",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+        val freq = e.groupBy("event_type", "v")
+          .agg(count(lit(1)).as("t"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cum", sum("t").over(w))
+        val nT = freq.groupBy("event_type").agg(sum("t").as("n"))
+        val med = cum.join(broadcast(nT), Seq("event_type"))
+          .filter(col("cum") * 2L >= col("n"))
+          .groupBy("event_type").agg(min("v").as("med"))
+        val dev = freq.join(broadcast(med), Seq("event_type"))
+          .groupBy(col("event_type"), abs(col("v") - col("med")).as("ad"))
+          .agg(sum("t").as("t"))
+        val wd = Window.partitionBy("event_type").orderBy("ad")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mad = dev.withColumn("cum", sum("t").over(wd))
+          .join(broadcast(nT), Seq("event_type"))
+          .filter(col("cum") * 2L >= col("n"))
+          .groupBy("event_type").agg(min("ad").as("mad"))
+        e.join(broadcast(med), Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), first("med").as("median_v"),
+            first("mad").as("mad"),
+            sum(when(abs(col("v") - col("med")) * 10000L >
+              col("mad") * 44478L, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, CAST(floor("value") AS BIGINT) AS v
+          |  FROM events
+          |), freq AS (
+          |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+          |  FROM e GROUP BY event_type, v
+          |), cum AS (
+          |  SELECT event_type, v, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), nt AS (
+          |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n
+          |  FROM freq GROUP BY event_type
+          |), med AS (
+          |  SELECT c.event_type, min(c.v) AS med
+          |  FROM cum c JOIN nt USING (event_type)
+          |  WHERE c.cum * 2 >= nt.n GROUP BY c.event_type
+          |), dev AS (
+          |  SELECT f.event_type, abs(f.v - med.med) AS ad,
+          |    CAST(sum(f.t) AS BIGINT) AS t
+          |  FROM freq f JOIN med USING (event_type)
+          |  GROUP BY f.event_type, abs(f.v - med.med)
+          |), dcum AS (
+          |  SELECT event_type, ad, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY ad
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM dev
+          |), mad AS (
+          |  SELECT d.event_type, min(d.ad) AS mad
+          |  FROM dcum d JOIN nt USING (event_type)
+          |  WHERE d.cum * 2 >= nt.n GROUP BY d.event_type
+          |)
+          |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+          |  min(med.med) AS median_v, min(mad.mad) AS mad,
+          |  CAST(sum(CASE WHEN abs(e.v - med.med) * 10000 >
+          |    mad.mad * 44478 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_outliers
+          |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // ----- Poisson-bootstrap 95% CI for the per-type mean — the
+    // uncertainty attachment every released aggregate should carry.
+    // The classic bootstrap resamples n rows WITH replacement — a
+    // global operation — but the Poisson approximation (Efron's
+    // n→∞ form; Chamandy et al., "Estimating Uncertainty for
+    // Massively Parallel Algorithms", Google 2012) gives each row an
+    // independent Poisson(1) multiplicity per replicate, making the
+    // whole thing ONE map-side-combinable pass over B=40 exploded
+    // copies. The draw is the m_dp_counts seeded-hash inverse-CDF:
+    // u from 6 md5 hex digits (exact dyadic rational), compared
+    // against hardcoded cumulative-Poisson(1) decimal literals (they
+    // parse to identical doubles on both engines — no exp() at query
+    // time). Replicate means are exact-integer cent sums divided
+    // once; the 40 means rank inside a 40-row window per type
+    // (bounded by B, not data) and the CI picks order statistics 1
+    // and 40·0.975 — ties broken by replicate id so the selection is
+    // total-ordered. A production release swaps the one `u`
+    // expression for a CSPRNG, exactly as m_dp_counts documents.
+    Q("m_bootstrap_ci",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_type"),
+          col("event_id"),
+          floor(col("value") * 100.0).cast("long").as("cents"))
+        val b = e.select(col("*"),
+          explode(sequence(lit(0), lit(39))).as("rep"))
+        val u = (conv(substring(md5(concat(lit("boot_"), col("event_id"),
+          lit("_"), col("rep"))), 1, 6), 16, 10).cast("long") + 0.5) /
+          16777216.0
+        val wgt = when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L)
+          .when(u < 0.9994058151824183, 5L).otherwise(6L)
+        val reps = b.withColumn("w", wgt)
+          .groupBy("event_type", "rep")
+          .agg(sum(col("w") * col("cents")).as("sc"),
+            sum(col("w")).as("nw"))
+          .filter(col("nw") > 0L)
+          .withColumn("mean_c", col("sc").cast("double") / col("nw"))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(col("mean_c"), col("rep"))
+        val ranked = reps.withColumn("rk", row_number().over(wr))
+          .withColumn("nb", count(lit(1)).over(
+            Window.partitionBy("event_type")))
+        val ci = ranked.groupBy("event_type").agg(
+          min(when(col("rk") === 1L, col("mean_c"))).as("lo_c"),
+          min(when(col("rk") === ceil(col("nb") * 0.975).cast("int"),
+            col("mean_c"))).as("hi_c"))
+        val base = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        base.join(broadcast(ci), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            round(col("sc").cast("double") / col("n") / 100.0, 4)
+              .as("mean_value"),
+            round(col("lo_c") / 100.0, 4).as("ci_lo"),
+            round(col("hi_c") / 100.0, 4).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, event_id,
+          |    CAST(floor("value" * 100.0) AS BIGINT) AS cents
+          |  FROM events
+          |), b AS (
+          |  SELECT e.*, r.rep FROM e,
+          |    (SELECT unnest(range(0, 40)) AS rep) r
+          |), u AS (
+          |  SELECT event_type, rep, cents,
+          |    (CAST(('0x' || substr(md5('boot_' || event_id || '_' ||
+          |       rep), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 AS u
+          |  FROM b
+          |), w AS (
+          |  SELECT event_type, rep, cents,
+          |    CASE WHEN u < 0.36787944117144233 THEN 0
+          |         WHEN u < 0.7357588823428847 THEN 1
+          |         WHEN u < 0.9196986029286058 THEN 2
+          |         WHEN u < 0.9810118431238462 THEN 3
+          |         WHEN u < 0.9963401531726563 THEN 4
+          |         WHEN u < 0.9994058151824183 THEN 5
+          |         ELSE 6 END AS w
+          |  FROM u
+          |), reps AS (
+          |  SELECT event_type, rep,
+          |    CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+          |      AS mean_c
+          |  FROM w GROUP BY event_type, rep
+          |  HAVING sum(w) > 0
+          |), ranked AS (
+          |  SELECT event_type, mean_c,
+          |    CAST(row_number() OVER (PARTITION BY event_type
+          |      ORDER BY mean_c, rep) AS INT) AS rk,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+          |      AS nb
+          |  FROM reps
+          |), ci AS (
+          |  SELECT event_type,
+          |    min(CASE WHEN rk = 1 THEN mean_c END) AS lo_c,
+          |    min(CASE WHEN rk = CAST(ceil(nb * 0.975) AS INT)
+          |      THEN mean_c END) AS hi_c
+          |  FROM ranked GROUP BY event_type
+          |), base AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(cents) AS BIGINT) AS sc
+          |  FROM e GROUP BY event_type
+          |)
+          |SELECT event_type, n,
+          |  round(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean_value,
+          |  round(lo_c / 100.0, 4) AS ci_lo,
+          |  round(hi_c / 100.0, 4) AS ci_hi
+          |FROM base JOIN ci USING (event_type)
+          |ORDER BY event_type""".stripMargin)),
+
+    // ----- Dominant covariance direction of the embedding table by
+    // power iteration — distributed PCA without ever holding a dense
+    // matrix anywhere: the 64×64 scatter matrix is ONE map-side-
+    // combinable self-join aggregation over the exploded vectors
+    // (shuffle key cardinality = dim² = 4096, independent of corpus
+    // size — at 100 TB this is the standard one-pass Gram build), and
+    // each of the 6 iterations is a broadcast-tiny matvec over that
+    // 4096-row frame. Exactness: embeddings floor-quantized to e3
+    // integers; the CENTERED scatter S = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ is exact
+    // BIGINT; matvec accumulators run in DECIMAL(38,0)/HUGEINT; each
+    // iterate renormalizes to ‖v‖∞ = 10⁶ by a floor of the identical
+    // double division on both engines (floor of a bitwise-identical
+    // double — tie-free, the SURVEY §5 rule), so every iterate is an
+    // exact integer vector and the fixpoint is engine-independent BY
+    // CONSTRUCTION — convergence rate depends on the eigengap (this
+    // isotropic fixture barely has one) but the reported iterate is
+    // deterministic arithmetic either way. λ is the Rayleigh quotient
+    // of the final iterate, one exact-integer ratio rounded 4dp.
+    Q("m_pca_power",
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+            floor(col("col").cast("double") * 1000.0).cast("long")
+              .as("q"))
+        val n = ex.groupBy().agg(
+          (count(lit(1)) / 64L).as("n")).select(col("n").cast("long"))
+        val sums = ex.groupBy("i").agg(sum("q").as("si"))
+        val gram = ex.as("a")
+          .join(ex.select(col("vec_id"), col("i").as("j"),
+            col("q").as("qj")).as("b"), Seq("vec_id"))
+          .groupBy("i", "j").agg(sum(col("q") * col("qj")).as("g"))
+        val scat = gram
+          .join(broadcast(sums), Seq("i"))
+          .join(broadcast(sums.select(col("i").as("j"),
+            col("si").as("sj"))), Seq("j"))
+          .crossJoin(broadcast(n.toDF("n")))
+          .select(col("i"), col("j"),
+            (col("n") * col("g") - col("si") * col("sj")).as("sij"))
+          .localCheckpoint()
+        var v = scat.select(col("i")).distinct()
+          .select(col("i"), lit(1000000L).as("v"))
+        for (_ <- 1 to 6) {
+          val u = scat.join(broadcast(v.select(col("i").as("j"),
+              col("v").as("vj"))), Seq("j"))
+            .groupBy("i")
+            .agg(sum(col("sij").cast("decimal(38,0)") * col("vj"))
+              .as("u"))
+          val mx = u.groupBy().agg(max(abs(col("u"))).as("m"))
+          v = u.crossJoin(broadcast(mx))
+            .select(col("i"),
+              floor(col("u").cast("double") * 1000000.0 /
+                col("m").cast("double")).cast("long").as("v"))
+            .localCheckpoint()
+        }
+        val lamNum = scat.join(broadcast(v.select(col("i").as("j"),
+            col("v").as("vj"))), Seq("j"))
+          .join(broadcast(v), Seq("i"))
+          .groupBy().agg(sum(col("sij").cast("decimal(38,0)") *
+            col("vj") * col("v")).as("num"))
+        val lamDen = v.groupBy()
+          .agg(sum(col("v") * col("v")).as("den"))
+        v.crossJoin(broadcast(lamNum)).crossJoin(broadcast(lamDen))
+          .select(col("i"), col("v").as("v_e6"),
+            round(col("num").cast("double") / col("den").cast("double"),
+              4).as("lambda_scat"))
+          .orderBy("i")
+      },
+      Some(pcaPowerOracle(6))),
+  )
+
+  /** Unrolled power-iteration oracle: the scatter matrix and each
+    * normalized iterate as chained CTEs — v0 is the all-10⁶ vector,
+    * each step one matvec in HUGEINT + one max-abs renormalization
+    * floored from the identical double division Spark performs.
+    * Every chained CTE is MATERIALIZED: each uₖ is referenced twice
+    * (the matvec and its own max-abs scalar subquery), and DuckDB's
+    * default inlining would re-evaluate the whole upstream chain per
+    * reference — exponential in the iteration count. */
+  private def pcaPowerOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT s.i, sum(CAST(s.sij AS HUGEINT) * v.v) AS u
+         |  FROM scat s JOIN v${k - 1} v ON v.i = s.j
+         |  GROUP BY s.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CAST(floor(CAST(u AS DOUBLE) * 1000000.0 /
+         |    CAST((SELECT max(abs(u)) FROM u$k) AS DOUBLE)) AS BIGINT)
+         |    AS v
+         |  FROM u$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |          FROM embeddings),
+       |sums AS (
+       |  SELECT i, CAST(sum(q) AS BIGINT) AS si FROM ex GROUP BY i
+       |), gram AS (
+       |  SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i
+       |), scat AS MATERIALIZED (
+       |  SELECT g.i, g.j, nn.n * g.g - si.si * sj.si AS sij
+       |  FROM gram g
+       |  JOIN sums si ON si.i = g.i
+       |  JOIN sums sj ON sj.i = g.j
+       |  CROSS JOIN nn
+       |), v0 AS (
+       |  SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM scat
+       |),
+       |$steps,
+       |lam AS (
+       |  SELECT sum(CAST(s.sij AS HUGEINT) * vj.v * vi.v) AS num,
+       |    (SELECT sum(CAST(v AS HUGEINT) * v) FROM v$iters) AS den
+       |  FROM scat s
+       |  JOIN v$iters vj ON vj.i = s.j
+       |  JOIN v$iters vi ON vi.i = s.i
+       |)
+       |SELECT v.i, v.v AS v_e6,
+       |  round(CAST(lam.num AS DOUBLE) / CAST(lam.den AS DOUBLE), 4)
+       |    AS lambda_scat
+       |FROM v$iters v CROSS JOIN lam
+       |ORDER BY v.i""".stripMargin
+  }
+}

@@ -299,6 +299,51 @@ object Streams {
     * at `epoch_us` too, so the range boundary is bit-identical across
     * engines (the as-of join precision lesson).
     */
+  /** Stream-stream LEFT OUTER join — the attribution query's honest
+    * completion: `m_stream_join` counts converted views; this also
+    * counts the views that never converted (the null-padded rows the
+    * engine can only emit once state eviction PROVES no match can
+    * still arrive). Same watermarks + event-time range bound the
+    * state; matched pairs emit immediately, orphans emit when the
+    * left row's state expires (v_ts < watermark − 1 day, derived by
+    * the engine from the range condition). Determinism at the
+    * eviction boundary: whether a row sitting exactly at
+    * wm − 1d is evicted in the final AvailableNow batch is engine
+    * timing, not semantics — so BOTH the sink output and the oracle
+    * drop unmatched views inside a 2-hour guard band below the
+    * boundary (wide enough to absorb any watermark-delay variant of
+    * the eviction rule), and count only provably-settled orphans.
+    * The guard is batch-side postprocessing: the streaming state
+    * itself stays bounded by the same eviction the guard brackets.
+    */
+  def streamLeftJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"),
+        "left_outer")
+      .select(col("user_id"), unix_micros(col("v_ts")).as("v_us"),
+        col("p_ts").isNotNull.as("matched"))
+    val wm = graft.Tables.events(s, dir)
+      .agg((max(unix_micros(col("ts"))) - 3600000000L).as("wm_us"))
+    runToMemory(s, joined, "append")
+      .crossJoin(broadcast(wm))
+      .filter(col("matched") ||
+        col("v_us") + 86400000000L + 7200000000L < col("wm_us"))
+      .groupBy("user_id")
+      .agg(sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(!col("matched"), 1L).otherwise(0L)).as("n_orphans"))
+      .orderBy("user_id")
+  }
+
   def streamJoinCounts(s: SparkSession, dir: String): DataFrame = {
     val views = eventsStream(s, dir)
       .filter(col("event_type") === "view")
@@ -502,6 +547,33 @@ object Streams {
           |FROM v JOIN p ON p.user_id = v.user_id
           |  AND p_us >= v_us AND p_us <= v_us + 86400000000
           |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)),
+    graft.ops.Q("m_stream_left_join",
+      (s, d) => streamLeftJoinCounts(s, d),
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |), wm AS (
+          |  SELECT max(epoch_us(ts)) - 3600000000 AS wm_us FROM events
+          |), j AS (
+          |  SELECT v.user_id, v.v_us, p.p_us
+          |  FROM v LEFT JOIN p ON p.user_id = v.user_id
+          |    AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 86400000000
+          |), f AS (
+          |  SELECT user_id, p_us IS NOT NULL AS matched
+          |  FROM j CROSS JOIN wm
+          |  WHERE p_us IS NOT NULL
+          |     OR v_us + 86400000000 + 7200000000 < wm.wm_us
+          |)
+          |SELECT user_id,
+          |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_matched,
+          |  CAST(sum(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT)
+          |    AS n_orphans
+          |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)),
     graft.ops.Q("m_stream_sessionize",
       (s, d) => sessionizeCounts(s, d),
       Some(

