@@ -395,6 +395,37 @@ object Graph {
        |ORDER BY role, score DESC, id""".stripMargin
   }
 
+  /** Unrolled random-walk oracle: each step's frontier as a
+    * MATERIALIZED CTE (referenced by both the next step and the final
+    * union), next hop picked by the same (md5, dst) argmin the Spark
+    * plan's min(struct(...)) computes — row_number over (h, dst) is
+    * the SQL spelling of that total order. */
+  private def randwalkOracle(steps: Int): String = {
+    val hops = (1 to steps).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT walk, dst AS cur FROM (
+         |    SELECT f.walk, e.dst,
+         |      row_number() OVER (PARTITION BY f.walk
+         |        ORDER BY md5(f.walk || ':' || $k || ':' || e.dst),
+         |          e.dst) AS rn
+         |    FROM f${k - 1} f JOIN edges e ON e.src = f.cur)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps).map { k =>
+      s"SELECT walk, $k AS step, cur AS node FROM f$k"
+    }.mkString("\n       |UNION ALL ")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+       |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+       |), f0 AS (
+       |  SELECT o_orderkey AS walk, o_orderkey AS cur FROM orders
+       |  WHERE o_orderkey < $cap AND o_orderkey % 100 = 0
+       |),
+       |$hops
+       |$union
+       |ORDER BY walk, step""".stripMargin
+  }
+
   /** Weakly connected components by alternating large-star / small-star
     * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond"). Converges in O(log n) rounds REGARDLESS of graph
@@ -650,6 +681,48 @@ object Graph {
           .orderBy(col("role"), desc("score"), col("id"))
       },
       Some(hitsOracle(3))),
+
+    // ----- K23: random-walk corpus sampling (the DeepWalk/node2vec
+    // positive-pair generator — Perozzi et al., KDD 2014): one walk
+    // per seed hub (v % 100 == 0, the k14 source set), three steps,
+    // each step choosing ONE out-neighbor. The choice is the
+    // hash-argmin trick: next = argmin over out-neighbors of
+    // md5(walk ‖ step ‖ neighbor) — distributionally uniform per
+    // (walk, step) but fully DETERMINISTIC, so the sampled walks are
+    // oracle-checkable and reproducible (the m_dp_counts seeded-draw
+    // convention; production swaps the hash for a seeded PRNG stream,
+    // keeping the argmin plan). Each step is one join of the
+    // frontier against the src-cached edge table + one per-walk
+    // argmin via min(struct(hash, dst)) — a map-side-combinable
+    // aggregate, never a window — so a step costs O(frontier-degree
+    // sum) regardless of graph size; walks that reach a sink simply
+    // end (left out of later frontiers). Output: (walk_id, step,
+    // node) for steps 0..3 — the skip-gram training pairs feedstock.
+    Q("k23_randwalk",
+      (s, d) => {
+        val edges = cappedDistinctBySrc(s, d)
+        val seeds = cappedVerts(s, d).filter(col("v") % 100 === 0)
+          .select(col("v").as("walk"), col("v").as("cur"))
+        var frontier = seeds
+        var out = seeds.select(col("walk"), lit(0).as("step"),
+          col("cur").as("node"))
+        for (k <- 1 to 3) {
+          val cand = frontier
+            .join(edges.select(col("src").as("cur"), col("dst")),
+              Seq("cur"))
+            .select(col("walk"), col("dst"),
+              md5(concat_ws(":", col("walk").cast("string"),
+                lit(k.toString), col("dst").cast("string"))).as("h"))
+          frontier = cand.groupBy("walk")
+            .agg(min(struct(col("h"), col("dst"))).as("pick"))
+            .select(col("walk"), col("pick.dst").as("cur"))
+            .localCheckpoint()
+          out = out.unionByName(frontier.select(col("walk"),
+            lit(k).as("step"), col("cur").as("node")))
+        }
+        out.orderBy("walk", "step")
+      },
+      Some(randwalkOracle(3))),
 
     // ----- K1: SCC assignment (graph_filter.py:125-129)
     Q("k1_scc",

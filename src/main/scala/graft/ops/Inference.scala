@@ -600,6 +600,197 @@ object Inference {
           .orderBy("i")
       },
       Some(pcaPowerOracle(6))),
+
+    // ----- Multivariate OLS by exact normal equations — the linear
+    // probe (price ~ β₀ + β₁·quantity + β₂·discount, per return flag)
+    // every feature pipeline eventually fits, done the distributed
+    // way: ONE map-side-combinable pass accumulates the 9 moment sums
+    // (X'X and X'y entries — all exact integers from floor-quantized
+    // inputs), and the 3×3 system is solved in closed form by
+    // Cramer's rule with determinants expanded in DECIMAL(38,0)/
+    // HUGEINT (cofactor products stay under 10²⁸ at any tested SF;
+    // at true warehouse scale you would center the regressors first
+    // to shrink the determinant magnitudes — noted, not needed here).
+    // Coefficients are one exact-integer ratio each; R² folds the
+    // exact determinants into a single identically-associated double
+    // expression (its exact-integer numerator det·Σy² would exceed
+    // 128 bits, so the division happens first — same tree both
+    // engines). No matrix library, no driver linear algebra: the
+    // entire fit is a groupBy.agg plus scalar arithmetic.
+    Q("m_ols_multi",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("yv"),
+          floor(col("l_quantity")).cast("long").as("x1"),
+          floor(col("l_discount") * 100.0).cast("long").as("x2"))
+        val m = li.groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum("yv").as("sy"),
+          sum(col("x1") * col("yv")).as("s1y"),
+          sum(col("x2") * col("yv")).as("s2y"),
+          sum((col("yv") * col("yv")).cast("decimal(38,0)")).as("syy"))
+        def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        def det3(a: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+          dc(a(0)) * (dc(a(4)) * dc(a(8)) - dc(a(5)) * dc(a(7))) -
+          dc(a(1)) * (dc(a(3)) * dc(a(8)) - dc(a(5)) * dc(a(6))) +
+          dc(a(2)) * (dc(a(3)) * dc(a(7)) - dc(a(4)) * dc(a(6)))
+        val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+          (col("n"), col("s1"), col("s2"), col("s11"), col("s12"),
+            col("s22"), col("sy"), col("s1y"), col("s2y"))
+        val detA = det3(Seq(n, s1, s2, s1, s11, s12, s2, s12, s22))
+        val d0 = det3(Seq(sy, s1, s2, s1y, s11, s12, s2y, s12, s22))
+        val d1 = det3(Seq(n, sy, s2, s1, s1y, s12, s2, s2y, s22))
+        val d2 = det3(Seq(n, s1, sy, s1, s11, s1y, s2, s12, s2y))
+        val (detD, d0D, d1D, d2D) = (detA.cast("double"),
+          d0.cast("double"), d1.cast("double"), d2.cast("double"))
+        val sse = col("syy").cast("double") -
+          (d0D * sy.cast("double") + d1D * s1y.cast("double") +
+            d2D * s2y.cast("double")) / detD
+        val sst = col("syy").cast("double") -
+          sy.cast("double") * sy.cast("double") / n.cast("double")
+        m.select(col("flag").as("l_returnflag"), col("n"),
+            round(d0D / detD, 4).as("beta0_cents"),
+            round(d1D / detD, 4).as("beta1_cents"),
+            round(d2D / detD, 4).as("beta2_cents"),
+            round(lit(1.0) - sse / sst, 6).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_returnflag AS flag,
+          |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS yv,
+          |    CAST(floor(l_quantity) AS BIGINT) AS x1,
+          |    CAST(floor(l_discount * 100.0) AS BIGINT) AS x2
+          |  FROM lineitem
+          |), m AS (
+          |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x1) AS BIGINT) AS s1,
+          |    CAST(sum(x2) AS BIGINT) AS s2,
+          |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+          |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+          |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+          |    CAST(sum(yv) AS BIGINT) AS sy,
+          |    CAST(sum(x1 * yv) AS BIGINT) AS s1y,
+          |    CAST(sum(x2 * yv) AS BIGINT) AS s2y,
+          |    sum(CAST(yv AS HUGEINT) * yv) AS syy
+          |  FROM li GROUP BY flag
+          |), dets AS (
+          |  SELECT flag, n, sy, s1y, s2y, syy,
+          |    CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s12) -
+          |      CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s2) +
+          |      CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12 -
+          |        CAST(s11 AS HUGEINT) * s2) AS deta,
+          |    CAST(sy AS HUGEINT) * (CAST(s11 AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s12) -
+          |      CAST(s1 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s2y) +
+          |      CAST(s2 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s12 -
+          |        CAST(s11 AS HUGEINT) * s2y) AS d0,
+          |    CAST(n AS HUGEINT) * (CAST(s1y AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s2y) -
+          |      CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s2) +
+          |      CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y -
+          |        CAST(s1y AS HUGEINT) * s2) AS d1,
+          |    CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * s2y -
+          |        CAST(s1y AS HUGEINT) * s12) -
+          |      CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y -
+          |        CAST(s1y AS HUGEINT) * s2) +
+          |      CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12 -
+          |        CAST(s11 AS HUGEINT) * s2) AS d2
+          |  FROM m
+          |)
+          |SELECT flag AS l_returnflag, n,
+          |  round(CAST(d0 AS DOUBLE) / CAST(deta AS DOUBLE), 4)
+          |    AS beta0_cents,
+          |  round(CAST(d1 AS DOUBLE) / CAST(deta AS DOUBLE), 4)
+          |    AS beta1_cents,
+          |  round(CAST(d2 AS DOUBLE) / CAST(deta AS DOUBLE), 4)
+          |    AS beta2_cents,
+          |  round(1.0 - (CAST(syy AS DOUBLE) -
+          |    (CAST(d0 AS DOUBLE) * CAST(sy AS DOUBLE) +
+          |     CAST(d1 AS DOUBLE) * CAST(s1y AS DOUBLE) +
+          |     CAST(d2 AS DOUBLE) * CAST(s2y AS DOUBLE)) /
+          |      CAST(deta AS DOUBLE)) /
+          |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+          |      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r2
+          |FROM dets ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- Mutual information feature screen over the embedding
+    // table — which dimensions carry signal about the label? The
+    // standard filter-method feature selector (Cover & Thomas ch. 2),
+    // computed at corpus scale as pure counting: each (dim, value-
+    // band, label-side) cell is one exact integer from a single
+    // map-side-combinable pass over the exploded vectors (cell
+    // cardinality = 64 dims × 3 bands × 2 sides — bounded by the
+    // grids, never the corpus), and MI = Σ p·ln(p·n/(p_b·p_y))
+    // evaluates over those exact counts. `ln` feeds ONLY the rounded
+    // report column (the m_entropy convention; output order is by
+    // dim, never by the float). The label side is the same `label ≥ 5`
+    // detector m_auc evaluates — near-zero MI on this isotropic
+    // fixture is the honest reading, exactly what the screen exists
+    // to report.
+    Q("m_feature_select_mi",
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .select((col("label") >= 5).as("y"),
+            posexplode(col("embedding")))
+          .select(col("y"), (col("pos") + 1).cast("long").as("i"),
+            floor(col("col").cast("double") * 1000.0).cast("long")
+              .as("q"))
+          .select(col("y"), col("i"),
+            when(col("q") < -100L, -1L).when(col("q") > 100L, 1L)
+              .otherwise(0L).as("b"))
+        val cells = ex.groupBy("i", "b", "y")
+          .agg(count(lit(1)).as("c"))
+        val nb = cells.groupBy("i", "b").agg(sum("c").as("cb"))
+        val ny = cells.groupBy("i", "y").agg(sum("c").as("cy"))
+        val nn = cells.groupBy("i").agg(sum("c").as("n"))
+        cells.join(nb, Seq("i", "b")).join(ny, Seq("i", "y"))
+          .join(nn, Seq("i"))
+          .groupBy("i")
+          .agg(round(sum((col("c").cast("double") / col("n")) *
+            log((col("c") * col("n")).cast("double") /
+              (col("cb") * col("cy")).cast("double"))), 6).as("mi_nats"))
+          .orderBy("i")
+      },
+      Some(
+        """WITH ex AS (
+          |  SELECT label >= 5 AS y, i,
+          |    CASE WHEN CAST(floor(CAST(x AS DOUBLE) * 1000.0)
+          |           AS BIGINT) < -100 THEN -1
+          |         WHEN CAST(floor(CAST(x AS DOUBLE) * 1000.0)
+          |           AS BIGINT) > 100 THEN 1
+          |         ELSE 0 END AS b
+          |  FROM (SELECT label, unnest(embedding) AS x,
+          |          generate_subscripts(embedding, 1) AS i
+          |        FROM embeddings)
+          |), cells AS (
+          |  SELECT i, b, y, CAST(count(*) AS BIGINT) AS c
+          |  FROM ex GROUP BY i, b, y
+          |), nb AS (
+          |  SELECT i, b, CAST(sum(c) AS BIGINT) AS cb
+          |  FROM cells GROUP BY i, b
+          |), ny AS (
+          |  SELECT i, y, CAST(sum(c) AS BIGINT) AS cy
+          |  FROM cells GROUP BY i, y
+          |), nn AS (
+          |  SELECT i, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY i
+          |)
+          |SELECT i,
+          |  round(sum((CAST(c AS DOUBLE) / n) *
+          |    ln(CAST(c * n AS DOUBLE) / CAST(cb * cy AS DOUBLE))), 6)
+          |    AS mi_nats
+          |FROM cells JOIN nb USING (i, b) JOIN ny USING (i, y)
+          |JOIN nn USING (i)
+          |GROUP BY i ORDER BY i""".stripMargin)),
   )
 
   /** Unrolled power-iteration oracle: the scatter matrix and each

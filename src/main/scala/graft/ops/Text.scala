@@ -1524,5 +1524,103 @@ object Text {
           |  UNION ALL SELECT 5, 'exact_dedup', count(*) FROM exact
           |  UNION ALL SELECT 6, 'neardup_bow', count(*) FROM near
           |) ORDER BY stage_no""".stripMargin)),
+
+    // ----- TextRank keywords (Mihalcea & Tarau, EMNLP 2004) — graph-
+    // based keyword extraction as operator COMPOSITION: build the
+    // token co-occurrence graph (adjacent-token pairs per doc — the
+    // t_pmi windowing), thin it to pairs seen ≥ 2 times (the paper's
+    // frequency filter, and the lever that keeps |E| sublinear in the
+    // corpus), symmetrize, and run the k3 damped-PageRank loop over
+    // it — 4 unrolled rounds, 6dp re-sync per round so both engines'
+    // float sums re-synchronize, one shuffle pair per round over an
+    // edge table bounded by vocabulary², not corpus size. The scores
+    // that emerge rank corpus-central vocabulary; stopword-class
+    // tokens ('the', 'a') rank high on this synthetic fixture — the
+    // honest unfiltered reading (RAKE's stopword machinery is
+    // t_rake_keywords' job). Top-20 by rank, token tie-break.
+    Q("t_textrank",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .filter(length(col("col")) > 0)
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        val pairs = toks
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+          .select(least(col("tok"), col("nxt")).as("a"),
+            greatest(col("tok"), col("nxt")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2L)
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"),
+            col("a").as("dst")))
+          .localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val verts = edges.select(col("src").as("v")).distinct()
+        var ranks = verts.withColumn("rank", lit(1.0))
+        for (_ <- 1 to 4) {
+          val contribs = edges.join(deg, Seq("src"))
+            .join(ranks.select(col("v").as("src"), col("rank")),
+              Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("rank") / col("deg")).as("m"))
+          ranks = verts
+            .join(contribs.select(col("dst").as("v"), col("m")),
+              Seq("v"), "left")
+            .select(col("v"),
+              round(lit(0.15) + lit(0.85) * coalesce(col("m"),
+                lit(0.0)), 6).as("rank"))
+            .localCheckpoint()
+        }
+        ranks.select(col("v").as("token"), col("rank"))
+          .orderBy(desc("rank"), col("token"))
+          .limit(20)
+      },
+      Some(textrankOracle(4))),
   )
+
+  /** Unrolled TextRank oracle — the k3 pagerank CTE chain over the
+    * co-occurrence graph. Edge/degree CTEs MATERIALIZED (each round
+    * references them; default inlining re-derives the corpus split
+    * per round). */
+  private def textrankOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT verts.v, round(0.15 + 0.85 * coalesce(c.m, 0), 6)
+         |    AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, sum(r.rank / d.deg) AS m
+         |    FROM edges e JOIN deg d USING (src)
+         |                 JOIN r${i - 1} r ON r.v = e.src
+         |    GROUP BY e.dst) c USING (v))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, tok
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |          generate_subscripts(string_split(text, ' '), 1) AS i
+       |        FROM documents)
+       |  WHERE length(tok) > 0
+       |), adj AS (
+       |  SELECT tok, lead(tok, 1) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS nxt
+       |  FROM toks
+       |), pairs AS (
+       |  SELECT least(tok, nxt) AS a, greatest(tok, nxt) AS b,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM adj WHERE nxt IS NOT NULL AND tok <> nxt
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs
+       |), deg AS MATERIALIZED (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), verts AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v FROM edges
+       |), r0 AS (SELECT v, 1.0 AS rank FROM verts),
+       |$steps
+       |SELECT v AS token, rank FROM r$rounds
+       |ORDER BY rank DESC, v LIMIT 20""".stripMargin
+  }
 }

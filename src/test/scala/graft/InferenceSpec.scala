@@ -156,6 +156,75 @@ class InferenceSpec extends SparkSpec {
     assert(lam > 0.0, s"scatter matrices are PSD; lambda=$lam")
   }
 
+  test("m_ols_multi: residual orthogonality and r2 in range") {
+    val fits = SparkEntry.queries("m_ols_multi")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(fits.nonEmpty)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0).cast("long"),
+        floor(col("l_quantity")).cast("long"),
+        floor(col("l_discount") * 100.0).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    for ((flag, (b0, b1, b2, r2)) <- fits) {
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$flag r2=$r2 outside [0,1]")
+      val per = rows.filter(_._1 == flag)
+      // normal equations: residuals orthogonal to 1, x1, x2 — the 4dp
+      // coefficient rounding leaves a relative slack
+      val res = per.map { case (_, y, x1, x2) =>
+        (y - (b0 + b1 * x1 + b2 * x2), x1, x2)
+      }
+      val scaleY = per.map(_._2.toDouble).map(math.abs).sum
+      assert(math.abs(res.map(_._1).sum) < 1e-3 * scaleY,
+        s"$flag: residual sum not ~0")
+      assert(math.abs(res.map(t => t._1 * t._2).sum) < 1e-1 * scaleY,
+        s"$flag: residual-x1 dot not ~0")
+    }
+  }
+
+  test("m_feature_select_mi: 0 <= MI <= ln 2 for a binary label") {
+    val df = SparkEntry.queries("m_feature_select_mi")(spark, sf)
+      .collect()
+    assert(df.length == 64)
+    for (r <- df) {
+      val mi = r.getDouble(1)
+      assert(mi >= -1e-6 && mi <= math.log(2.0) + 1e-6,
+        s"dim ${r.getLong(0)}: MI $mi outside [0, ln 2]")
+    }
+  }
+
+  test("t_textrank: damped scores bounded below by the restart mass") {
+    val df = SparkEntry.queries("t_textrank")(spark, sf).collect()
+    assert(df.length == 20)
+    assert(df.forall(_.getDouble(1) >= 0.15 - 1e-9),
+      "every damped rank >= 0.15 restart mass")
+  }
+
+  test("k23_randwalk: every hop follows a real edge from the seed") {
+    val walks = SparkEntry.queries("k23_randwalk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(walks.nonEmpty)
+    // step 0 is the seed itself
+    walks.filter(_._2 == 0).foreach { case (w, _, n) =>
+      assert(w == n, s"walk $w step 0 node $n != seed") }
+    val edges = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") < 2000 && col("l_partkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byWalk = walks.groupBy(_._1)
+    for ((w, steps) <- byWalk) {
+      val path = steps.sortBy(_._2).map(_._3)
+      assert(steps.length <= 4, s"walk $w has ${steps.length} steps")
+      for (Array(a, b) <- path.sliding(2).map(_.toArray))
+        assert(edges.contains((a, b)),
+          s"walk $w hop $a->$b is not an edge")
+    }
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
