@@ -395,6 +395,60 @@ object Graph {
        |ORDER BY role, score DESC, id""".stripMargin
   }
 
+  /** Unrolled truncated-Brandes oracle: forward levels f0..f4 with
+    * integer path counts (anti-joined against the cumulative visited
+    * sets), then backward dependency levels d4..d1 summing the same
+    * e6-floored per-edge terms the Spark plan computes. Everything
+    * MATERIALIZED — each level feeds the next level, its visited set,
+    * and the backward pass. */
+  private lazy val betweennessOracle: String = {
+    val fwd = (1 to 4).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT c.s, c.v, c.sig FROM (
+         |    SELECT f.s, e.dst AS v, CAST(sum(f.sig) AS BIGINT) AS sig
+         |    FROM f${k - 1} f JOIN edges e ON e.src = f.v
+         |    GROUP BY f.s, e.dst) c
+         |  LEFT JOIN vis${k - 1} p ON p.s = c.s AND p.v = c.v
+         |  WHERE p.v IS NULL),
+         |vis$k AS MATERIALIZED (
+         |  SELECT s, v FROM vis${k - 1}
+         |  UNION ALL SELECT s, v FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (3 to 1 by -1).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT a.s, a.v, a.sig,
+         |    coalesce(t.dsum, 0) AS delta
+         |  FROM f$k a LEFT JOIN (
+         |    SELECT a2.s, a2.v,
+         |      CAST(sum(CAST(floor(CAST(a2.sig AS DOUBLE) *
+         |        CAST(d.delta + 1000000 AS DOUBLE) /
+         |        CAST(d.sig AS DOUBLE)) AS BIGINT)) AS BIGINT) AS dsum
+         |    FROM f$k a2 JOIN edges e ON e.src = a2.v
+         |    JOIN d${k + 1} d ON d.s = a2.s AND d.v = e.dst
+         |    GROUP BY a2.s, a2.v) t ON t.s = a.s AND t.v = a.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+       |  FROM lineitem WHERE l_orderkey < $cap AND l_partkey < $cap
+       |), deg AS (
+       |  SELECT src, count(*) AS dg FROM edges GROUP BY src
+       |), f0 AS MATERIALIZED (
+       |  SELECT src AS s, src AS v, CAST(1 AS BIGINT) AS sig
+       |  FROM deg ORDER BY dg DESC, src LIMIT 5
+       |), vis0 AS (SELECT s, v FROM f0),
+       |$fwd,
+       |d4 AS MATERIALIZED (
+       |  SELECT s, v, sig, CAST(0 AS BIGINT) AS delta FROM f4),
+       |$bwd
+       |SELECT v AS id, CAST(sum(delta) AS BIGINT) AS bc_e6 FROM (
+       |  SELECT s, v, delta FROM d4
+       |  UNION ALL SELECT s, v, delta FROM d3
+       |  UNION ALL SELECT s, v, delta FROM d2
+       |  UNION ALL SELECT s, v, delta FROM d1)
+       |GROUP BY v ORDER BY bc_e6 DESC, id LIMIT 20""".stripMargin
+  }
+
   /** Unrolled random-walk oracle: each step's frontier as a
     * MATERIALIZED CTE (referenced by both the next step and the final
     * union), next hop picked by the same (md5, dst) argmin the Spark
@@ -723,6 +777,76 @@ object Graph {
         out.orderBy("walk", "step")
       },
       Some(randwalkOracle(3))),
+
+    // ----- K24: seed-sampled betweenness centrality (Brandes 2001,
+    // §4 accumulation; sampled-pivot estimation per Brandes & Pich
+    // 2007) — which nodes sit on the most shortest paths? Exact
+    // betweenness is O(nm); the production form runs Brandes from a
+    // PIVOT SAMPLE (here the same 5 top-degree hubs k13 traverses)
+    // and truncates at radius 4. Forward: the k13 batched-BFS frame
+    // extended with path counts — σ(v) = Σ σ(u) over discovery-level
+    // predecessors, exact integer sums, all 5 seeds in one frame per
+    // round. Backward: Brandes' dependency δ(v) = Σ_w σv/σw·(1+δw)
+    // descends the level structure; the division makes δ rational, so
+    // each PER-EDGE term is floored to an e6 integer from the
+    // identical double expression — δ itself then stays an exact
+    // integer at every level and the cross-seed accumulation is an
+    // order-free integer sum (a float δ would ride order-dependent
+    // aggregation exactly where Brandes sums over successors).
+    // Quantization bias is one e6 unit per DAG edge — documented,
+    // deterministic, identical on both engines. Output: top-20 by
+    // accumulated dependency (e6 grid), id tie-break.
+    Q("k24_betweenness",
+      (s, d) => {
+        val edges = cappedDistinctBySrc(s, d)
+        val seeds = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+          .orderBy(desc("dg"), col("src")).limit(5)
+          .select(col("src").as("s"))
+        var levels = Vector(
+          seeds.select(col("s"), col("s").as("v"), lit(1L).as("sig"))
+            .localCheckpoint())
+        var visited = levels(0).select("s", "v").localCheckpoint()
+        for (_ <- 1 to 4) {
+          val cand = levels.last
+            .join(edges, levels.last("v") === edges("src"))
+            .groupBy(col("s"), col("dst").as("v2"))
+            .agg(sum(col("sig")).as("sig"))
+            .select(col("s"), col("v2").as("v"), col("sig"))
+          val fresh = cand.join(visited, Seq("s", "v"), "left_anti")
+            .localCheckpoint()
+          visited = visited.unionByName(fresh.select("s", "v"))
+            .localCheckpoint()
+          levels = levels :+ fresh
+        }
+        // backward: delta at the deepest level is 0; each shallower
+        // level sums e6-floored per-edge dependency terms
+        var delta = levels(4).select(col("s"), col("v"), col("sig"),
+          lit(0L).as("delta")).localCheckpoint()
+        var acc = delta.select(col("s"), col("v"), col("delta"))
+        for (lev <- 3 to 1 by -1) {
+          val terms = levels(lev).as("a")
+            .join(edges, col("a.v") === edges("src"))
+            .join(delta.select(col("s"), col("v").as("dst"),
+              col("sig").as("sigw"), col("delta").as("dw")),
+              Seq("s", "dst"))
+            .select(col("s"), col("a.v").as("v"),
+              floor(col("a.sig").cast("double") *
+                (col("dw") + 1000000L).cast("double") /
+                col("sigw").cast("double")).cast("long").as("t"))
+            .groupBy("s", "v").agg(sum(col("t")).as("dsum"))
+          delta = levels(lev).join(terms, Seq("s", "v"), "left")
+            .select(col("s"), col("v"), col("sig"),
+              coalesce(col("dsum"), lit(0L)).as("delta"))
+            .localCheckpoint()
+          acc = acc.unionByName(delta.select(col("s"), col("v"),
+            col("delta")))
+        }
+        acc.groupBy(col("v").as("id"))
+          .agg(sum(col("delta")).as("bc_e6"))
+          .orderBy(desc("bc_e6"), col("id"))
+          .limit(20)
+      },
+      Some(betweennessOracle)),
 
     // ----- K1: SCC assignment (graph_filter.py:125-129)
     Q("k1_scc",

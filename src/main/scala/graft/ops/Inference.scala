@@ -791,7 +791,130 @@ object Inference {
           |FROM cells JOIN nb USING (i, b) JOIN ny USING (i, y)
           |JOIN nn USING (i)
           |GROUP BY i ORDER BY i""".stripMargin)),
+
+    // ----- Rank-1 ALS matrix factorization (Koren/Bell/Volinsky 2009;
+    // the Spark-canonical collaborative-filtering workload) over the
+    // order×part quantity matrix: alternate u_i = Σr·v/Σv² (per
+    // order, over its observed parts) and v_j = Σr·u/Σu² for two full
+    // rounds from a constant v₀. Each half-step is ONE equi-join of
+    // the ratings table with the broadcast-size factor vector plus a
+    // key-local aggregate — the exact plan shape of MLlib's ALS with
+    // k = 1, minus the block solvers. Engine-exactness on the k22
+    // integer grid: factors live at e6 fixed point, every Σr·v and
+    // Σv² accumulates exactly (DECIMAL(38,0) where products exceed
+    // 2⁶³), and each half-step floors the identical double division
+    // 10¹²·num/den — so both engines walk the same integer iterate
+    // sequence. The fit report (RMSE) squares e6-truncated residuals
+    // so its sum stays exact at any corpus size instead of riding an
+    // order-dependent float aggregation. Output: top-10 factors per
+    // side + the global reconstruction RMSE.
+    Q("m_als_rank1",
+      (s, d) => {
+        val r = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 2000 && col("l_partkey") < 2000)
+          .groupBy(col("l_orderkey").as("i"), col("l_partkey").as("j"))
+          .agg(sum(floor(col("l_quantity")).cast("long")).as("r"))
+          .localCheckpoint()
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        // one ALS half-step: given factors f on side `by`, solve the
+        // other side `out`: floor(1e12 * sum(r*f) / sum(f^2))
+        def halfStep(f: DataFrame, by: String, out: String): DataFrame =
+          r.join(broadcast(f), Seq(by))
+            .groupBy(col(out))
+            .agg(sum(dec(col("r")) * col("f")).as("num"),
+              sum(dec(col("f")) * col("f")).as("den"))
+            .select(col(out),
+              floor(col("num").cast("double") * 1000000000000.0 /
+                col("den").cast("double")).cast("long").as("f"))
+            .localCheckpoint()
+        var v = r.select(col("j")).distinct()
+          .select(col("j"), lit(1000000L).as("f"))
+        var u: DataFrame = null
+        for (_ <- 1 to 2) {
+          u = halfStep(v, "j", "i")
+          v = halfStep(u, "i", "j")
+        }
+        val rmse = r.join(broadcast(u.select(col("i"), col("f").as("fu"))),
+            Seq("i"))
+          .join(broadcast(v.select(col("j"), col("f").as("fv"))),
+            Seq("j"))
+          // residual truncated to e6 units via a floor of the identical
+          // double division (never BIGINT `div`: Spark truncates toward
+          // zero where DuckDB's `//` floors — they disagree on negative
+          // residuals), so the squared sum is exact and order-free
+          .select(floor((col("r") * 1000000000000L -
+              col("fu") * col("fv")).cast("double") / 1000000.0)
+            .cast("long").as("d6"))
+          .agg(round(
+            sqrt(sum(dec(col("d6")) * col("d6")).cast("double") /
+              count(lit(1)).cast("double")) / 1000000.0, 4)
+            .as("rmse"))
+        val topU = u.orderBy(desc("f"), col("i")).limit(10)
+          .select(lit("order").as("role"), col("i").as("id"),
+            col("f").as("factor_e6"))
+        val topV = v.orderBy(desc("f"), col("j")).limit(10)
+          .select(lit("part").as("role"), col("j").as("id"),
+            col("f").as("factor_e6"))
+        topU.unionByName(topV).crossJoin(broadcast(rmse))
+          .orderBy(col("role"), desc("factor_e6"), col("id"))
+      },
+      Some(alsOracle(2))),
   )
+
+  /** Unrolled rank-1 ALS oracle: ratings + each half-step factor
+    * vector as MATERIALIZED CTEs (every factor table is referenced by
+    * the next half-step AND the final RMSE/top-k — default inlining
+    * would re-run the chain per reference). */
+  private def alsOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT r.i, CAST(floor(
+         |    CAST(sum(CAST(r.r AS HUGEINT) * v.f) AS DOUBLE)
+         |      * 1000000000000.0 /
+         |    CAST(sum(CAST(v.f AS HUGEINT) * v.f) AS DOUBLE))
+         |    AS BIGINT) AS f
+         |  FROM ratings r JOIN v${k - 1} v USING (j) GROUP BY r.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT r.j, CAST(floor(
+         |    CAST(sum(CAST(r.r AS HUGEINT) * u.f) AS DOUBLE)
+         |      * 1000000000000.0 /
+         |    CAST(sum(CAST(u.f AS HUGEINT) * u.f) AS DOUBLE))
+         |    AS BIGINT) AS f
+         |  FROM ratings r JOIN u$k u USING (i) GROUP BY r.j)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT l_orderkey AS i, l_partkey AS j,
+       |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS r
+       |  FROM lineitem
+       |  WHERE l_orderkey < 2000 AND l_partkey < 2000
+       |  GROUP BY 1, 2
+       |), v0 AS (
+       |  SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS f FROM ratings
+       |),
+       |$steps,
+       |rmse AS (
+       |  SELECT round(sqrt(
+       |      CAST(sum(CAST(d6 AS HUGEINT) * d6) AS DOUBLE) /
+       |      CAST(count(*) AS DOUBLE))
+       |      / 1000000.0, 4) AS rmse
+       |  FROM (
+       |    SELECT CAST(floor(CAST(r.r * 1000000000000 - u.f * v.f
+       |      AS DOUBLE) / 1000000.0) AS BIGINT) AS d6
+       |    FROM ratings r JOIN u$rounds u USING (i)
+       |    JOIN v$rounds v USING (j))
+       |)
+       |SELECT role, id, factor_e6, rmse.rmse FROM (
+       |  SELECT * FROM (
+       |    SELECT 'order' AS role, i AS id, f AS factor_e6
+       |    FROM u$rounds ORDER BY f DESC, i LIMIT 10)
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    SELECT 'part' AS role, j AS id, f AS factor_e6
+       |    FROM v$rounds ORDER BY f DESC, j LIMIT 10)
+       |) CROSS JOIN rmse
+       |ORDER BY role, factor_e6 DESC, id""".stripMargin
+  }
 
   /** Unrolled power-iteration oracle: the scatter matrix and each
     * normalized iterate as chained CTEs — v0 is the all-10⁶ vector,

@@ -521,5 +521,80 @@ object Windows {
           |       sqrt(CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE))), 4)
           |  END AS acf2
           |FROM m ORDER BY user_id""".stripMargin)),
+
+    // ----- Holt double-exponential smoothing per user series (Holt
+    // 1957) — level + trend state, the forecasting step up from
+    // w_ewma's level-only smoother. A GENUINELY sequential recursion
+    // (state t needs state t−1), so it cannot be a window frame or a
+    // parallel aggregate: the engine-native shape is a per-key FOLD —
+    // `aggregate()` over the time-sorted per-user array, per-key
+    // state bounded by the series length, keys processed in parallel
+    // (exactly how Structured Streaming's mapGroupsWithState would
+    // hold the same state online; this is its batch twin). The
+    // DuckDB oracle expresses the identical recursion RELATIONALLY as
+    // a WITH RECURSIVE step join on row_number — two very different
+    // plans, one recurrence. Determinism: α = β = ½ is exactly
+    // representable, the fold applies the identical sequence of
+    // IEEE ops in the same (ts, event_id)-sorted order on both
+    // engines, and pure-expression re-evaluation of the new level
+    // inside the trend update is deterministic — so the floats agree
+    // bitwise before the final 4dp rounding.
+    Q("w_holt",
+      (s, d) => {
+        val arr = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"),
+            floor(col("value") * 100.0).cast("double").as("x"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("x")))).as("series"))
+        arr.select(col("user_id"), col("n_events"),
+            aggregate(
+              expr("slice(series, 2, size(series) - 1)"),
+              struct(col("series")(0)("x").as("v"),
+                lit(0.0).as("b")),
+              (st, e) => struct(
+                (e("x") * 0.5 + (st("v") + st("b")) * 0.5).as("v"),
+                (((e("x") * 0.5 + (st("v") + st("b")) * 0.5) - st("v"))
+                  * 0.5 + st("b") * 0.5).as("b"))).as("st"))
+          .select(col("user_id"), col("n_events"),
+            round(col("st.v"), 4).as("level_cents"),
+            round(col("st.b"), 4).as("trend_cents"),
+            round(col("st.v") + col("st.b"), 4).as("forecast_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id,
+          |    CAST(floor("value" * 100.0) AS DOUBLE) AS x,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) AS rn
+          |  FROM events
+          |), nt AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          |  FROM e GROUP BY user_id
+          |), rec AS (
+          |  WITH RECURSIVE st(user_id, rn, v, b) AS (
+          |    SELECT user_id, rn, x, CAST(0.0 AS DOUBLE)
+          |    FROM e WHERE rn = 1
+          |    UNION ALL
+          |    SELECT n.user_id, n.rn,
+          |      n.x * 0.5 + (s.v + s.b) * 0.5,
+          |      ((n.x * 0.5 + (s.v + s.b) * 0.5) - s.v) * 0.5
+          |        + s.b * 0.5
+          |    FROM st s JOIN e n
+          |      ON n.user_id = s.user_id AND n.rn = s.rn + 1)
+          |  SELECT user_id, v, b,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY rn DESC) AS rk
+          |  FROM st
+          |)
+          |SELECT r.user_id, nt.n_events,
+          |  round(r.v, 4) AS level_cents,
+          |  round(r.b, 4) AS trend_cents,
+          |  round(r.v + r.b, 4) AS forecast_cents
+          |FROM rec r JOIN nt USING (user_id)
+          |WHERE r.rk = 1 ORDER BY r.user_id""".stripMargin)),
   )
 }

@@ -225,6 +225,110 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("w_holt matches a driver-side sequential fold per user") {
+    val series = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), floor(col("value") * 100.0).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3))))
+    val got = SparkEntry.queries("w_holt")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    for ((u, per) <- series.groupBy(_._1)) {
+      val xs = per.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)
+      var v = xs.head; var b = 0.0
+      for (x <- xs.tail) {
+        val v2 = x * 0.5 + (v + b) * 0.5
+        b = (v2 - v) * 0.5 + b * 0.5
+        v = v2
+      }
+      def r4(d: Double) = BigDecimal(d)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gl, gt, gf) = got(u)
+      assert(math.abs(gl - r4(v)) < 1e-9, s"user $u level $gl != $v")
+      assert(math.abs(gt - r4(b)) < 1e-9, s"user $u trend $gt != $b")
+      assert(math.abs(gf - r4(v + b)) < 1e-9, s"user $u forecast")
+    }
+  }
+
+  test("m_als_rank1 matches a driver-side alternation; rmse sane") {
+    val ratings = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") < 2000 && col("l_partkey") < 2000)
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("r"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    def half(f: Map[Long, Long], keyOf: ((Long, Long)) => Long,
+             outOf: ((Long, Long)) => Long): Map[Long, Long] =
+      ratings.groupBy(t => outOf(t._1)).map { case (o, rs) =>
+        val num = rs.map(t => BigInt(t._2) * f(keyOf(t._1))).sum
+        val den = rs.map { t =>
+          val x = BigInt(f(keyOf(t._1))); x * x }.sum
+        o -> math.floor(
+          num.toDouble * 1000000000000.0 / den.toDouble).toLong
+      }
+    var v = ratings.map(_._1._2).distinct.map(_ -> 1000000L).toMap
+    var u = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      u = half(v, _._2, _._1)
+      v = half(u, _._1, _._2)
+    }
+    val got = SparkEntry.queries("m_als_rank1")(spark, sf).collect()
+    assert(got.length == 20)
+    for (r <- got) {
+      val want = if (r.getString(0) == "order") u(r.getLong(1))
+                 else v(r.getLong(1))
+      assert(r.getLong(2) == want,
+        s"${r.getString(0)} ${r.getLong(1)}: ${r.getLong(2)} != $want")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("k24_betweenness matches a driver-side truncated Brandes") {
+    val edges = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") < 2000 && col("l_partkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).toSet }
+    val seeds = edges.groupBy(_._1).toSeq
+      .map { case (s, es) => (s, es.map(_._2).distinct.size) }
+      .sortBy { case (s, dg) => (-dg, s) }.take(5).map(_._1)
+    val bc = collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (s <- seeds) {
+      var levels = Vector(Map(s -> 1L))
+      var visited = Set(s)
+      for (_ <- 1 to 4) {
+        val cand = collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((v, sig) <- levels.last; w <- adj.getOrElse(v, Set.empty))
+          cand(w) += sig
+        val fresh = cand.toMap.filter { case (k, _) => !visited(k) }
+        visited ++= fresh.keySet
+        levels = levels :+ fresh
+      }
+      var delta = levels(4).map { case (v, _) => v -> 0L }
+      for (lev <- 3 to 1 by -1) {
+        delta = levels(lev).map { case (v, sig) =>
+          val t = adj.getOrElse(v, Set.empty).toSeq
+            .flatMap { w => levels(lev + 1).get(w).map { sigw =>
+              math.floor(sig.toDouble *
+                (delta.getOrElse(w, 0L) + 1000000L).toDouble /
+                sigw.toDouble).toLong } }.sum
+          v -> t
+        }
+        for ((v, dl) <- delta) bc(v) += dl
+      }
+      for ((v, _) <- levels(4)) bc(v) += 0L
+    }
+    val want = bc.toSeq.sortBy { case (v, b) => (-b, v) }.take(20)
+    val got = SparkEntry.queries("k24_betweenness")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
