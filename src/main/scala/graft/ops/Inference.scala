@@ -859,6 +859,65 @@ object Inference {
           .orderBy(col("role"), desc("factor_e6"), col("id"))
       },
       Some(alsOracle(2))),
+
+    // ----- Calibration / reliability readout (Murphy 1973 Brier
+    // decomposition; the reliability-diagram table every released
+    // classifier ships with): the m_auc detector (embedding dim 1 as
+    // a score for label ≥ 5) bucketed into 10 fixed score bands, each
+    // band reporting its size, positive count, and empirical rate in
+    // floor basis points. The global Brier score of the
+    // band-calibrated predictor collapses per band to the binomial
+    // variance pos·(n−pos)/n — an algebraic identity that turns the
+    // float Σ(p−y)² into per-band integer terms: each is floored at
+    // ppm scale (positive operands, so truncating integer division
+    // IS floor on both engines) and their sum is an exact BIGINT —
+    // no 10-row float aggregation whose order could differ. Scale:
+    // one map-side pass to cells, a 10-row rollup, a 1-row capsule.
+    Q("m_calibration",
+      (s, d) => {
+        val sc = Tables.embeddings(s, d)
+          .select((col("label") >= 5).as("y"),
+            floor(element_at(col("embedding"), 1).cast("double")
+              * 1000.0).cast("long").as("q"))
+          .select(col("y"),
+            greatest(least(floor(col("q") / lit(100.0)).cast("long"),
+              lit(4L)), lit(-5L)).as("bin"))
+        val bins = sc.groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+        val cap = bins
+          .withColumn("t", expr("pos * (n - pos) * 1000000 div n"))
+          .agg(sum(col("t")).as("num"), sum(col("n")).as("den"))
+          .select(floor(col("num").cast("double") /
+            col("den").cast("double")).cast("long").as("brier_ppm"))
+        bins.crossJoin(broadcast(cap))
+          .select(col("bin"), col("n"), col("pos"),
+            floor(col("pos") * 10000L / col("n")).cast("long")
+              .as("pos_rate_bp"),
+            col("brier_ppm"))
+          .orderBy("bin")
+      },
+      Some(
+        """WITH sc AS (
+          |  SELECT label >= 5 AS y,
+          |    greatest(least(CAST(floor(CAST(floor(
+          |      CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+          |      / 100.0) AS BIGINT), 4), -5) AS bin
+          |  FROM embeddings
+          |), bins AS (
+          |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          |  FROM sc GROUP BY bin
+          |), cap AS (
+          |  SELECT CAST(floor(
+          |      CAST(sum(pos * (n - pos) * 1000000 // n) AS DOUBLE) /
+          |      CAST(sum(n) AS DOUBLE)) AS BIGINT) AS brier_ppm
+          |  FROM bins
+          |)
+          |SELECT bin, n, pos,
+          |  pos * 10000 // n AS pos_rate_bp, cap.brier_ppm
+          |FROM bins CROSS JOIN cap
+          |ORDER BY bin""".stripMargin)),
   )
 
   /** Unrolled rank-1 ALS oracle: ratings + each half-step factor

@@ -344,6 +344,54 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Stream-stream FULL OUTER join — both orphan classes at once.
+    * Eviction boundaries differ per side (the engine derives them
+    * from the range condition): an unmatched VIEW settles once the
+    * watermark passes v_ts + 1d (no purchase in [v, v+1d] can still
+    * arrive), an unmatched PURCHASE settles once the watermark passes
+    * p_ts itself (its match window [p−1d, p] is entirely below the
+    * watermark). Both the sink output and the oracle apply the same
+    * 2-hour guard band below each side's boundary (the
+    * `streamLeftJoinCounts` discipline), so only provably-settled
+    * orphans are counted and the eviction rule's exact strictness
+    * never decides a row.
+    */
+  def streamFullJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"),
+        "full_outer")
+      .select(coalesce(col("v_user"), col("p_user")).as("uid"),
+        unix_micros(col("v_ts")).as("v_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+    val wm = graft.Tables.events(s, dir)
+      .agg((max(unix_micros(col("ts"))) - 3600000000L).as("wm_us"))
+    runToMemory(s, joined, "append")
+      .crossJoin(broadcast(wm))
+      .filter((col("v_us").isNotNull && col("p_us").isNotNull) ||
+        (col("p_us").isNull &&
+          col("v_us") + 86400000000L + 7200000000L < col("wm_us")) ||
+        (col("v_us").isNull &&
+          col("p_us") + 7200000000L < col("wm_us")))
+      .groupBy(col("uid").as("user_id"))
+      .agg(sum(when(col("v_us").isNotNull && col("p_us").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("p_us").isNull, 1L).otherwise(0L))
+          .as("n_view_orphans"),
+        sum(when(col("v_us").isNull, 1L).otherwise(0L))
+          .as("n_purchase_orphans"))
+      .orderBy("user_id")
+  }
+
   def streamJoinCounts(s: SparkSession, dir: String): DataFrame = {
     val views = eventsStream(s, dir)
       .filter(col("event_type") === "view")
@@ -574,6 +622,37 @@ object Streams {
           |  CAST(sum(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT)
           |    AS n_orphans
           |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    graft.ops.Q("m_stream_full_join",
+      (s, d) => streamFullJoinCounts(s, d),
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |), wm AS (
+          |  SELECT max(epoch_us(ts)) - 3600000000 AS wm_us FROM events
+          |), j AS (
+          |  SELECT coalesce(v.user_id, p.user_id) AS uid,
+          |    v.v_us, p.p_us
+          |  FROM v FULL JOIN p ON p.user_id = v.user_id
+          |    AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 86400000000
+          |), f AS (
+          |  SELECT uid, v_us, p_us FROM j CROSS JOIN wm
+          |  WHERE (v_us IS NOT NULL AND p_us IS NOT NULL)
+          |     OR (p_us IS NULL
+          |         AND v_us + 86400000000 + 7200000000 < wm.wm_us)
+          |     OR (v_us IS NULL AND p_us + 7200000000 < wm.wm_us)
+          |)
+          |SELECT uid AS user_id,
+          |  CAST(sum(CASE WHEN v_us IS NOT NULL AND p_us IS NOT NULL
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          |  CAST(sum(CASE WHEN p_us IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_view_orphans,
+          |  CAST(sum(CASE WHEN v_us IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_purchase_orphans
+          |FROM f GROUP BY uid ORDER BY user_id""".stripMargin)),
     graft.ops.Q("m_stream_sessionize",
       (s, d) => sessionizeCounts(s, d),
       Some(

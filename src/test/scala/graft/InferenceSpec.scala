@@ -329,6 +329,40 @@ class InferenceSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("m_calibration: Brier bounded by 1/4, bands partition the corpus") {
+    val df = SparkEntry.queries("m_calibration")(spark, sf).collect()
+    assert(df.nonEmpty)
+    val brier = df.head.getLong(4)
+    // p(1-p) <= 1/4: the band-calibrated Brier can never exceed
+    // 250000 ppm, and positives can never exceed band size
+    assert(brier >= 0L && brier <= 250000L, s"brier_ppm $brier")
+    for (r <- df) {
+      assert(r.getLong(2) <= r.getLong(1), "pos > n")
+      val bp = r.getLong(3)
+      assert(bp >= 0L && bp <= 10000L, s"pos_rate_bp $bp")
+    }
+    val n = df.map(_.getLong(1)).sum
+    val total = Tables.embeddings(spark, sf).count()
+    assert(n == total, s"bands cover $n of $total rows")
+  }
+
+  test("m_stream_full_join decomposes into the inner and left twins") {
+    val full = SparkEntry.queries("m_stream_full_join")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val left = SparkEntry.queries("m_stream_left_join")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(full.nonEmpty)
+    // the full join's matched pairs and settled view orphans must be
+    // exactly the left join's — the extra column is purchase orphans
+    for ((u, (m, vo, _)) <- full if left.contains(u)) {
+      assert(left(u) == ((m, vo)),
+        s"user $u: full ($m, $vo) != left ${left(u)}")
+    }
+    assert(full.values.map(_._3).sum > 0L, "purchase orphans vacuous")
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))

@@ -66,7 +66,54 @@ class PlanShapeSpec extends SparkSpec {
     "k15_link_predict", "m_theil_sen", "m_iqr_outliers",
     "m_copurchase", "k17_clustering_coeff", "k18_assortativity",
     "t_zipf_fit", "m_interarrival", "m_embed_centroids",
-    "t_curation_funnel", "k20_reciprocity", "m_auc", "m_moments")
+    "t_curation_funnel", "k20_reciprocity", "m_auc", "m_moments",
+    // inference wave: rank joins, cell self-joins, factor joins —
+    // all keyed or broadcast (m_bootstrap_ci/m_ols_multi/
+    // m_feature_select_mi are pure aggregations; the iterative
+    // builders run bounded driver loops at sf0.001 like the BPE set)
+    "m_spearman", "m_kendall", "m_mannwhitney", "m_mad",
+    "m_bootstrap_ci", "m_ols_multi", "m_feature_select_mi",
+    "w_holt")
+
+  test("m_spearman picks up ranks via broadcast joins, never a shuffle") {
+    // The 100-TB contract of the frequency-table rank design: the
+    // corpus-sized fact table meets the value-level rank tables only
+    // through BroadcastHashJoin — a SortMergeJoin here would mean the
+    // corpus is being shuffled to join a table the size of the value
+    // grid.
+    val df = SparkEntry.queries("m_spearman")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"m_spearman lost its broadcast rank joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"m_spearman shuffles the corpus to join rank tables:\n$plan")
+  }
+
+  test("m_kendall contracts to cells before any join") {
+    // The pair expansion must run over the grid-sized cell table (a
+    // broadcast self-join), never the corpus: no SortMergeJoin, and
+    // the one hash aggregation below the join is the cell contraction.
+    val df = SparkEntry.queries("m_kendall")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"m_kendall cell join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"m_kendall shuffles for its pair expansion:\n$plan")
+  }
+
+  test("m_pca_power scatter build partial-aggregates below its shuffle") {
+    // The one-pass Gram build must map-side combine: the exchange key
+    // is (i, j) — 4096 cells — so a partial_sum above the join and
+    // below the exchange is what keeps the shuffle at cell
+    // cardinality instead of corpus × dim² rows.
+    val df = SparkEntry.queries("m_pca_power")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"scatter-matrix aggregation lost its map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"m_pca_power plans a cartesian:\n$plan")
+  }
 
   test("filters and projections reach the parquet scan on the raw path") {
     // The cached Tables layer is a fixture-shape mitigation (single
