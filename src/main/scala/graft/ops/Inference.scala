@@ -918,6 +918,167 @@ object Inference {
           |  pos * 10000 // n AS pos_rate_bp, cap.brier_ppm
           |FROM bins CROSS JOIN cap
           |ORDER BY bin""".stripMargin)),
+
+    // ----- Split-conformal prediction interval (Papadopoulos et al.
+    // 2002; Vovk's inductive conformal) on the m_ols_multi fit — the
+    // distribution-free uncertainty wrapper production ML actually
+    // ships: fit on the even-orderkey half, take q̂ = the
+    // ⌈0.9·(n+1)⌉-th smallest absolute residual on the odd-orderkey
+    // calibration half, and ±q̂ around any future prediction covers
+    // ≥ 90% by exchangeability alone — no distributional assumption.
+    // Exactness: the fit is the same exact-Cramer determinant
+    // pipeline (128-bit cofactors, train half only); each calibration
+    // residual floors the identical double expression |y − ŷ| to
+    // integer cents; q̂ is an ORDER-STATISTIC selection over the
+    // residual frequency table (min level with cum ≥ ⌈0.9(n+1)⌉ —
+    // integer threshold, the m_winsorize nearest-rank form), so no
+    // float ever decides which residual becomes the quantile. Scale:
+    // two map-side moment passes + one grid-bounded cum window.
+    Q("m_conformal",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          (col("l_orderkey") % 2 === 0).as("train"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("yv"),
+          floor(col("l_quantity")).cast("long").as("x1"),
+          floor(col("l_discount") * 100.0).cast("long").as("x2"))
+        val m = li.filter(col("train")).groupBy("flag").agg(
+          count(lit(1)).as("n_train"),
+          sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum("yv").as("sy"),
+          sum(col("x1") * col("yv")).as("s1y"),
+          sum(col("x2") * col("yv")).as("s2y"))
+        def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        def det3(a: Seq[org.apache.spark.sql.Column]) =
+          dc(a(0)) * (dc(a(4)) * dc(a(8)) - dc(a(5)) * dc(a(7))) -
+          dc(a(1)) * (dc(a(3)) * dc(a(8)) - dc(a(5)) * dc(a(6))) +
+          dc(a(2)) * (dc(a(3)) * dc(a(7)) - dc(a(4)) * dc(a(6)))
+        val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+          (col("n_train"), col("s1"), col("s2"), col("s11"),
+            col("s12"), col("s22"), col("sy"), col("s1y"), col("s2y"))
+        val fit = m.select(col("flag"), col("n_train"),
+          det3(Seq(n, s1, s2, s1, s11, s12, s2, s12, s22))
+            .cast("double").as("deta"),
+          det3(Seq(sy, s1, s2, s1y, s11, s12, s2y, s12, s22))
+            .cast("double").as("d0"),
+          det3(Seq(n, sy, s2, s1, s1y, s12, s2, s2y, s22))
+            .cast("double").as("d1"),
+          det3(Seq(n, s1, sy, s1, s11, s1y, s2, s12, s2y))
+            .cast("double").as("d2"))
+        val cal = li.filter(!col("train"))
+          .join(broadcast(fit), Seq("flag"))
+          .select(col("flag"), col("n_train"),
+            floor(abs(col("yv").cast("double") -
+              (col("d0") + col("d1") * col("x1") +
+                col("d2") * col("x2")) / col("deta"))).cast("long")
+              .as("r"))
+        val freq = cal.groupBy("flag", "n_train", "r")
+          .agg(count(lit(1)).as("t"))
+        val w = Window.partitionBy("flag").orderBy("r")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cum", sum("t").over(w))
+        val nc = freq.groupBy("flag").agg(sum("t").as("n_cal"))
+        val qhat = cum.join(broadcast(nc), Seq("flag"))
+          .filter(col("cum") * 10L >= (col("n_cal") + 1L) * 9L)
+          .groupBy("flag", "n_train", "n_cal")
+          .agg(min(col("r")).as("qhat_cents"))
+        cal.join(broadcast(qhat.select("flag", "qhat_cents", "n_cal")),
+            Seq("flag"))
+          .groupBy("flag")
+          .agg(first("n_train").as("n_train"),
+            first("n_cal").as("n_cal"),
+            first("qhat_cents").as("qhat_cents"),
+            floor(sum(when(col("r") <= col("qhat_cents"), 1L)
+              .otherwise(0L)) * 10000.0 / count(lit(1))).cast("long")
+              .as("coverage_bp"))
+          .select(col("flag").as("l_returnflag"), col("n_train"),
+            col("n_cal"), col("qhat_cents"), col("coverage_bp"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_returnflag AS flag, l_orderkey % 2 = 0 AS train,
+          |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS yv,
+          |    CAST(floor(l_quantity) AS BIGINT) AS x1,
+          |    CAST(floor(l_discount * 100.0) AS BIGINT) AS x2
+          |  FROM lineitem
+          |), m AS (
+          |  SELECT flag, CAST(count(*) AS BIGINT) AS n_train,
+          |    CAST(sum(x1) AS BIGINT) AS s1,
+          |    CAST(sum(x2) AS BIGINT) AS s2,
+          |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+          |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+          |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+          |    CAST(sum(yv) AS BIGINT) AS sy,
+          |    CAST(sum(x1 * yv) AS BIGINT) AS s1y,
+          |    CAST(sum(x2 * yv) AS BIGINT) AS s2y
+          |  FROM li WHERE train GROUP BY flag
+          |), fit AS (
+          |  SELECT flag, n_train,
+          |    CAST(CAST(n_train AS HUGEINT) *
+          |        (CAST(s11 AS HUGEINT) * s22 -
+          |         CAST(s12 AS HUGEINT) * s12) -
+          |      CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s2) +
+          |      CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12 -
+          |        CAST(s11 AS HUGEINT) * s2) AS DOUBLE) AS deta,
+          |    CAST(CAST(sy AS HUGEINT) *
+          |        (CAST(s11 AS HUGEINT) * s22 -
+          |         CAST(s12 AS HUGEINT) * s12) -
+          |      CAST(s1 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s2y) +
+          |      CAST(s2 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s12 -
+          |        CAST(s11 AS HUGEINT) * s2y) AS DOUBLE) AS d0,
+          |    CAST(CAST(n_train AS HUGEINT) *
+          |        (CAST(s1y AS HUGEINT) * s22 -
+          |         CAST(s12 AS HUGEINT) * s2y) -
+          |      CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22 -
+          |        CAST(s12 AS HUGEINT) * s2) +
+          |      CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y -
+          |        CAST(s1y AS HUGEINT) * s2) AS DOUBLE) AS d1,
+          |    CAST(CAST(n_train AS HUGEINT) *
+          |        (CAST(s11 AS HUGEINT) * s2y -
+          |         CAST(s1y AS HUGEINT) * s12) -
+          |      CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y -
+          |        CAST(s1y AS HUGEINT) * s2) +
+          |      CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12 -
+          |        CAST(s11 AS HUGEINT) * s2) AS DOUBLE) AS d2
+          |  FROM m
+          |), cal AS (
+          |  SELECT li.flag, fit.n_train,
+          |    CAST(floor(abs(CAST(yv AS DOUBLE) -
+          |      (d0 + d1 * x1 + d2 * x2) / deta)) AS BIGINT) AS r
+          |  FROM li JOIN fit USING (flag) WHERE NOT train
+          |), freq AS (
+          |  SELECT flag, n_train, r, CAST(count(*) AS BIGINT) AS t
+          |  FROM cal GROUP BY flag, n_train, r
+          |), cum AS (
+          |  SELECT flag, n_train, r, t,
+          |    CAST(sum(t) OVER (PARTITION BY flag ORDER BY r
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), nc AS (
+          |  SELECT flag, CAST(sum(t) AS BIGINT) AS n_cal
+          |  FROM freq GROUP BY flag
+          |), qhat AS (
+          |  SELECT c.flag, c.n_train, nc.n_cal,
+          |    min(c.r) AS qhat_cents
+          |  FROM cum c JOIN nc USING (flag)
+          |  WHERE c.cum * 10 >= (nc.n_cal + 1) * 9
+          |  GROUP BY c.flag, c.n_train, nc.n_cal
+          |)
+          |SELECT cal.flag AS l_returnflag,
+          |  min(q.n_train) AS n_train, min(q.n_cal) AS n_cal,
+          |  min(q.qhat_cents) AS qhat_cents,
+          |  CAST(floor(sum(CASE WHEN cal.r <= q.qhat_cents
+          |      THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT)
+          |    AS coverage_bp
+          |FROM cal JOIN qhat q USING (flag)
+          |GROUP BY cal.flag ORDER BY l_returnflag""".stripMargin)),
   )
 
   /** Unrolled rank-1 ALS oracle: ratings + each half-step factor

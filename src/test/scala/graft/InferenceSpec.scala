@@ -363,6 +363,53 @@ class InferenceSpec extends SparkSpec {
     assert(full.values.map(_._3).sum > 0L, "purchase orphans vacuous")
   }
 
+  test("m_typed_agg plans partial aggregation for the Aggregator") {
+    // the typed Aggregator contract at scale: `merge` must make the
+    // state map-side-combinable, so the plan carries a partial
+    // aggregate below the key exchange — rows never shuffle raw
+    val df = SparkEntry.queries("m_typed_agg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial"),
+      s"typed Aggregator lost its partial aggregation:\n$plan")
+    val top = df.collect()
+    assert(top.length == 20)
+    assert(top.map(_.getLong(3)).toSeq ==
+      top.map(_.getLong(3)).toSeq.sorted.reverse,
+      "not sorted by cents_sum desc")
+  }
+
+  test("m_skyline: staircase output equals brute-force dominance") {
+    val items = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(min(floor(col("l_extendedprice") * 100.0).cast("long"))
+        .as("price"),
+        max(floor(col("l_quantity")).cast("long")).as("qty"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val want = items.filter { case (f, _, p, q) =>
+      !items.exists { case (f2, _, p2, q2) =>
+        f2 == f && p2 <= p && q2 >= q && (p2 < p || q2 > q) }
+    }.map(t => (t._1, t._2, t._3, t._4)).toSet
+    val got = SparkEntry.queries("m_skyline")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"skyline mismatch: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("m_conformal: coverage >= 90% on calibration by construction") {
+    val df = SparkEntry.queries("m_conformal")(spark, sf).collect()
+    assert(df.nonEmpty)
+    for (r <- df) {
+      val cov = r.getLong(4)
+      // nearest-rank-above selection guarantees >= ceil(0.9(n+1))/n
+      assert(cov >= 9000L && cov <= 10000L,
+        s"${r.getString(0)}: coverage $cov bp outside [9000, 10000]")
+      assert(r.getLong(3) >= 0L, "negative quantile")
+    }
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
