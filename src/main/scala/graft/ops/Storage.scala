@@ -494,5 +494,63 @@ object Storage {
           |    AS sum_price
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- Transparent materialized-view routing (graft/plans/
+    // MvRewrite.scala — see its header for the matcher's safety
+    // rules): the consumer writes the plain fact-table aggregate;
+    // the injected optimizer rule answers it from the pre-aggregated
+    // summary landed once per (session, dir), and the base
+    // `lineitem.parquet` is never opened (StorageSpec pins the
+    // executed plan to contain the summary path and NOT the base
+    // path, plus negative controls: a different aggregate shape and
+    // a filtered query must still scan the base table). The summary
+    // carries exact integers (sum of floored quantities, counts), so
+    // routed and direct answers are bit-identical — the oracle
+    // recomputes from raw lineitem, proving the route changes cost,
+    // never results.
+    Q("m_mv_rewrite",
+      (s, d) => {
+        graft.plans.MvRewrite.install(s)
+        val mv = s.read.parquet(mvSummaryDir(s, d))
+        graft.plans.MvRewrite.registered =
+          Some(graft.plans.MvRewrite.MvDef(
+            s"$d/lineitem.parquet", mv.queryExecution.analyzed,
+            "l_returnflag", "qty_sum", "n"))
+        Tables.rawTable(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+          |    AS qty_sum,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)),
   )
+
+  /** Land the lineitem-by-flag summary once per (session, dir); the
+    * registration is disarmed while the summary itself materializes so
+    * the build can never be routed. */
+  private def mvSummaryDir(s: SparkSession, d: String): String = {
+    val m = Tables.sessionScoped(s)
+    val key = s"dir:graft_mv_li_flag_${sfx(d)}"
+    val loc = s.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_mv_li_flag_${sfx(d)}")).toString
+    if (m.get(key) == null) {
+      graft.plans.MvRewrite.registered = None
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Tables.rawTable(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(loc)
+      m.putIfAbsent(key, s.emptyDataFrame)
+    }
+    loc
+  }
 }

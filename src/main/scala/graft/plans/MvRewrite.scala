@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+/** Transparent materialized-view routing — the classic warehouse
+  * planning lever (Goldstein & Larson, SIGMOD 2001 "Optimizing queries
+  * using materialized views"): a registered summary table answers a
+  * matching aggregate query WITHOUT touching the base table, and the
+  * rewrite happens inside the OPTIMIZER, so the consumer keeps writing
+  * the plain `groupBy(...).agg(...)` they always wrote. At 100 TB this
+  * is the difference between a multi-minute fact-table scan and a
+  * milliseconds dimension-sized read for every dashboard refresh.
+  *
+  * The matcher is deliberately NARROW and conservative — the safety
+  * bar for an injected rule that stays installed session-wide:
+  *
+  *   - the aggregate must group by exactly the registered column and
+  *     compute exactly the registered aggregate shapes
+  *     (`sum(floor(l_quantity))`, `count(1)` — no DISTINCT, no FILTER
+  *     clauses);
+  *   - the child tree below the aggregate may contain ONLY
+  *     projection/alias nodes above the base-table file scan — any
+  *     `Filter` (or join, generator, …) makes the summary unusable
+  *     and the plan is left alone;
+  *   - the scan's root path must match the registered base-table path
+  *     EXACTLY per scale-factor directory, so a summary built from
+  *     one dataset can never answer for another.
+  *
+  * The rewrite preserves the original output `exprId`s (downstream
+  * operators — the Sort above, a parent join — keep resolving), and
+  * the summary holds final per-group values for a grouping identical
+  * to the query's, so the replacement is a pure column mapping with
+  * no re-aggregation. Registered via `GraftExtensions`
+  * (injectOptimizerRule) and runtime-installable on an existing
+  * session via `install` (the RewriteHofDotProduct pattern).
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** The registered summary: base-table path hint (scale-factor
+    * specific), the summary table's analyzed plan, and its column
+    * names. Swapped atomically per registration; None disables. */
+  final case class MvDef(basePathHint: String, mv: LogicalPlan,
+                         groupCol: String, sumCol: String,
+                         countCol: String)
+
+  @volatile var registered: Option[MvDef] = None
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  /** Only Project/SubqueryAlias between the aggregate and the scan of
+    * the registered base path — anything else invalidates reuse. */
+  private def baseScanOnly(p: LogicalPlan, hint: String): Boolean =
+    p match {
+      case Project(_, c)         => baseScanOnly(c, hint)
+      case SubqueryAlias(_, c)   => baseScanOnly(c, hint)
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.exists(_.toString.endsWith(hint))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** Classify one aggregate-list entry against the registered shapes:
+    * the grouping column itself, sum(floor(l_quantity)), or count(1).
+    */
+  private def shapeOf(e: NamedExpression,
+                      d: MvDef): Option[String] = e match {
+    case a: AttributeReference if a.name == d.groupCol => Some("group")
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Sum(Floor(q: AttributeReference), _)
+            if q.name == "l_quantity" => Some("sum")
+        case Count(Seq(Literal(1, _))) => Some("count")
+        case _ => None
+      }
+    case _ => None
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = registered match {
+    case None => plan
+    case Some(d) => plan transform {
+      case Aggregate(Seq(g: AttributeReference), aggs, child, _)
+          if g.name == d.groupCol && baseScanOnly(child, d.basePathHint)
+            && aggs.forall(shapeOf(_, d).isDefined)
+            && Seq(d.groupCol, d.sumCol, d.countCol).forall(n =>
+              d.mv.output.exists(_.name == n)) =>
+        def mvAttr(n: String): Attribute =
+          d.mv.output.find(_.name == n).get
+        val proj = aggs.map { orig =>
+          val src = shapeOf(orig, d).get match {
+            case "group" => mvAttr(d.groupCol)
+            case "sum"   => mvAttr(d.sumCol)
+            case "count" => mvAttr(d.countCol)
+          }
+          Alias(src, orig.name)(exprId = orig.exprId)
+        }
+        Project(proj, d.mv)
+    }
+  }
+}

@@ -353,4 +353,41 @@ class StorageSpec extends SparkSpec {
     assert(kept2 == Seq(4L, 5L) && deleted2.isEmpty,
       "vacuum is not idempotent")
   }
+
+  test("m_mv_rewrite routes to the summary, never the base scan") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("m_mv_rewrite")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"),
+      s"routed query still scans the base table:\n$plan")
+    assert(plan.contains("graft_mv_li_flag"),
+      s"routed query does not read the summary:\n$plan")
+    // negative control 1: a different aggregate shape must NOT route
+    val ctrl = Tables.rawTable(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(floor(col("l_extendedprice"))).as("x"))
+    assert(ctrl.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+      "non-matching aggregate was routed to the summary")
+    // negative control 2: a Filter below the aggregate invalidates
+    // the summary — must NOT route
+    val fctrl = Tables.rawTable(spark, sf, "lineitem")
+      .filter(col("l_quantity") < 10.0)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
+        count(lit(1)).as("n"))
+    assert(fctrl.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+      "filtered aggregate was wrongly routed to the summary")
+    // result invariance: disarm the rule and recompute directly
+    val routed = df.collect().map(_.toSeq)
+    graft.plans.MvRewrite.registered = None
+    val direct = Tables.rawTable(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    assert(routed.toSeq == direct.toSeq,
+      "routed and direct answers differ")
+  }
 }
