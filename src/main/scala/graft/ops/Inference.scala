@@ -1079,6 +1079,107 @@ object Inference {
           |    AS coverage_bp
           |FROM cal JOIN qhat q USING (flag)
           |GROUP BY cal.flag ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- Empirical-Bayes rate shrinkage (beta-binomial, method of
+    // moments — Robbins 1956; the ads/recsys "CTR smoothing"
+    // production pattern): per-user conversion rates (events with
+    // value > 200) are noisy for low-activity users, so each rate is
+    // shrunk toward the population prior Beta(α, β), fitted by MoM
+    // from the across-user rate distribution. Exactness: each user's
+    // raw rate is floor-quantized to an e6 integer (one identical
+    // double division + floor), so the population moment sums are
+    // EXACT BIGINTs; α and β derive from those exact integers in one
+    // identically-associated double expression, and the posterior
+    // mean (pos + α)/(n + α + β) is again a single shared expression
+    // rounded 4dp — the only floats in the pipeline are
+    // deterministic scalars, never aggregated. Scale: one keyed
+    // aggregate to per-user counts, one 1-row moment capsule
+    // broadcast back. Degenerate guard: if the rate variance exceeds
+    // μ(1−μ) (prior undefined) the posterior falls back to the raw
+    // rate — expressed with the same when() on both engines.
+    Q("m_eb_shrinkage",
+      (s, d) => {
+        val peru = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > 200.0, 1L).otherwise(0L))
+              .as("pos"))
+          .withColumn("r6",
+            floor(col("pos") * 1000000.0 / col("n")).cast("long"))
+        val cap = peru.agg(count(lit(1)).as("u"),
+          sum("r6").as("sr"), sum(col("r6") * col("r6")).as("srr"))
+        val mu = col("sr").cast("double") / col("u") / 1000000.0
+        val vr = (col("srr").cast("double") / col("u") -
+          (col("sr").cast("double") / col("u")) *
+            (col("sr").cast("double") / col("u"))) / 1.0e12
+        val kf = mu * (lit(1.0) - mu) / vr - lit(1.0)
+        val prior = cap.select(col("u"),
+          (mu * kf).as("alpha"), ((lit(1.0) - mu) * kf).as("beta"),
+          (vr > lit(0.0) && kf > lit(0.0)).as("ok"))
+        peru.crossJoin(broadcast(prior))
+          .select(col("user_id"), col("n"), col("pos"),
+            floor(col("pos") * 10000.0 / col("n")).cast("long")
+              .as("raw_bp"),
+            round(col("alpha"), 4).as("alpha"),
+            round(col("beta"), 4).as("beta"),
+            round(when(col("ok"),
+              (col("pos") + col("alpha")) /
+                (col("n") + col("alpha") + col("beta")))
+              .otherwise(col("pos").cast("double") / col("n")), 4)
+              .as("shrunk_rate"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH peru AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN "value" > 200.0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS pos
+          |  FROM events GROUP BY user_id
+          |), q AS (
+          |  SELECT user_id, n, pos,
+          |    CAST(floor(pos * 1000000.0 / n) AS BIGINT) AS r6
+          |  FROM peru
+          |), cap AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS u,
+          |    CAST(sum(r6) AS BIGINT) AS sr,
+          |    CAST(sum(r6 * r6) AS BIGINT) AS srr
+          |  FROM q
+          |), prior AS (
+          |  SELECT u,
+          |    (CAST(sr AS DOUBLE) / u / 1000000.0) *
+          |      ((CAST(sr AS DOUBLE) / u / 1000000.0) *
+          |       (1.0 - CAST(sr AS DOUBLE) / u / 1000000.0) /
+          |       ((CAST(srr AS DOUBLE) / u -
+          |         (CAST(sr AS DOUBLE) / u) *
+          |         (CAST(sr AS DOUBLE) / u)) / 1.0e12) - 1.0)
+          |      AS alpha,
+          |    (1.0 - CAST(sr AS DOUBLE) / u / 1000000.0) *
+          |      ((CAST(sr AS DOUBLE) / u / 1000000.0) *
+          |       (1.0 - CAST(sr AS DOUBLE) / u / 1000000.0) /
+          |       ((CAST(srr AS DOUBLE) / u -
+          |         (CAST(sr AS DOUBLE) / u) *
+          |         (CAST(sr AS DOUBLE) / u)) / 1.0e12) - 1.0)
+          |      AS beta,
+          |    ((CAST(srr AS DOUBLE) / u -
+          |      (CAST(sr AS DOUBLE) / u) *
+          |      (CAST(sr AS DOUBLE) / u)) / 1.0e12 > 0.0
+          |     AND (CAST(sr AS DOUBLE) / u / 1000000.0) *
+          |       (1.0 - CAST(sr AS DOUBLE) / u / 1000000.0) /
+          |       ((CAST(srr AS DOUBLE) / u -
+          |         (CAST(sr AS DOUBLE) / u) *
+          |         (CAST(sr AS DOUBLE) / u)) / 1.0e12) - 1.0 > 0.0)
+          |      AS ok
+          |  FROM cap
+          |)
+          |SELECT q.user_id, q.n, q.pos,
+          |  CAST(floor(q.pos * 10000.0 / q.n) AS BIGINT) AS raw_bp,
+          |  round(p.alpha, 4) AS alpha, round(p.beta, 4) AS beta,
+          |  round(CASE WHEN p.ok THEN
+          |      (q.pos + p.alpha) / (q.n + p.alpha + p.beta)
+          |    ELSE CAST(q.pos AS DOUBLE) / q.n END, 4)
+          |    AS shrunk_rate
+          |FROM q CROSS JOIN prior p
+          |ORDER BY q.user_id""".stripMargin)),
   )
 
   /** Unrolled rank-1 ALS oracle: ratings + each half-step factor

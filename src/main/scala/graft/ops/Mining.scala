@@ -1476,6 +1476,87 @@ object Mining {
           |SELECT event_type, n, n_cells,
           |  CAST(num AS DOUBLE) / (20.0 * bigd * n) AS chi2,
           |  1000 * num > 251840 * bigd * n AS weekly_pulse
-          |FROM sq ORDER BY event_type""".stripMargin))
+          |FROM sq ORDER BY event_type""".stripMargin)),
+
+    // ----- Hill tail-index estimator (Hill 1975) per metric — the
+    // heavy-tail diagnostic that tells a pipeline whether means and
+    // variances even EXIST for this column (α ≤ 2 ⇒ infinite
+    // variance ⇒ every moment-based monitor upstream is lying): ξ =
+    // (1/k)Σ ln(x_i/x_(k+1)) over the k = 100 largest values, α =
+    // 1/ξ. Order statistics come from the DESC-cumulative frequency
+    // table (the m_gini compression — windows over distinct value
+    // levels, never rows): x_(k+1) = max{v : #≥v ≥ k+1}, and each
+    // level v > that reference contributes min(t, k − #strictly
+    // above) copies — an exact integer multiset whose weights sum to
+    // k by construction. Each ln ratio is floor-scaled to e6 BIGINTs
+    // (the t_zipf_fit discipline) so the Hill sum is an exact
+    // integer; ξ and α are single shared double expressions rounded
+    // 4dp. Scale: one frequency aggregation + one per-type window
+    // over distinct cents levels.
+    Q("m_hill_tail",
+      (s, d) => {
+        val freq = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100.0).cast("long").as("v"))
+          .filter(col("v") > 0L)
+          .groupBy("event_type", "v").agg(count(lit(1)).as("t"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("v").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cumd", sum("t").over(w))
+        val xref = cum.filter(col("cumd") >= 101L)
+          .groupBy("event_type").agg(max("v").as("xr"))
+        val hill = cum.join(broadcast(xref), Seq("event_type"))
+          .filter(col("v") >= col("xr") && col("cumd") - col("t") < 100L)
+          .select(col("event_type"), col("xr"),
+            least(col("t"), lit(100L) - (col("cumd") - col("t")))
+              .as("wgt"),
+            floor(log(col("v").cast("double") /
+              col("xr").cast("double")) * 1000000.0).cast("long")
+              .as("l6"))
+          .groupBy("event_type", "xr")
+          .agg(sum("wgt").as("k"), sum(col("wgt") * col("l6")).as("h6"))
+        hill.select(col("event_type"), col("k"),
+            col("xr").as("xref_cents"),
+            round(col("h6").cast("double") /
+              (col("k").cast("double") * 1000000.0), 4).as("xi"),
+            round(col("k").cast("double") * 1000000.0 /
+              col("h6").cast("double"), 4).as("alpha"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH freq AS (
+          |  SELECT event_type,
+          |    CAST(floor("value" * 100.0) AS BIGINT) AS v,
+          |    CAST(count(*) AS BIGINT) AS t
+          |  FROM events WHERE floor("value" * 100.0) > 0
+          |  GROUP BY event_type, v
+          |), cum AS (
+          |  SELECT event_type, v, t,
+          |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cumd
+          |  FROM freq
+          |), xref AS (
+          |  SELECT event_type, CAST(max(v) AS BIGINT) AS xr
+          |  FROM cum WHERE cumd >= 101 GROUP BY event_type
+          |), hill AS (
+          |  SELECT c.event_type, x.xr,
+          |    CAST(sum(least(c.t, 100 - (c.cumd - c.t))) AS BIGINT)
+          |      AS k,
+          |    CAST(sum(least(c.t, 100 - (c.cumd - c.t)) *
+          |      CAST(floor(ln(CAST(c.v AS DOUBLE) /
+          |        CAST(x.xr AS DOUBLE)) * 1000000.0) AS BIGINT))
+          |      AS BIGINT) AS h6
+          |  FROM cum c JOIN xref x USING (event_type)
+          |  WHERE c.v >= x.xr AND c.cumd - c.t < 100
+          |  GROUP BY c.event_type, x.xr
+          |)
+          |SELECT event_type, k, xr AS xref_cents,
+          |  round(CAST(h6 AS DOUBLE) /
+          |    (CAST(k AS DOUBLE) * 1000000.0), 4) AS xi,
+          |  round(CAST(k AS DOUBLE) * 1000000.0 /
+          |    CAST(h6 AS DOUBLE), 4) AS alpha
+          |FROM hill ORDER BY event_type""".stripMargin)),
   )
 }

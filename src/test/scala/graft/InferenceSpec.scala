@@ -410,6 +410,49 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("m_eb_shrinkage: posterior sits between the raw rate and prior") {
+    val rows = SparkEntry.queries("m_eb_shrinkage")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val alpha = rows.head.getDouble(4)
+    val beta = rows.head.getDouble(5)
+    assert(alpha > 0.0 && beta > 0.0, s"prior ($alpha, $beta)")
+    val priorMean = alpha / (alpha + beta)
+    for (r <- rows) {
+      val raw = r.getLong(2).toDouble / r.getLong(1)
+      val shrunk = r.getDouble(6)
+      val (lo, hi) = (math.min(raw, priorMean) - 1e-4,
+        math.max(raw, priorMean) + 1e-4)
+      assert(shrunk >= lo && shrunk <= hi,
+        s"user ${r.getLong(0)}: $shrunk outside [$lo, $hi]")
+    }
+  }
+
+  test("m_hill_tail matches a driver-side top-100 Hill sum") {
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 100.0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L)
+    val got = SparkEntry.queries("m_hill_tail")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    for ((t, per) <- vals.groupBy(_._1) if per.length >= 101) {
+      val sorted = per.map(_._2).sortBy(-_)
+      val xref = sorted(100)
+      val h6 = sorted.take(100)
+        .map(v => math.floor(
+          math.log(v.toDouble / xref.toDouble) * 1000000.0).toLong)
+        .sum
+      val (k, xr, xi) = got(t)
+      assert(k == 100L, s"$t: k=$k")
+      assert(xr == xref, s"$t: xref $xr != $xref")
+      assert(math.abs(xi - h6.toDouble / 1e8) < 1e-3,
+        s"$t: xi $xi vs brute ${h6.toDouble / 1e8}")
+    }
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
