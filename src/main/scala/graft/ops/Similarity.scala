@@ -338,6 +338,78 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
 
+    // ----- Banding-recall evaluation of the MinHash/LSH pipeline —
+    // the measurement a dedup deployment runs BEFORE trusting its
+    // parameters: ground truth is EVERY pair with exact Jaccard ≥ 0.5
+    // (inverted-index posting join, the m_ngram_jaccard shape — the
+    // threshold 2·inter ≥ union is pure integers, no float ever
+    // decides membership), candidates are the untrusted banding
+    // output (bucketPairs over the same band table the production
+    // query uses), and recall is reported PER JACCARD DECILE — the
+    // empirical S-curve that Broder's banding analysis
+    // (P[candidate] = 1−(1−j^r)^b) predicts: near-duplicates at 0.9+
+    // should be caught almost surely, borderline 0.5s are allowed to
+    // slip. Decile = ⌊10·inter/union⌋ clamped to 9 — integer
+    // division of positive integers, identical on both engines.
+    // Scale: the truth side is the posting-list join (bounded by
+    // shared-shingle co-occurrence, not |docs|²); the candidate side
+    // reuses the write-once band table.
+    Q("m_dedup_recall",
+      (s, d) => {
+        val ex = shingled(s, d)
+          .select(col("doc_id"), explode(col("sh")).as("sx"))
+        val n = ex.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+        val truth = ex.as("a")
+          .join(ex.select(col("doc_id").as("d2"), col("sx")).as("b"),
+            Seq("sx"))
+          .filter(col("doc_id") < col("d2"))
+          .groupBy(col("doc_id").as("d1"), col("d2"))
+          .agg(count(lit(1)).as("i"))
+          .join(n.select(col("doc_id").as("d1"), col("cnt").as("c1")),
+            Seq("d1"))
+          .join(n.select(col("doc_id").as("d2"), col("cnt").as("c2")),
+            Seq("d2"))
+          .withColumn("un", col("c1") + col("c2") - col("i"))
+          .filter(col("i") * 2L >= col("un"))
+          .withColumn("decile", least(expr("i * 10 div un"), lit(9L)))
+        val cand = bucketPairs(bandTable(s, d))
+          .withColumn("hit", lit(1L))
+        truth.join(cand, Seq("d1", "d2"), "left")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+          .withColumn("recall_bp", expr("n_found * 10000 div n_true"))
+          .orderBy("decile")
+      },
+      Some(
+        s"""WITH $minhashPairsCtes, nn AS (
+           |  SELECT doc_id, count(*) AS cnt FROM ex GROUP BY doc_id
+           |), truth AS (
+           |  SELECT t.d1, t.d2, t.i,
+           |    n1.cnt + n2.cnt - t.i AS un
+           |  FROM (
+           |    SELECT e1.doc_id AS d1, e2.doc_id AS d2,
+           |      CAST(count(*) AS BIGINT) AS i
+           |    FROM ex e1 JOIN ex e2
+           |      ON e2.s = e1.s AND e1.doc_id < e2.doc_id
+           |    GROUP BY 1, 2) t
+           |  JOIN nn n1 ON n1.doc_id = t.d1
+           |  JOIN nn n2 ON n2.doc_id = t.d2
+           |  WHERE 2 * t.i >= n1.cnt + n2.cnt - t.i
+           |), dec AS (
+           |  SELECT d1, d2, least(i * 10 // un, 9) AS decile
+           |  FROM truth
+           |), flagged AS (
+           |  SELECT dec.decile,
+           |    CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |  FROM dec LEFT JOIN cand c
+           |    ON c.d1 = dec.d1 AND c.d2 = dec.d2
+           |)
+           |SELECT decile, CAST(count(*) AS BIGINT) AS n_true,
+           |  CAST(sum(hit) AS BIGINT) AS n_found,
+           |  CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS recall_bp
+           |FROM flagged GROUP BY decile ORDER BY decile""".stripMargin)),
+
     // ----- exact dedup by content hash: canonical hash-groupBy first-wins.
     // Survivor = min doc_id per md5(text); n_copies counts the group.
     Q("m_exact_dedup",

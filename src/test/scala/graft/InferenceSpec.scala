@@ -453,6 +453,22 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("m_dedup_recall: counts cohere and every found pair is true") {
+    val rows = SparkEntry.queries("m_dedup_recall")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no true near-dup pairs in fixture")
+    for (r <- rows) {
+      val (nt, nf, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nf <= nt, s"decile ${r.getLong(0)}: found $nf > true $nt")
+      assert(bp == nf * 10000L / nt, "recall_bp does not re-derive")
+    }
+    // the top decile (0.9+) must be fully recalled: banding with
+    // 4 bands x 3 rows catches j >= 0.9 with prob ~1 - (1-0.729)^4
+    val top = rows.filter(_.getLong(0) == 9L)
+    assert(top.nonEmpty && top.head.getLong(3) >= 9000L,
+      "near-exact duplicates slipping past the banding")
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
