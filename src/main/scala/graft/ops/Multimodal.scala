@@ -45,6 +45,14 @@ object Multimodal {
     StructField("n_pixels", IntegerType),
     StructField("checksum", LongType)))
 
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("checksum", LongType)))
+
   /** Spec-conformant PNG encoder for 8-bit grayscale: signature, IHDR,
     * one IDAT holding the zlib-deflated filter-0 scanlines, IEND — with
     * per-chunk CRC32s. Hand-rolled instead of `ImageIO.write` because
@@ -168,7 +176,79 @@ object Multimodal {
     }(enc)
   }
 
+  /** mapPartitions resize stage — decode the real PNG and nearest-
+    * neighbor sample it into a thumbnail fitting a 16×16 box
+    * (preserving aspect, upscaling small images — the "fit" contract):
+    * sx = ⌊ox·w/out_w⌋, sy = ⌊oy·h/out_h⌋, all integer division. The
+    * reader is per-partition like [[decodePartitions]]; the checksum
+    * over SAMPLED pixels can only come out right if both the inflate
+    * round-trip and the NN index arithmetic are correct — which is
+    * exactly what the oracle recomputes from the document text.
+    */
+  def resizePartitions(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    val box = 16
+    blobs.select("doc_id", "png").mapPartitions { it =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        val m = math.max(w, h)
+        val ow = math.max(1, w * box / m)
+        val oh = math.max(1, h * box / m)
+        val raster = img.getRaster
+        var sum = 0L
+        var p = 0
+        while (p < ow * oh) {
+          val sx = (p % ow) * w / ow
+          val sy = (p / ow) * h / oh
+          sum += raster.getSample(sx, sy, 0)
+          p += 1
+        }
+        Row(id, w, h, ow, oh, sum % 1000003L)
+      }
+    }(enc)
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ----- the real resize: render → PNG → decode → nearest-neighbor
+    // thumbnail, all inside the partition-scoped codec stage. The
+    // oracle recomputes the SAMPLED pixel checksum arithmetically from
+    // the text (pixel(i) = charCode(i mod n), NN index
+    // (⌊oy·h/oh⌋·w + ⌊ox·w/ow⌋) mod n) — the row hash-matches only if
+    // decode AND the resampling index math both agree byte-for-byte.
+    Q("m_multimodal_resize_real",
+      (s, d) => resizePartitions(
+        encodePartitions(Tables.documents(s, d))).orderBy("doc_id"),
+      Some(
+        """WITH dims AS (
+          |  SELECT doc_id, text, n_chars,
+          |    CAST(n_chars % 64 + 1 AS INT) AS w,
+          |    CAST(n_chars % 48 + 1 AS INT) AS h
+          |  FROM documents
+          |), boxed AS (
+          |  SELECT doc_id, text, n_chars, w, h,
+          |    greatest(CAST(w * 16 // greatest(w, h) AS INT), 1) AS ow,
+          |    greatest(CAST(h * 16 // greatest(w, h) AS INT), 1) AS oh
+          |  FROM dims
+          |)
+          |SELECT doc_id, w AS width, h AS height,
+          |  ow AS out_w, oh AS out_h,
+          |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST(list_sum(list_transform(range(ow * oh),
+          |         p -> ascii(substr(text,
+          |           CAST(((p // ow) * h // oh) * w +
+          |                ((p % ow) * w // ow) AS INT) % n_chars + 1,
+          |           1)))) % 1000003 AS BIGINT) END AS checksum
+          |FROM boxed ORDER BY doc_id""".stripMargin)),
 
     // ----- typed metadata over the binary column, pure built-ins
     Q("m_multimodal_meta",
