@@ -410,6 +410,108 @@ object Similarity {
            |  CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS recall_bp
            |FROM flagged GROUP BY decile ORDER BY decile""".stripMargin)),
 
+    // ----- Hybrid retrieval by reciprocal-rank fusion (Cormack,
+    // Clarke & Buettcher, SIGIR 2009) — the production combiner for
+    // lexical + vector search: each ranker contributes 1/(60 + rank)
+    // and the fused order is robust to incomparable score scales
+    // (RRF never looks at raw scores, only ranks). Lexical side: an
+    // integer tf-idf over the fixed query terms (idf e6-floored per
+    // the t_zipf_fit ln discipline, so the per-doc score — and hence
+    // the rank — is an exact BIGINT; the rank window runs over docs
+    // MATCHING the query terms, candidate-bounded, not the corpus).
+    // Vector side: exact cosine to the probe embedding, ranked on the
+    // 6dp-rounded value with id tie-break (the m_cosine_topk
+    // contract). Fusion: each reciprocal is floored to e6 so the
+    // fused score is an exact integer sum — no float aggregate, no
+    // cross-engine tie. Docs ranked by only one modality contribute
+    // one term (full outer alignment). Top-20 by fused score.
+    Q("m_rrf_fusion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("spark", "join", "vector")
+        val docsN = Tables.documents(s, d).agg(count(lit(1)).as("nn"))
+        val tf = Tables.documents(s, d)
+          .filter(col("doc_id") =!= 0L)
+          .select(col("doc_id"), explode(split(col("text"), " "))
+            .as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfx), Seq("tok"))
+          .crossJoin(broadcast(docsN))
+          .withColumn("idf6",
+            floor(log((col("nn") + 1.0) / (col("df") + 1.0)) *
+              1000000.0).cast("long"))
+          .groupBy("doc_id").agg(sum(col("tf") * col("idf6")).as("ts"))
+        val tr = scored.withColumn("rank_text",
+          row_number().over(Window.orderBy(desc("ts"), col("doc_id"))))
+          .select(col("doc_id"), col("rank_text"))
+        val e = normed(s, d)
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("e").as("qe"), col("nrm").as("qn"))
+        val cs = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+          .withColumn("cos",
+            round(dot(col("qe"), col("e")) / (col("qn") * col("nrm")),
+              6))
+        val vr = cs.withColumn("rank_vec",
+          row_number().over(Window.orderBy(desc("cos"), col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank_vec"))
+        tr.join(vr, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_e6",
+            coalesce(expr("CAST(1000000 div (60 + rank_text) AS BIGINT)"),
+              lit(0L)) +
+            coalesce(expr("CAST(1000000 div (60 + rank_vec) AS BIGINT)"),
+              lit(0L)))
+          .orderBy(desc("rrf_e6"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("rank_text"), col("rank_vec"),
+            col("rrf_e6"))
+      },
+      Some(
+        """WITH nn AS (SELECT count(*) AS nn FROM documents),
+          |tf AS (
+          |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |        FROM documents WHERE doc_id <> 0)
+          |  WHERE tok IN ('spark', 'join', 'vector')
+          |  GROUP BY doc_id, tok
+          |), dfx AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+          |  FROM tf GROUP BY tok
+          |), scored AS (
+          |  SELECT doc_id,
+          |    CAST(sum(tf * CAST(floor(ln((nn.nn + 1.0) / (df + 1.0))
+          |      * 1000000.0) AS BIGINT)) AS BIGINT) AS ts
+          |  FROM tf JOIN dfx USING (tok) CROSS JOIN nn
+          |  GROUP BY doc_id
+          |), tr AS (
+          |  SELECT doc_id, CAST(row_number() OVER (
+          |    ORDER BY ts DESC, doc_id) AS INT) AS rank_text
+          |  FROM scored
+          |), q AS (SELECT embedding AS qe FROM embeddings
+          |         WHERE vec_id = 0),
+          |u AS (
+          |  SELECT e.vec_id, CAST(unnest(q.qe) AS DOUBLE) AS x,
+          |         CAST(unnest(e.embedding) AS DOUBLE) AS y
+          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+          |), cs AS (
+          |  SELECT vec_id,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+          |      AS cos
+          |  FROM u GROUP BY vec_id
+          |), vr AS (
+          |  SELECT vec_id AS doc_id, CAST(row_number() OVER (
+          |    ORDER BY cos DESC, vec_id) AS INT) AS rank_vec
+          |  FROM cs
+          |)
+          |SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+          |  tr.rank_text, vr.rank_vec,
+          |  coalesce(CAST(1000000 // (60 + tr.rank_text) AS BIGINT), 0)
+          |    + coalesce(CAST(1000000 // (60 + vr.rank_vec) AS BIGINT),
+          |        0) AS rrf_e6
+          |FROM tr FULL JOIN vr ON vr.doc_id = tr.doc_id
+          |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ----- exact dedup by content hash: canonical hash-groupBy first-wins.
     // Survivor = min doc_id per md5(text); n_copies counts the group.
     Q("m_exact_dedup",

@@ -469,6 +469,39 @@ class InferenceSpec extends SparkSpec {
       "near-exact duplicates slipping past the banding")
   }
 
+  test("m_multimodal_resize_real: box-fit dims and bounded checksum") {
+    val rows = SparkEntry.queries("m_multimodal_resize_real")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))
+      assert(ow >= 1 && ow <= 16 && oh >= 1 && oh <= 16,
+        s"doc ${r.getLong(0)}: thumb ${ow}x$oh outside the 16 box")
+      // the larger source axis maps to the full box edge
+      assert((if (w >= h) ow else oh) == 16 || math.max(w, h) < 16,
+        s"doc ${r.getLong(0)}: aspect fit broken ${w}x$h -> ${ow}x$oh")
+      val cs = r.getLong(5)
+      assert(cs >= 0L && cs < 1000003L, s"checksum $cs out of field")
+    }
+  }
+
+  test("m_rrf_fusion: fused score re-derives from the two ranks") {
+    val rows = SparkEntry.queries("m_rrf_fusion")(spark, sf).collect()
+    assert(rows.length == 20)
+    var both = 0
+    for (r <- rows) {
+      val rt = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rv = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val want = rt.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        rv.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) == want,
+        s"doc ${r.getLong(0)}: rrf ${r.getLong(3)} != $want")
+      if (rt.isDefined && rv.isDefined) both += 1
+    }
+    assert(both > 0, "no doc ranked by both modalities in the top-20")
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
