@@ -529,7 +529,67 @@ object Storage {
           |  CAST(count(*) AS BIGINT) AS n
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- Right-to-erasure delete (the GDPR Art. 17 batch job): the
+    // event log is immutable parquet, so "delete user X" is a
+    // FILTERED REWRITE — the same copy-on-write move as m_compact and
+    // the m_stream_upsert generations, pointed at a deletion set.
+    // The audit row reports counts from the raw table AND from the
+    // rewritten copy read back off disk (`rows_after` comes from the
+    // landed files, not the filter expression), so the row can only
+    // hash-match the oracle if the erasure physically landed — the
+    // compliance property an auditor actually checks. Victims are the
+    // deterministic user_id % 97 == 0 set (~1%); at 100 TB the
+    // rewrite cost is confined to partitions containing victims when
+    // composed with the m_partition_prune layout (noted — the full
+    // rewrite here is the worst case).
+    Q("m_gdpr_delete",
+      (s, d) => {
+        val raw = Tables.events(s, d)
+        val after = s.read.parquet(gdprDir(s, d))
+        val a = raw.agg(count(lit(1)).as("rows_before"),
+          sum(when(col("user_id") % 97 === 0, 1L).otherwise(0L))
+            .as("rows_deleted"),
+          countDistinct(when(col("user_id") % 97 === 0,
+            col("user_id"))).as("n_users_erased"))
+        val b = after.agg(count(lit(1)).as("rows_after"),
+          sum(when(col("user_id") % 97 === 0, 1L).otherwise(0L))
+            .as("victims_remaining"))
+        a.crossJoin(broadcast(b))
+          .select(col("n_users_erased"), col("rows_before"),
+            col("rows_deleted"), col("rows_after"),
+            col("victims_remaining"))
+      },
+      Some(
+        """SELECT
+          |  CAST(count(DISTINCT CASE WHEN user_id % 97 = 0
+          |    THEN user_id END) AS BIGINT) AS n_users_erased,
+          |  CAST(count(*) AS BIGINT) AS rows_before,
+          |  CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS rows_deleted,
+          |  CAST(sum(CASE WHEN user_id % 97 <> 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS rows_after,
+          |  CAST(0 AS BIGINT) AS victims_remaining
+          |FROM events""".stripMargin)),
   )
+
+  /** Land the GDPR-deleted events copy once per (session, dir):
+    * victims = user_id % 97 == 0, the deterministic ~1% erasure set. */
+  private def gdprDir(s: SparkSession, d: String): String = {
+    val m = Tables.sessionScoped(s)
+    val key = s"dir:graft_gdpr_${sfx(d)}"
+    val loc = s.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_gdpr_${sfx(d)}")).toString
+    if (m.get(key) == null) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Tables.events(s, d).filter(col("user_id") % 97 =!= 0)
+        .write.mode("overwrite").parquet(loc)
+      m.putIfAbsent(key, s.emptyDataFrame)
+    }
+    loc
+  }
 
   /** Land the lineitem-by-flag summary once per (session, dir); the
     * registration is disarmed while the summary itself materializes so
