@@ -2138,5 +2138,132 @@ object Ext {
            |  min(b) AS b_min, max(b) AS b_max
            |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
       }),
+
+    // ----- Conversion-lag profile: exact quantiles of the view→
+    // purchase delay over all attributed pairs (the latency the
+    // m_funnel stage windows were calibrated FROM). Lags integer-
+    // quantized to whole seconds (`div`, never a float floor), so the
+    // quantile selection runs over the ≤ 86 401-second grid — the
+    // m_gini compression argument turns a per-pair global sort into a
+    // bounded cum window. Selection is the repo's nearest-rank
+    // convention (min level with 2·cum ≥ n for the median, 10·cum ≥
+    // 9·n for p90); the mean rides exact integer sums.
+    Q("m_conversion_lag",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val lag = v.join(p, Seq("user_id"))
+          .filter(col("p_us") >= col("v_us") &&
+            col("p_us") <= col("v_us") + 86400000000L)
+          .select(expr("(p_us - v_us) div 1000000").as("lag_s"))
+        val freq = lag.groupBy("lag_s").agg(count(lit(1)).as("t"))
+        val w = Window.orderBy("lag_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cum", sum("t").over(w))
+        val nt = freq.agg(sum("t").as("n"), sum(col("lag_s") * col("t"))
+          .as("sl"))
+        val p50 = cum.crossJoin(broadcast(nt))
+          .filter(col("cum") * 2L >= col("n"))
+          .agg(min("lag_s").as("lag_p50_s"))
+        val p90 = cum.crossJoin(broadcast(nt))
+          .filter(col("cum") * 10L >= col("n") * 9L)
+          .agg(min("lag_s").as("lag_p90_s"))
+        nt.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+          .select(col("n").as("n_pairs"),
+            col("lag_p50_s"), col("lag_p90_s"),
+            round(col("sl").cast("double") / col("n"), 4)
+              .as("lag_mean_s"))
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |), lag AS (
+          |  SELECT (p_us - v_us) // 1000000 AS lag_s
+          |  FROM v JOIN p USING (user_id)
+          |  WHERE p_us >= v_us AND p_us <= v_us + 86400000000
+          |), freq AS (
+          |  SELECT lag_s, CAST(count(*) AS BIGINT) AS t
+          |  FROM lag GROUP BY lag_s
+          |), cum AS (
+          |  SELECT lag_s, t,
+          |    CAST(sum(t) OVER (ORDER BY lag_s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum
+          |  FROM freq
+          |), nt AS (
+          |  SELECT CAST(sum(t) AS BIGINT) AS n,
+          |    CAST(sum(lag_s * t) AS BIGINT) AS sl
+          |  FROM freq
+          |)
+          |SELECT nt.n AS n_pairs,
+          |  (SELECT min(lag_s) FROM cum WHERE cum * 2 >= nt.n)
+          |    AS lag_p50_s,
+          |  (SELECT min(lag_s) FROM cum WHERE cum * 10 >= nt.n * 9)
+          |    AS lag_p90_s,
+          |  round(CAST(sl AS DOUBLE) / nt.n, 4) AS lag_mean_s
+          |FROM nt""".stripMargin)),
+
+    // ----- Multi-touch attribution: FIRST- vs LAST-touch assignment
+    // of each purchase to its qualifying views (the ads-measurement
+    // debate as a query). Per purchase, one user-keyed join bounded
+    // by the 1-day window, then min/max over (v_us, view id) structs
+    // picks the two canonical touches in one aggregate — never a
+    // window over the corpus, and the struct tie-break makes both
+    // assignments total-ordered. Report: per event count, how often
+    // the two models agree (single-touch journeys), and the mean gap
+    // between first and last touch — the size of the attribution
+    // dispute, in seconds.
+    Q("m_attribution",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"),
+            unix_micros(col("ts")).as("v_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val touches = p.join(v, Seq("user_id"))
+          .filter(col("p_us") >= col("v_us") &&
+            col("p_us") <= col("v_us") + 86400000000L)
+          .groupBy("p_id")
+          .agg(min(struct(col("v_us"), col("v_id"))).as("first"),
+            max(struct(col("v_us"), col("v_id"))).as("last"))
+        touches.agg(
+            count(lit(1)).as("n_attributed"),
+            sum(when(col("first.v_id") === col("last.v_id"), 1L)
+              .otherwise(0L)).as("n_single_touch"),
+            round(sum(expr(
+              "(last.v_us - first.v_us) div 1000000")).cast("double") /
+              count(lit(1)), 4).as("mean_touch_gap_s"))
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+          |  FROM events WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+          |  FROM events WHERE event_type = 'purchase'
+          |), touches AS (
+          |  SELECT p_id,
+          |    min({'v_us': v_us, 'v_id': v_id}) AS fst,
+          |    max({'v_us': v_us, 'v_id': v_id}) AS lst
+          |  FROM p JOIN v USING (user_id)
+          |  WHERE p_us >= v_us AND p_us <= v_us + 86400000000
+          |  GROUP BY p_id
+          |)
+          |SELECT CAST(count(*) AS BIGINT) AS n_attributed,
+          |  CAST(sum(CASE WHEN fst = lst THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_single_touch,
+          |  round(CAST(sum((lst.v_us - fst.v_us) // 1000000)
+          |    AS DOUBLE) / count(*), 4) AS mean_touch_gap_s
+          |FROM touches""".stripMargin)),
   )
 }

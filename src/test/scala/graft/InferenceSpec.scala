@@ -502,6 +502,31 @@ class InferenceSpec extends SparkSpec {
     assert(both > 0, "no doc ranked by both modalities in the top-20")
   }
 
+  test("m_conversion_lag agrees with the streaming join's pair count") {
+    val lag = SparkEntry.queries("m_conversion_lag")(spark, sf)
+      .collect().head
+    val (n, p50, p90) = (lag.getLong(0), lag.getLong(1),
+      lag.getLong(2))
+    assert(p50 >= 0L && p50 <= p90 && p90 <= 86400L,
+      s"quantiles out of order: p50=$p50 p90=$p90")
+    val streamPairs = SparkEntry.queries("m_stream_join")(spark, sf)
+      .agg(sum(col("n_pairs"))).collect().head.getLong(0)
+    assert(n == streamPairs,
+      s"batch pair count $n != streaming twin $streamPairs")
+  }
+
+  test("m_attribution: bounded by purchases, single-touch coherent") {
+    val r = SparkEntry.queries("m_attribution")(spark, sf)
+      .collect().head
+    val (na, ns, gap) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(ns <= na && na > 0L, s"single $ns > attributed $na")
+    assert(gap >= 0.0, s"negative mean touch gap $gap")
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(na <= purchases,
+      s"attributed $na exceeds purchase count $purchases")
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
