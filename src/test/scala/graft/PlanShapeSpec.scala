@@ -73,7 +73,13 @@ class PlanShapeSpec extends SparkSpec {
     // builders run bounded driver loops at sf0.001 like the BPE set)
     "m_spearman", "m_kendall", "m_mannwhitney", "m_mad",
     "m_bootstrap_ci", "m_ols_multi", "m_feature_select_mi",
-    "w_holt")
+    "w_holt",
+    // closing wave: posting-join truth, attribution pair joins,
+    // conformal fit join, skyline windows, typed agg, RRF rank
+    // alignment — all keyed or broadcast-capsule
+    "m_dedup_recall", "m_conversion_lag", "m_attribution",
+    "m_conformal", "m_skyline", "m_typed_agg", "m_eb_shrinkage",
+    "m_hill_tail", "m_calibration", "m_gdpr_delete")
 
   test("m_spearman picks up ranks via broadcast joins, never a shuffle") {
     // The 100-TB contract of the frequency-table rank design: the
