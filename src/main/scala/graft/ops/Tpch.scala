@@ -400,6 +400,65 @@ object Tpch {
         |          AND l_suppkey = ps_suppkey
         |          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
-        |ORDER BY s_name""".stripMargin)
+        |ORDER BY s_name""".stripMargin),
+
+    // ----- SQL PIVOT syntax (the one relational-rotation surface the
+    // DataFrame twin `m_pivot` doesn't exercise): Spark parses the
+    // PIVOT clause into the same Aggregate-with-pivot plan the
+    // DataFrame API builds. The oracle spells the rotation as
+    // conditional aggregation — PIVOT is syntax, not semantics, so
+    // the CASE form must hash-match exactly. Values integer-exact
+    // (floored quantities).
+    Q("m_sql_pivot",
+      (s, d) => {
+        views(s, d, "lineitem")
+        s.sql(
+          """SELECT * FROM (
+            |  SELECT l_returnflag, l_linestatus,
+            |    CAST(floor(l_quantity) AS BIGINT) AS q
+            |  FROM lineitem)
+            |PIVOT (
+            |  CAST(sum(q) AS BIGINT) FOR l_linestatus IN ('O' AS o,
+            |    'F' AS f))
+            |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN l_linestatus = 'O'
+          |    THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT)
+          |    AS o,
+          |  CAST(sum(CASE WHEN l_linestatus = 'F'
+          |    THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT)
+          |    AS f
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- SQL UNPIVOT syntax — the inverse rotation (long-form
+    // melt), again as parser surface over the same semantics the
+    // stack()-based `m_unpivot_profile` computes; oracle = UNION ALL.
+    Q("m_sql_unpivot",
+      (s, d) => {
+        views(s, d, "lineitem")
+        s.sql(
+          """SELECT l_returnflag, metric, val FROM (
+            |  SELECT l_returnflag,
+            |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+            |      AS qty,
+            |    CAST(count(*) AS BIGINT) AS cnt
+            |  FROM lineitem GROUP BY l_returnflag)
+            |UNPIVOT (val FOR metric IN (qty, cnt))
+            |ORDER BY l_returnflag, metric""".stripMargin)
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT l_returnflag,
+          |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+          |      AS qty,
+          |    CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, 'qty' AS metric, qty AS val FROM g
+          |UNION ALL
+          |SELECT l_returnflag, 'cnt' AS metric, cnt AS val FROM g
+          |ORDER BY l_returnflag, metric""".stripMargin)),
   )
 }
