@@ -2265,5 +2265,55 @@ object Ext {
           |  round(CAST(sum((lst.v_us - fst.v_us) // 1000000)
           |    AS DOUBLE) / count(*), 4) AS mean_touch_gap_s
           |FROM touches""".stripMargin)),
+
+    // ----- Weighted sampling without replacement (Efraimidis &
+    // Spirakis 2006, A-ES): each row draws u ∈ (0,1) and the k rows
+    // with the largest u^(1/w) ARE an exact weighted sample — which
+    // turns "sample k of N by weight" into ONE map pass + a top-k,
+    // the only formulation that works distributed (no sequential
+    // reservoir, no global prefix sums; it is literally a
+    // TakeOrdered). Determinism: u is the m_dp_counts seeded-hash
+    // dyadic rational; the sort key maximizes ln(u)/w, with ln(u)
+    // floor-scaled to e9 BIGINTs (the t_zipf_fit ln discipline) so
+    // the key is one identical double division of exact integers on
+    // both engines, ordered with an event-id tie-break. Weights =
+    // positive value cents. Production swaps the hash for a seeded
+    // PRNG stream, keeping the top-k plan.
+    Q("m_weighted_sample",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"),
+            floor(col("value") * 100.0).cast("long").as("cents"))
+          .filter(col("cents") > 0L)
+        val u = (conv(substring(md5(concat(lit("ws_"),
+          col("event_id"))), 1, 6), 16, 10).cast("long") + 0.5) /
+          16777216.0
+        e.withColumn("a", floor(log(u) * 1.0e9).cast("long"))
+          .withColumn("key",
+            col("a").cast("double") * 100.0 / col("cents").cast("double"))
+          .orderBy(desc("key"), col("event_id"))
+          .limit(20)
+          .select(col("event_id"), col("cents"),
+            round(col("key"), 6).as("es_key"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id,
+          |    CAST(floor("value" * 100.0) AS BIGINT) AS cents
+          |  FROM events WHERE floor("value" * 100.0) > 0
+          |), keyed AS (
+          |  SELECT event_id, cents,
+          |    CAST(floor(ln((CAST(('0x' || substr(md5('ws_' ||
+          |      event_id), 1, 6)) AS BIGINT) + 0.5) / 16777216.0)
+          |      * 1.0e9) AS BIGINT) AS a
+          |  FROM e
+          |)
+          |SELECT event_id, cents,
+          |  round(CAST(a AS DOUBLE) * 100.0 / CAST(cents AS DOUBLE), 6)
+          |    AS es_key
+          |FROM keyed
+          |ORDER BY CAST(a AS DOUBLE) * 100.0 / CAST(cents AS DOUBLE)
+          |  DESC, event_id
+          |LIMIT 20""".stripMargin)),
   )
 }

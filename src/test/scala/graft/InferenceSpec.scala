@@ -527,6 +527,24 @@ class InferenceSpec extends SparkSpec {
       s"attributed $na exceeds purchase count $purchases")
   }
 
+  test("m_weighted_sample: sample is weight-biased above the mean") {
+    val sample = SparkEntry.queries("m_weighted_sample")(spark, sf)
+      .collect()
+    assert(sample.length == 20)
+    val sampleMean = sample.map(_.getLong(1)).sum.toDouble / 20
+    val popMean = Tables.events(spark, sf)
+      .select(floor(col("value") * 100.0).cast("long").as("c"))
+      .filter(col("c") > 0L)
+      .agg(avg(col("c"))).collect().head.getDouble(0)
+    // u^(1/w) sampling oversamples heavy rows: with the fixture's
+    // right-skewed weights the 20-row sample mean sits well above the
+    // population mean (a uniform sampler would straddle it)
+    assert(sampleMean > popMean,
+      s"sample mean $sampleMean not above population mean $popMean")
+    // keys are valid A-ES keys: ln(u)/w is strictly negative
+    assert(sample.forall(_.getDouble(2) < 0.0))
+  }
+
   test("k22_hits: both roles present, scores positive, sums normalized") {
     val df = SparkEntry.queries("k22_hits")(spark, sf).collect()
     val byRole = df.groupBy(_.getString(0))
