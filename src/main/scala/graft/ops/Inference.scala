@@ -181,21 +181,25 @@ object Inference {
               .otherwise(0L)).as("conc"),
             sum(when(col("y") > col("y2"), col("c") * col("c2"))
               .otherwise(0L)).as("disc"))
+        // `div`, not `/`: Column `/` on longs is DOUBLE division, which
+        // would make n1/n2 float aggregates (exact only below 2^53).
+        // t·(t−1) is always even, so integer division is exact, and the
+        // tie sums stay pure BIGINTs at any corpus size (round-6 ADVICE).
         val margx = li.groupBy("flag", "x").agg(count(lit(1)).as("t"))
           .groupBy("flag")
-          .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n1"),
+          .agg(sum(expr("t * (t - 1) div 2")).as("n1"),
             sum(col("t")).as("n"))
         val margy = li.groupBy("flag", "y").agg(count(lit(1)).as("t"))
           .groupBy("flag")
-          .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n2"))
+          .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
         cd.join(broadcast(margx), Seq("flag"))
           .join(broadcast(margy), Seq("flag"))
           .select(col("flag").as("l_returnflag"), col("n"),
             col("conc"), col("disc"),
             round((col("conc") - col("disc")).cast("double") /
-              (sqrt((col("n") * (col("n") - 1L) / 2L - col("n1"))
+              (sqrt((expr("n * (n - 1) div 2") - col("n1"))
                   .cast("double")) *
-               sqrt((col("n") * (col("n") - 1L) / 2L - col("n2"))
+               sqrt((expr("n * (n - 1) div 2") - col("n2"))
                   .cast("double"))), 4).as("tau_b"))
           .orderBy("l_returnflag")
       },
@@ -267,8 +271,12 @@ object Inference {
         val m = ranked.groupBy("event_type").agg(
           sum("na").as("n1"), sum("nb").as("n2"),
           sum(col("na") * (col("cum") * 2L - col("t") + 1L)).as("r2a"),
-          sum((col("t") * col("t") * col("t") - col("t"))
-            .cast("decimal(38,0)")).as("tcorr"))
+          // cast t to decimal BEFORE cubing — t³ in LONG silently
+          // overflows once a single (event_type, value) cell holds
+          // over ~2.1M rows, while the oracle cubes in HUGEINT; the
+          // decimal(38,0) product mirrors it exactly (round-6 ADVICE)
+          sum(col("t").cast("decimal(38,0)") * col("t") * col("t") -
+            col("t")).cast("decimal(38,0)").as("tcorr"))
         def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
         val n = col("n1") + col("n2")
         val u2 = lit(2L) * col("n1") * col("n2") +
@@ -1120,8 +1128,12 @@ object Inference {
           .select(col("user_id"), col("n"), col("pos"),
             floor(col("pos") * 10000.0 / col("n")).cast("long")
               .as("raw_bp"),
-            round(col("alpha"), 4).as("alpha"),
-            round(col("beta"), 4).as("beta"),
+            // alpha/beta gated by the SAME `ok` guard as shrunk_rate:
+            // a degenerate fixture with zero across-user rate variance
+            // would otherwise report NaN/Inf from the mu(1-mu)/vr
+            // division on one engine and diverge (round-6 ADVICE)
+            round(when(col("ok"), col("alpha")), 4).as("alpha"),
+            round(when(col("ok"), col("beta")), 4).as("beta"),
             round(when(col("ok"),
               (col("pos") + col("alpha")) /
                 (col("n") + col("alpha") + col("beta")))
@@ -1173,7 +1185,8 @@ object Inference {
           |)
           |SELECT q.user_id, q.n, q.pos,
           |  CAST(floor(q.pos * 10000.0 / q.n) AS BIGINT) AS raw_bp,
-          |  round(p.alpha, 4) AS alpha, round(p.beta, 4) AS beta,
+          |  round(CASE WHEN p.ok THEN p.alpha END, 4) AS alpha,
+          |  round(CASE WHEN p.ok THEN p.beta END, 4) AS beta,
           |  round(CASE WHEN p.ok THEN
           |      (q.pos + p.alpha) / (q.n + p.alpha + p.beta)
           |    ELSE CAST(q.pos AS DOUBLE) / q.n END, 4)

@@ -58,6 +58,12 @@ object Similarity {
       |  FROM tk WHERE len(toks) >= 3
       |)""".stripMargin
 
+  /** Stop-shingle document-frequency cap for m_dedup_recall's exact
+    * truth side: shingles in more than this many docs are boilerplate
+    * and excluded from the truth universe (pair fan-out becomes
+    * ≤ cap·|postings|, linear in the corpus, instead of Σ df²). */
+  private val recallDfCap = 128L
+
   private val numHashes = 12 // 4 bands x 3 rows
   private val numBands  = 4
   private val rowsPerBand = numHashes / numBands
@@ -351,13 +357,26 @@ object Similarity {
     // should be caught almost surely, borderline 0.5s are allowed to
     // slip. Decile = ⌊10·inter/union⌋ clamped to 9 — integer
     // division of positive integers, identical on both engines.
-    // Scale: the truth side is the posting-list join (bounded by
-    // shared-shingle co-occurrence, not |docs|²); the candidate side
-    // reuses the write-once band table.
+    // Scale: the truth side is the posting-list join with a HOT-
+    // SHINGLE CAP (the standard stop-shingle rule): shingles shared
+    // by more than `recallDfCap` documents are dropped from the truth
+    // universe BEFORE the posting self-join — both the per-doc counts
+    // and the intersections are computed over the capped universe, so
+    // the Jaccard estimate stays internally consistent. Without the
+    // cap the pair fan-out is Σ df² per shingle, and ONE boilerplate
+    // shingle shared by 1% of a 100-TB corpus makes the evaluation
+    // quadratic (round-6 VERDICT scale-killer); with it the fan-out
+    // is ≤ cap·|postings| — linear in the corpus. The recall-per-
+    // decile metric survives because near-duplicate pairs share
+    // mostly content shingles, which are long-tail by construction.
+    // The candidate side reuses the write-once band table.
     Q("m_dedup_recall",
       (s, d) => {
-        val ex = shingled(s, d)
+        val raw = shingled(s, d)
           .select(col("doc_id"), explode(col("sh")).as("sx"))
+        val hot = raw.groupBy("sx").agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(recallDfCap))
+        val ex = raw.join(broadcast(hot), Seq("sx"), "left_anti")
         val n = ex.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
         val truth = ex.as("a")
           .join(ex.select(col("doc_id").as("d2"), col("sx")).as("b"),
@@ -382,15 +401,19 @@ object Similarity {
           .orderBy("decile")
       },
       Some(
-        s"""WITH $minhashPairsCtes, nn AS (
-           |  SELECT doc_id, count(*) AS cnt FROM ex GROUP BY doc_id
+        s"""WITH $minhashPairsCtes, exc AS (
+           |  SELECT doc_id, s FROM ex
+           |  WHERE s NOT IN (SELECT s FROM ex
+           |                  GROUP BY s HAVING count(*) > $recallDfCap)
+           |), nn AS (
+           |  SELECT doc_id, count(*) AS cnt FROM exc GROUP BY doc_id
            |), truth AS (
            |  SELECT t.d1, t.d2, t.i,
            |    n1.cnt + n2.cnt - t.i AS un
            |  FROM (
            |    SELECT e1.doc_id AS d1, e2.doc_id AS d2,
            |      CAST(count(*) AS BIGINT) AS i
-           |    FROM ex e1 JOIN ex e2
+           |    FROM exc e1 JOIN exc e2
            |      ON e2.s = e1.s AND e1.doc_id < e2.doc_id
            |    GROUP BY 1, 2) t
            |  JOIN nn n1 ON n1.doc_id = t.d1

@@ -510,17 +510,20 @@ object Storage {
     // never results.
     Q("m_mv_rewrite",
       (s, d) => {
-        graft.plans.MvRewrite.install(s)
-        val mv = s.read.parquet(mvSummaryDir(s, d))
-        graft.plans.MvRewrite.registered =
-          Some(graft.plans.MvRewrite.MvDef(
-            s"$d/lineitem.parquet", mv.queryExecution.analyzed,
-            "l_returnflag", "qty_sum", "n"))
-        Tables.rawTable(s, d, "lineitem")
+        armMvRewrite(s, d)
+        val out = Tables.rawTable(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")
+        // Scope the registration to THIS query: force the optimizer
+        // (the DataFrame caches its QueryExecution, so the routed plan
+        // survives the disarm) and immediately drop the registration —
+        // no later shape-matching query in the session can be silently
+        // routed to a since-stale summary (round-6 ADVICE).
+        out.queryExecution.optimizedPlan
+        graft.plans.MvRewrite.registered = None
+        out
       },
       Some(
         """SELECT l_returnflag,
@@ -572,6 +575,19 @@ object Storage {
           |  CAST(0 AS BIGINT) AS victims_remaining
           |FROM events""".stripMargin)),
   )
+
+  /** Install the MV-routing rule and register the lineitem-by-flag
+    * summary for `d` — shared by the m_mv_rewrite query (which disarms
+    * right after its own plan is built) and by StorageSpec's negative
+    * controls (which arm explicitly around each control plan). */
+  def armMvRewrite(s: SparkSession, d: String): Unit = {
+    graft.plans.MvRewrite.install(s)
+    val mv = s.read.parquet(mvSummaryDir(s, d))
+    graft.plans.MvRewrite.registered =
+      Some(graft.plans.MvRewrite.MvDef(
+        s"$d/lineitem.parquet", mv.queryExecution.analyzed,
+        "l_returnflag", "qty_sum", "n"))
+  }
 
   /** Land the GDPR-deleted events copy once per (session, dir):
     * victims = user_id % 97 == 0, the deterministic ~1% erasure set. */

@@ -57,31 +57,49 @@ object MvRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
 
-  /** Only Project/SubqueryAlias between the aggregate and the scan of
-    * the registered base path — anything else invalidates reuse. */
-  private def baseScanOnly(p: LogicalPlan, hint: String): Boolean =
+  /** Only passthrough Project/SubqueryAlias between the aggregate and
+    * the scan of the registered base path — anything else (a Filter, a
+    * join, a Project that COMPUTES a column) invalidates reuse. On a
+    * match, returns the scan relation's output attributes so the
+    * caller can resolve the aggregate's references by `exprId`, never
+    * by name: a `withColumn("l_quantity", expr)` re-definition mints a
+    * NEW exprId for the shadowing alias, so exprId resolution rejects
+    * it even though the name still reads "l_quantity". */
+  private def scanOutput(p: LogicalPlan,
+                         hint: String): Option[Seq[Attribute]] =
     p match {
-      case Project(_, c)         => baseScanOnly(c, hint)
-      case SubqueryAlias(_, c)   => baseScanOnly(c, hint)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) =>
+        scanOutput(c, hint)
+      case SubqueryAlias(_, c) => scanOutput(c, hint)
       case l: LogicalRelation => l.relation match {
-        case f: HadoopFsRelation =>
-          f.location.rootPaths.exists(_.toString.endsWith(hint))
-        case _ => false
+        case f: HadoopFsRelation
+            if f.location.rootPaths.exists(_.toString.endsWith(hint)) =>
+          Some(l.output)
+        case _ => None
       }
-      case _ => false
+      case _ => None
     }
 
+  /** True iff `a` IS (same exprId) the scan's column named `name` —
+    * the only evidence that the reference carries the base table's
+    * untouched values. */
+  private def isScanCol(a: AttributeReference, name: String,
+                        scan: Seq[Attribute]): Boolean =
+    scan.exists(s => s.exprId == a.exprId && s.name == name)
+
   /** Classify one aggregate-list entry against the registered shapes:
-    * the grouping column itself, sum(floor(l_quantity)), or count(1).
+    * the grouping column itself, sum(floor(l_quantity)), or count(1) —
+    * every column reference resolved by exprId against the scan.
     */
-  private def shapeOf(e: NamedExpression,
-                      d: MvDef): Option[String] = e match {
-    case a: AttributeReference if a.name == d.groupCol => Some("group")
+  private def shapeOf(e: NamedExpression, d: MvDef,
+                      scan: Seq[Attribute]): Option[String] = e match {
+    case a: AttributeReference
+        if isScanCol(a, d.groupCol, scan) => Some("group")
     case Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Sum(Floor(q: AttributeReference), _)
-            if q.name == "l_quantity" => Some("sum")
+            if isScanCol(q, "l_quantity", scan) => Some("sum")
         case Count(Seq(Literal(1, _))) => Some("count")
         case _ => None
       }
@@ -91,22 +109,27 @@ object MvRewrite extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan = registered match {
     case None => plan
     case Some(d) => plan transform {
-      case Aggregate(Seq(g: AttributeReference), aggs, child, _)
-          if g.name == d.groupCol && baseScanOnly(child, d.basePathHint)
-            && aggs.forall(shapeOf(_, d).isDefined)
-            && Seq(d.groupCol, d.sumCol, d.countCol).forall(n =>
-              d.mv.output.exists(_.name == n)) =>
-        def mvAttr(n: String): Attribute =
-          d.mv.output.find(_.name == n).get
-        val proj = aggs.map { orig =>
-          val src = shapeOf(orig, d).get match {
-            case "group" => mvAttr(d.groupCol)
-            case "sum"   => mvAttr(d.sumCol)
-            case "count" => mvAttr(d.countCol)
-          }
-          Alias(src, orig.name)(exprId = orig.exprId)
+      case agg @ Aggregate(Seq(g: AttributeReference), aggs, child, _)
+          if g.name == d.groupCol =>
+        scanOutput(child, d.basePathHint) match {
+          case Some(scan)
+              if isScanCol(g, d.groupCol, scan)
+                && aggs.forall(shapeOf(_, d, scan).isDefined)
+                && Seq(d.groupCol, d.sumCol, d.countCol).forall(n =>
+                  d.mv.output.exists(_.name == n)) =>
+            def mvAttr(n: String): Attribute =
+              d.mv.output.find(_.name == n).get
+            val proj = aggs.map { orig =>
+              val src = shapeOf(orig, d, scan).get match {
+                case "group" => mvAttr(d.groupCol)
+                case "sum"   => mvAttr(d.sumCol)
+                case "count" => mvAttr(d.countCol)
+              }
+              Alias(src, orig.name)(exprId = orig.exprId)
+            }
+            Project(proj, d.mv)
+          case _ => agg
         }
-        Project(proj, d.mv)
     }
   }
 }

@@ -362,6 +362,12 @@ class StorageSpec extends SparkSpec {
       s"routed query still scans the base table:\n$plan")
     assert(plan.contains("graft_mv_li_flag"),
       s"routed query does not read the summary:\n$plan")
+    // the query builder disarms after its own plan is built (per-query
+    // registration scope) — pin that, then re-arm explicitly for the
+    // negative controls so they exercise the MATCHER, not the disarm
+    assert(graft.plans.MvRewrite.registered.isEmpty,
+      "m_mv_rewrite left the MV registration armed session-wide")
+    graft.ops.Storage.armMvRewrite(spark, sf)
     // negative control 1: a different aggregate shape must NOT route
     val ctrl = Tables.rawTable(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -379,6 +385,17 @@ class StorageSpec extends SparkSpec {
     assert(fctrl.queryExecution.executedPlan.toString
         .contains("lineitem.parquet"),
       "filtered aggregate was wrongly routed to the summary")
+    // negative control 3: a withColumn that REDEFINES l_quantity under
+    // the same name mints a new exprId — name-blind matching would
+    // wrongly route this to the stale summary (round-6 ADVICE attack)
+    val wctrl = Tables.rawTable(spark, sf, "lineitem")
+      .withColumn("l_quantity", col("l_quantity") * 2)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
+        count(lit(1)).as("n"))
+    assert(wctrl.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+      "column-shadowing aggregate was wrongly routed to the summary")
     // result invariance: disarm the rule and recompute directly
     val routed = df.collect().map(_.toSeq)
     graft.plans.MvRewrite.registered = None
