@@ -1508,29 +1508,21 @@ object Graph {
     // unrolled LPA and recomputes Q independently.
     Q("k16_modularity",
       (s, d) => {
-        val e = symEdgesBySrc(s, d)
-        val lab = lpaLabels(s, d, rounds = 4)
-        val inSum = e
-          .join(lab.select(col("v").as("src"), col("lbl").as("ls")),
-            Seq("src"))
-          .join(lab.select(col("v").as("dst"), col("lbl").as("ld")),
-            Seq("dst"))
-          .filter(col("ls") === col("ld"))
-          .agg(count(lit(1)).as("in_sum"))
-        val dc = e.groupBy("src").agg(count(lit(1)).as("dg"))
-          .join(lab.select(col("v").as("src"), col("lbl")), Seq("src"))
-          .groupBy("lbl").agg(sum("dg").as("d_c"))
-        val sums = dc.agg(count(lit(1)).as("n_communities"),
-          sum(col("d_c") * col("d_c")).as("sum_d2"))
-        val m2 = e.agg(count(lit(1)).as("two_m"))
-        sums.crossJoin(broadcast(inSum)).crossJoin(broadcast(m2))
-          .select(col("n_communities"), col("two_m"), col("in_sum"),
-            col("sum_d2"),
-            (col("two_m") * col("in_sum") - col("sum_d2")).as("q_num"),
-            ((col("two_m") * col("in_sum") - col("sum_d2"))
-              .cast("double") /
-              (col("two_m").cast("double") * col("two_m")))
-              .as("modularity"))
+        // MV routing of the ITERATIVE artifact: the query below spells
+        // the full 4-round LPA derivation (lpaPlanPure — referenced
+        // three times, and DataFrame reuse clones the subtree), but
+        // ArtifactRewrite proves each clone `sameResult` to the
+        // registered derivation and answers all three from the landed
+        // label table — the k8 loop runs ONCE per (session, dir) at
+        // artifact-build time, never inside this query. Registration
+        // is per-query (disarmed after the plan is built), and the
+        // spec pins the routed plan + result invariance vs the
+        // unrouted loop.
+        armLpaArtifact(s, d)
+        val out = modularityOf(s, d, lpaPlanPure(s, d, rounds = 4))
+        out.queryExecution.optimizedPlan
+        graft.plans.ArtifactRewrite.registered = Nil
+        out
       },
       Some(
         s"""WITH ${lpaOracleCtes(4)}, deg AS (
@@ -1913,6 +1905,116 @@ object Graph {
        |), l0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS v, src AS lbl FROM e0
        |), $stages""".stripMargin
+  }
+
+  /** Newman modularity of a (v, lbl) label table over the symmetric
+    * video graph — the k16 body, parameterized on the label source so
+    * the routed (lpaPlanPure + ArtifactRewrite) and unrouted
+    * (checkpointed lpaLabels) variants share one definition. */
+  private def modularityOf(s: SparkSession, d: String,
+                           lab: DataFrame): DataFrame = {
+    val e = symEdgesBySrc(s, d)
+    val inSum = e
+      .join(lab.select(col("v").as("src"), col("lbl").as("ls")),
+        Seq("src"))
+      .join(lab.select(col("v").as("dst"), col("lbl").as("ld")),
+        Seq("dst"))
+      .filter(col("ls") === col("ld"))
+      .agg(count(lit(1)).as("in_sum"))
+    val dc = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      .join(lab.select(col("v").as("src"), col("lbl")), Seq("src"))
+      .groupBy("lbl").agg(sum("dg").as("d_c"))
+    val sums = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("d_c") * col("d_c")).as("sum_d2"))
+    val m2 = e.agg(count(lit(1)).as("two_m"))
+    sums.crossJoin(broadcast(inSum)).crossJoin(broadcast(m2))
+      .select(col("n_communities"), col("two_m"), col("in_sum"),
+        col("sum_d2"),
+        (col("two_m") * col("in_sum") - col("sum_d2")).as("q_num"),
+        ((col("two_m") * col("in_sum") - col("sum_d2"))
+          .cast("double") /
+          (col("two_m").cast("double") * col("two_m")))
+          .as("modularity"))
+  }
+
+  /** Unrouted k16 twin + pure-plan accessor (ArtifactRewriteSpec). */
+  private[graft] def k16Unrouted(s: SparkSession, d: String): DataFrame =
+    modularityOf(s, d, lpaLabels(s, d, rounds = 4))
+  private[graft] def lpaPlanPureForTest(s: SparkSession, d: String,
+                                        rounds: Int): DataFrame =
+    lpaPlanPure(s, d, rounds)
+
+  /** The LPA derivation as a PURE plan tree — identical semantics to
+    * [[lpaLabels]] but without the per-round localCheckpoint, so the
+    * logical plan is a deterministic composition the optimizer can
+    * fingerprint (`sameResult`). This is the registration key for
+    * [[graft.plans.ArtifactRewrite]]: a consumer that embeds this
+    * derivation gets routed to the landed label artifact instead of
+    * re-running the loop. Never executed directly (executing it would
+    * pay the uncheckpointed lineage); [[lpaLabels]] remains the
+    * execution path that BUILDS the artifact. */
+  private def lpaPlanPure(s: SparkSession, d: String,
+                          rounds: Int): DataFrame = {
+    val e = symEdgesBySrc(s, d)
+    var lbl = e.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      lbl = e.join(lbl.select(col("v").as("src"), col("lbl")), Seq("src"))
+        .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("dst")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("dst").as("v"), col("m.lbl").as("lbl"))
+    }
+    lbl
+  }
+
+  /** Land the 4-round LPA label table once per (session, dir) — the
+    * iterative artifact [[graft.plans.ArtifactRewrite]] routes to.
+    * Built by the checkpointed [[lpaLabels]] loop (same labels as the
+    * pure plan: the checkpoints only cut lineage). */
+  private[graft] def lpaArtifactDir(s: SparkSession, d: String): String = {
+    val m = Tables.sessionScoped(s)
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val key = s"dir:graft_lpa_labels_$sfx"
+    val loc = s.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_lpa_labels_$sfx")).toString
+    if (m.get(key) == null) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      lpaLabels(s, d, rounds = 4).write.mode("overwrite").parquet(loc)
+      m.putIfAbsent(key, s.emptyDataFrame)
+    }
+    loc
+  }
+
+  /** Install ArtifactRewrite and register the pure 4-round LPA plan
+    * against the landed label table for `d`. Shared by k16_modularity
+    * (which disarms after building its own plan) and the spec's
+    * controls. */
+  private[graft] def armLpaArtifact(s: SparkSession, d: String): Unit = {
+    val loc = lpaArtifactDir(s, d)
+    graft.plans.ArtifactRewrite.install(s)
+    val pure = lpaPlanPure(s, d, rounds = 4)
+    val mv = s.read.parquet(loc)
+    // one candidate pair per consumer-facing VIEW of the label table
+    // (the rename the consumer applies collapses into the derivation's
+    // top aggregate — a trivial `v AS dst` alias is even REMOVED — so
+    // each rename normalizes to a distinct canonical plan; registering
+    // the identically-renamed view on both the derivation and artifact
+    // side makes the fingerprints line up), plus each view's
+    // joinCol-notNull variant — the form a join on that column leaves
+    // behind after the optimizer's InferFiltersFromConstraints pass.
+    val views: Seq[(DataFrame => DataFrame, String)] = Seq(
+      (identity[DataFrame] _, "v"),
+      (df => df.select(col("v").as("src"), col("lbl").as("ls")), "src"),
+      (df => df.select(col("v").as("dst"), col("lbl").as("ld")), "dst"),
+      (df => df.select(col("v").as("src"), col("lbl")), "src"))
+    graft.plans.ArtifactRewrite.registered =
+      views.flatMap { case (view, joinCol) =>
+        graft.plans.ArtifactRewrite.candidates(
+          view(pure), view(mv), Seq(joinCol))
+      }
   }
 
   /** Per-vertex LPA labels ("v", "lbl") after `rounds` synchronous

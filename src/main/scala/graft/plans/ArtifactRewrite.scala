@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, IsNotNull,
+  NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Plan-fingerprint materialized-artifact routing — the iterative
+  * sibling of [[MvRewrite]]'s aggregate matcher. MvRewrite recognizes
+  * ONE fixed aggregate shape; this rule recognizes an ARBITRARY
+  * registered subplan by semantic plan equality (`sameResult`, i.e.
+  * canonicalized-plan comparison — exprIds, alias names, and other
+  * cosmetic differences normalized away) and substitutes the landed
+  * artifact's scan for the whole subtree.
+  *
+  * Why it exists: a 100-TB graph pipeline lands the output of an
+  * expensive ITERATIVE computation (LPA labels, SCC components, an
+  * ANN index) once and answers every downstream query from the
+  * artifact. The consumer keeps writing the derivation — the
+  * optimizer proves "this subtree IS the registered derivation" and
+  * swaps in the scan, so a k16-style quality score never re-runs the
+  * k8 label loop (three times over, once per reference, since
+  * DataFrame reuse clones the subtree).
+  *
+  * Matching detail: the rule runs in the user-optimizer batch, AFTER
+  * the main optimizer has normalized the query side — by then a
+  * derivation subtree under a join has picked up INFERRED IsNotNull
+  * filters on its join keys (InferFiltersFromConstraints), so it no
+  * longer equals the standalone-optimized derivation. The registration
+  * therefore carries one candidate per expected inferred-filter form
+  * ([[ArtifactRewrite.candidates]]: the plain plan plus its
+  * notNull-filtered variants), and a match against a filtered
+  * candidate re-applies the same IsNotNull conjunction ON TOP of the
+  * artifact scan — the substitution is exactly the matched subtree's
+  * semantics, not a superset.
+  *
+  * Safety rules, same bar as MvRewrite:
+  *   - `sameResult` on OPTIMIZED plans on both sides — a subtree that
+  *     differs in ANY semantic way (different round count, different
+  *     edge filter, different source path) cannot match;
+  *   - output arity must agree, and the substitution maps the
+  *     artifact's columns POSITIONALLY under the matched subtree's
+  *     original `exprId`s (canonicalized output order is part of
+  *     `sameResult`), so downstream resolution is untouched;
+  *   - registration is per-query: the consumer arms, forces its own
+  *     optimization, and disarms — no session-wide stale routing.
+  */
+object ArtifactRewrite extends Rule[LogicalPlan] {
+
+  /** One registered routing candidate: the optimized derivation plan
+    * it answers for, the analyzed plan of the landed table holding the
+    * derivation's result, and the positions of output columns whose
+    * IsNotNull filter must be re-applied on the substitution (because
+    * `src` is the notNull-filtered variant of the derivation). */
+  final case class ArtDef(src: LogicalPlan, mv: LogicalPlan,
+                          notNullCols: Seq[Int])
+
+  @volatile var registered: Seq[ArtDef] = Nil
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  /** Build the candidate set for one derivation: the plain optimized
+    * plan, plus — for each named column — the optimized plan of the
+    * derivation filtered to that column being non-null (the form a
+    * join on that column leaves behind after filter inference). Pass
+    * every column a consumer may join on. */
+  def candidates(derivation: DataFrame, mv: DataFrame,
+                 joinCols: Seq[String]): Seq[ArtDef] = {
+    val mvPlan = mv.queryExecution.analyzed
+    val plain = ArtDef(derivation.queryExecution.optimizedPlan,
+      mvPlan, Nil)
+    val filtered = joinCols.map { c =>
+      val idx = derivation.columns.indexOf(c)
+      require(idx >= 0, s"unknown join column $c")
+      ArtDef(derivation.filter(derivation(c).isNotNull)
+          .queryExecution.optimizedPlan, mvPlan, Seq(idx))
+    }
+    plain +: filtered
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    val defs = registered
+    if (defs.isEmpty) plan
+    else plan transformUp {
+      case p if p.resolved && defs.exists(a =>
+          p.output.length == a.src.output.length && p.sameResult(a.src)) =>
+        val a = defs.find(x =>
+          p.output.length == x.src.output.length &&
+            p.sameResult(x.src)).get
+        val proj: Seq[NamedExpression] =
+          p.output.zip(a.mv.output).map { case (o, m) =>
+            Alias(m, o.name)(exprId = o.exprId)
+          }
+        val base: LogicalPlan =
+          if (a.notNullCols.isEmpty) a.mv
+          else Filter(
+            a.notNullCols.map(i => IsNotNull(a.mv.output(i)))
+              .reduce[org.apache.spark.sql.catalyst.expressions
+                .Expression](And(_, _)),
+            a.mv)
+        Project(proj, base)
+    }
+  }
+}
