@@ -124,6 +124,28 @@ object Tables {
     }
   }
 
+  /** Land a derived table to parquet once per (session, name, dir) and
+    * return its location — the build-once/probe-many artifact lifecycle
+    * (MV summaries, ANN index tables, LPA labels). The build runs at
+    * most once per session; later callers read the landed files. */
+  private[graft] def landedDir(spark: SparkSession, name: String,
+                               dir: String)(build: => DataFrame): String = {
+    val m = sessionScoped(spark)
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val key = s"dir:${name}_$sfx"
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_$sfx")).toString
+    if (m.get(key) == null) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      build.write.mode("overwrite").parquet(loc)
+      m.putIfAbsent(key, spark.emptyDataFrame)
+    }
+    loc
+  }
+
   /** get/putIfAbsent, NOT computeIfAbsent: builders nest (videos() calls
     * table() on the same map) and a nested computeIfAbsent on one
     * ConcurrentHashMap throws "Recursive update". A racing duplicate

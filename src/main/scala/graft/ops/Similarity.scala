@@ -300,6 +300,60 @@ object Similarity {
       |SELECT qid, rank, vid, cos FROM rk WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** nprobe-nearest landed centroids for each vector in `e` — the
+    * IVF assignment pass: centroids broadcast, one narrow map +
+    * per-vector top-keep window, no corpus shuffle. */
+  private def ivfNearest(e: DataFrame, cent: DataFrame,
+                         keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("cid"))
+    e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .select(col("vec_id"), col("cid").as("cell"), col("rn"),
+        col("e"), col("nrm"))
+  }
+
+  /** The landed IVF index — the FAISS build-once/probe-many
+    * lifecycle: `graft_ivf_cent` holds the Lloyd-refined centroids
+    * (cid, ce, cn — 6dp-rounded element-wise cell means from the
+    * deterministic vec_id<16 seed), `graft_ivf_lists` holds the
+    * inverted lists (cell, vid, ve, vn — every corpus vector filed
+    * under its nearest landed centroid, raw vector carried IVFFlat-
+    * style). Both land once per (session, dir); every probe query
+    * only reads them. Returns (centroids, lists) as DataFrames over
+    * the landed files. */
+  private def ivfIndex(s: SparkSession,
+                       d: String): (DataFrame, DataFrame) = {
+    val centLoc = Tables.landedDir(s, "graft_ivf_cent", d) {
+      val e = normed(s, d).select("vec_id", "e", "nrm")
+      val cent0 = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn"))
+      // Lloyd recompute: element-wise mean per cell, rounded 6dp
+      ivfNearest(e, cent0, 1)
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => round(p.getField("m"), 6)).as("ce"))
+        .select(col("cell").as("cid"), col("ce"),
+          sqrt(aggregate(col("ce"), lit(0.0), (acc, x) => acc + x * x))
+            .as("cn"))
+    }
+    val cent = s.read.parquet(centLoc)
+    val listsLoc = Tables.landedDir(s, "graft_ivf_lists", d) {
+      ivfNearest(normed(s, d).select("vec_id", "e", "nrm"), cent, 1)
+        .select(col("cell"), col("vec_id").as("vid"),
+          col("e").as("ve"), col("nrm").as("vn"))
+    }
+    (cent, s.read.parquet(listsLoc))
+  }
+
   /** PQ/ADC shared machinery (m_ann_pq, m_ann_pq_rerank): 64-dim
     * vectors quantized to 3dp integers, split into 16 subspaces of 4
     * dims, each coded as its nearest of 64 seed centroids; returns
@@ -309,29 +363,63 @@ object Similarity {
     * ADC lookup table is |probes|·16·64 rows — broadcast-size
     * regardless of corpus size.
     */
-  private def pqAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** 3dp-quantized vectors split into 16 subspaces of 4 dims —
+    * (vec_id, s, sv) — the shared substrate of the PQ train, encode,
+    * and probe passes. */
+  private def pqSubs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qi"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          sIdx => slice(col("qi"), sIdx * 4 + 1, lit(4))))
+          .as(Seq("s", "sv")))
+
+  /** Exact integer sub-vector L2 of each (vec_id, s) against every
+    * codebook entry of the same subspace — codebook broadcast. */
+  private def pqL2(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("s"))
+      .withColumn("dsq", aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+
+  /** The landed PQ index — `graft_pq_codebook` (s, cid, cv: the 16×64
+    * seed sub-centroids) and `graft_pq_codes` (vid, s, code: each
+    * corpus vector's nearest-centroid code per subspace, 16 bytes'
+    * worth of info per vector in FAISS terms). Built once per
+    * (session, dir); probe queries only read them. */
+  private def pqIndex(s: SparkSession,
+                      d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    val cbLoc = Tables.landedDir(s, "graft_pq_codebook", d) {
+      pqSubs(s, d).filter(col("vec_id") < 64)
+        .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+    }
+    val cb = s.read.parquet(cbLoc)
+    val codesLoc = Tables.landedDir(s, "graft_pq_codes", d) {
+      val wCode = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dsq"), col("cid"))
+      pqL2(pqSubs(s, d), cb)
+        .withColumn("rn", row_number().over(wCode))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("vid"), col("s"),
+          col("cid").as("code"))
+    }
+    (cb, s.read.parquet(codesLoc))
+  }
+
+  private def pqAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qz = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000).cast("long")).as("qi"))
-    val subs = qz.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(15)),
-        sIdx => slice(col("qi"), sIdx * 4 + 1, lit(4))))
-        .as(Seq("s", "sv")))
-    val cents = subs.filter(col("vec_id") < 64)
-      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
-    val l2 = subs.join(broadcast(cents), Seq("s"))
-      .withColumn("dsq", aggregate(
-        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    val wCode = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dsq"), col("cid"))
-    val codes = l2.withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("vid"), col("s"),
-        col("cid").as("code"))
-    val qd = l2.filter(col("vec_id") % 25 === 0)
+    // probe side: the ADC lookup table (each probe's exact sub-L2 to
+    // every codebook entry) is computed fresh per query against the
+    // LANDED codebook; candidates' distances come from the LANDED
+    // codes by table lookup — the corpus is never re-encoded here.
+    val (cb, codes) = pqIndex(s, d)
+    val qd = pqL2(pqSubs(s, d).filter(col("vec_id") % 25 === 0), cb)
       .select(col("vec_id").as("qid"), col("s"), col("cid"),
         col("dsq"))
     val ad = codes.join(broadcast(qd),
@@ -1264,42 +1352,22 @@ object Similarity {
     Q("m_ann_ivf_nprobe",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // FAISS index lifecycle: the trained centroids and the
+        // inverted lists are LANDED tables (built once per (session,
+        // dir) by ivfIndex), and this probe query only READS them —
+        // the Lloyd step never runs here (AnnIndexSpec pins the plan).
+        // Query-side work: assign each probe vector to its nprobe=2
+        // nearest landed centroids, then meet the lists on the cell
+        // key.
+        val (cent, lists) = ivfIndex(s, d)
         val e = normed(s, d).select("vec_id", "e", "nrm")
-        def nearest(cent: DataFrame, keep: Int): DataFrame = {
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(desc("ccos"), col("cid"))
-          e.join(broadcast(cent), lit(true))
-            .withColumn("ccos",
-              round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") <= keep)
-            .select(col("vec_id"), col("cid").as("cell"), col("rn"),
-              col("e"), col("nrm"))
-        }
-        val cent0 = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("e").as("ce"),
-            col("nrm").as("cn"))
-        // Lloyd recompute: element-wise mean per cell, rounded 6dp
-        val cent1 = nearest(cent0, 1)
-          .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-          .groupBy("cell")
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
-            p => round(p.getField("m"), 6)).as("ce"))
-          .select(col("cell").as("cid"), col("ce"),
-            sqrt(aggregate(col("ce"), lit(0.0), (acc, x) => acc + x * x))
-              .as("cn"))
-        val a1 = nearest(cent1, 2)
-        val data = a1.filter(col("rn") === 1)
-          .select(col("vec_id").as("vid"), col("cell"),
-            col("e").as("ve"), col("nrm").as("vn"))
-        val probes = a1.filter(col("vec_id") % 25 === 0)
+        val probes = ivfNearest(
+            e.filter(col("vec_id") % 25 === 0), cent, 2)
           .select(col("vec_id").as("qid"), col("cell"),
             col("e").as("qe"), col("nrm").as("qn"))
         val wTop = Window.partitionBy(col("qid"))
           .orderBy(desc("cos"), col("vid"))
-        probes.join(data, Seq("cell"))
+        probes.join(lists, Seq("cell"))
           .filter(col("qid") =!= col("vid"))
           .withColumn("cos",
             round(dot(col("qe"), col("ve")) / (col("qn") * col("vn")), 6))

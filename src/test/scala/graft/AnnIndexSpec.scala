@@ -1,0 +1,39 @@
+package graft
+
+/** Pins the landed-ANN-index lifecycle (FAISS build-once/probe-many):
+  * the IVF and PQ probe queries must READ the index tables landed by
+  * ivfIndex/pqIndex — never re-run the Lloyd step or re-encode the
+  * corpus inside the probe plan.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("m_ann_ivf_nprobe probes the landed centroids and lists") {
+    val plan = SparkEntry.queries("m_ann_ivf_nprobe")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_cent"),
+      s"probe does not read the landed centroids:\n${plan.take(2000)}")
+    assert(plan.contains("graft_ivf_lists"),
+      s"probe does not read the landed inverted lists:\n${plan.take(2000)}")
+    // the Lloyd recompute (per-(cell, pos) element mean via
+    // posexplode) must not appear in the probe plan
+    assert(!plan.contains("posexplode"),
+      "the probe plan re-runs the centroid training pass")
+  }
+
+  test("m_ann_pq probes the landed codebook and codes") {
+    val plan = SparkEntry.queries("m_ann_pq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_codebook"),
+      "probe does not read the landed codebook")
+    assert(plan.contains("graft_pq_codes"),
+      "probe does not read the landed codes")
+    // corpus re-encode would put the per-(vec_id, s) nearest-centroid
+    // window over the FULL subs table in the probe plan; the probe
+    // side only windows per-qid rankings, so any window keyed on
+    // vec_id#..., s#... partitions is the encode pass leaking in
+    assert(!plan.contains("vec_id % 25) = 0) AND (vec_id < 64"),
+      "probe recomputed the codebook from raw vectors")
+  }
+}
