@@ -212,7 +212,71 @@ object Ingest {
       |FROM lineitem WHERE l_orderkey % 10 = 0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Land a REAL on-disk TSV tree once per (session, fixture):
+    * hive-style `dirname=YYMMDD/` directories of `.txt` text files
+    * holding [[tsvLines]]'s lines, PLUS two decoys the A3 scan must
+    * skip — a `log`-prefixed .txt and a non-.txt file. Returns the
+    * tree root. */
+  private def tsvTreeRoot(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+|_+$", "")
+    val path = s"/tmp/graft_tree_$sfx"
+    val m = Tables.sessionScoped(s)
+    val key = s"tree:$path"
+    if (m.get(key) == null) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      tsvLines(s, d).filter(col("dirname").isNotNull)
+        .write.partitionBy("dirname").text(path)
+      def decoy(rel: String, content: String): Unit = {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
+        out.write(content.getBytes("UTF-8")); out.close()
+      }
+      decoy("dirname=000000/log_decoy.txt",
+        "must\tbe\tskipped\tby\tthe\tlog-prefix\trule\n")
+      decoy("notes.md", "must be skipped by the *.txt glob\n")
+      m.putIfAbsent(key, s.emptyDataFrame)
+    }
+    path
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ----- A3: recursive directory scan as an ORACLE-CHECKED query —
+    // the tree is landed on disk from the deterministic line synthesis
+    // (tsvTreeRoot), then scanned back through the production path
+    // (recursiveFileLookup + pathGlobFilter + log-skip). The oracle
+    // recomputes the lines straight from the videos table, so a hash
+    // match proves the filesystem scan surfaced EXACTLY the synthesized
+    // lines — decoys excluded, nothing lost, nothing duplicated.
+    Q("a3_scan_tree",
+      (s, d) => scanTree(s, tsvTreeRoot(s, d))
+        .select(
+          regexp_replace(col("dirname"), "^dirname=", "").as("dirname"),
+          col("line"))
+        .orderBy("dirname", "line"),
+      Some(Oracles.withVideos(
+        s""", $tsvLinesSql
+           |SELECT dirname, line FROM lines
+           |WHERE dirname IS NOT NULL
+           |ORDER BY dirname, line""".stripMargin))),
+
+    // ----- A7: result read-back as an ORACLE-CHECKED query — a query
+    // result is WRITTEN to parquet once per (session, fixture), read
+    // BACK through spark.read, and served from the landed copy
+    // (analyze_links.py:100-104's save-then-reload shape). The oracle
+    // recomputes the digest from raw lineitem, so the hash match
+    // proves the result round-trip preserved every value.
+    Q("a7_readback",
+      (s, d) => {
+        val loc = Tables.landedDir(s, "graft_readback_digest", d) {
+          digest(Tables.lineitem(s, d)
+            .filter(col("l_orderkey") % 10 === 0))
+        }
+        s.read.parquet(loc).orderBy("l_returnflag")
+      },
+      Some(digestOracle)),
 
     // ----- A8: ORC write → read → digest vs the parquet original
     Q("a8_orc_roundtrip",
