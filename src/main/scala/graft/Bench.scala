@@ -59,7 +59,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val samples = (1 to 3).map { _ =>
+    // SPARK_GRAFT_BENCH_RUNS overrides the per-query sample count
+    // (default 3) — the sf1 scale audit runs once, the driver's sf0.1
+    // round bench keeps the interleaved median-of-3
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val samples = (1 to nRuns).map { _ =>
       names.map { name =>
         name -> (try once(name)
         catch { case e: Throwable =>
@@ -69,14 +73,15 @@ object Bench {
     }
     val results = names.map { name =>
       val runs = samples.map(_(name))
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
+      name -> (if (runs.exists(_ < 0)) -1.0
+        else runs.sorted.apply(nRuns / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":$warmup,"runs_per_query":3,"stat":"median","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":$warmup,"runs_per_query":$nRuns,"stat":"median","sf":"$sfDir"}"""
     // stdout for the driver's capture AND a file for when the captured
     // tail truncates (VERDICT r3: "parsed": null on a long stdout line)
     println(json)

@@ -240,7 +240,82 @@ object Storage {
     loc
   }
 
+  /** Land a 3-generation copy-on-write upsert table once per
+    * (session, dir): deterministic CDC batches (event_id % 3 = b, so
+    * the split is identical at every SF and on every engine) merged
+    * through the same associative partial/combine state the
+    * m_stream_upsert sink uses — `gen=b` holds the table AS OF batch
+    * b. The substrate for snapshot reads (m_time_travel) and the
+    * vacuum/time-travel interplay pinned in StorageSpec. */
+  private[graft] def timeTravelRoot(s: SparkSession, d: String): String = {
+    val m = Tables.sessionScoped(s)
+    val key = s"dir:graft_timetravel_${sfx(d)}"
+    val loc = s.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_timetravel_${sfx(d)}")).toString
+    if (m.get(key) == null) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      def batch(b: Int): DataFrame =
+        ev.filter(col("event_id") % 3 === b)
+      var prev: Option[DataFrame] = None
+      (0 to 2).foreach { b =>
+        val part = graft.streaming.Streams.upsertPartial(batch(b))
+        val merged = prev match {
+          case None => part
+          case Some(pv) => graft.streaming.Streams.upsertCombine(pv, part)
+        }
+        merged.write.mode("overwrite").parquet(s"$loc/gen=${b + 1}")
+        prev = Some(s.read.parquet(s"$loc/gen=${b + 1}"))
+      }
+      m.putIfAbsent(key, s.emptyDataFrame) // presence marker only
+    }
+    loc
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ----- Snapshot read / time travel over the copy-on-write
+    // generation layout — the reproducibility primitive for
+    // training-data lineage: "give me the table AS OF batch 2" is a
+    // plain read of `gen=2`, no log replay, no recompute. The oracle
+    // recomputes that state from the FROZEN inputs (events with
+    // event_id % 3 < 2 — batches 0 and 1), so the hash match proves
+    // generation N−1 is bit-for-bit the state as of its commit even
+    // though the live table (gen=3) has moved on. Retention
+    // interplay: vacuum with keep=2 preserves exactly this snapshot
+    // (StorageSpec pins travel-after-vacuum and the vacuum horizon).
+    Q("m_time_travel",
+      (s, d) => {
+        val root = timeTravelRoot(s, d)
+        s.read.parquet(s"$root/gen=2")
+          .select(lit(2L).as("generation"), col("user_id"), col("n"),
+            col("sv").cast("double").as("sum_value"),
+            col("last.us").as("last_us"),
+            col("last.event_type").as("last_type"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH fe AS (
+          |  SELECT * FROM events WHERE event_id % 3 < 2
+          |), r AS (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          |  FROM fe
+          |), agg AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |      AS sum_value
+          |  FROM fe GROUP BY user_id
+          |)
+          |SELECT CAST(2 AS BIGINT) AS generation, a.user_id, a.n,
+          |  a.sum_value, r.us AS last_us, r.event_type AS last_type
+          |FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+          |ORDER BY a.user_id""".stripMargin)),
 
     // ----- schema evolution across ingest generations: generation 2
     // added o_orderstatus, and a single mergeSchema scan reads BOTH

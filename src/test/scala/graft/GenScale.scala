@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 bench-fixture generator (round-7 scale audit): replicates the
+  * driver's read-only sf0.1 fixture 10× with disjoint key ranges per
+  * copy — every key column is shifted by copy·(max+1), so referential
+  * structure (orders↔lineitem↔part/supplier, events→users) is
+  * preserved per copy and cardinalities scale exactly 10×. Documents
+  * get a per-copy text marker and embeddings a per-copy first-element
+  * perturbation so the corpus isn't 10 EXACT copies of itself (which
+  * would quadratically inflate dedup candidate sets instead of scaling
+  * them linearly). region/nation stay fixed (TPC-H convention).
+  *
+  * Output: /root/repo/scaledata/sf1/<table>.parquet — used ONLY for
+  * the PERF.md sf1/sf0.1 scaling audit, never for correctness (the
+  * driver's DuckDB gate runs at sf0.01 on its own fixture).
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val in = "/root/testdata/sf0.1"
+    val out = "/root/repo/scaledata/sf1"
+    val copies = 10
+
+    def tenfold(df: DataFrame)(shift: (DataFrame, Int) => DataFrame)
+        : DataFrame =
+      (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    def land(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genscale] $name: done")
+    }
+
+    val li = spark.read.parquet(s"$in/lineitem.parquet")
+    land("lineitem", tenfold(li) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + i * 150000L)
+        .withColumn("l_partkey", col("l_partkey") + i * 20000L)
+        .withColumn("l_suppkey", col("l_suppkey") + i * 1000L)
+    })
+    land("orders", tenfold(spark.read.parquet(s"$in/orders.parquet")) {
+      (d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + i * 150000L)
+          .withColumn("o_custkey", col("o_custkey") + i * 15000L)
+    })
+    land("customer",
+      tenfold(spark.read.parquet(s"$in/customer.parquet")) { (d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + i * 15000L)
+      })
+    land("part", tenfold(spark.read.parquet(s"$in/part.parquet")) {
+      (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * 20000L)
+    })
+    land("supplier",
+      tenfold(spark.read.parquet(s"$in/supplier.parquet")) { (d, i) =>
+        d.withColumn("s_suppkey", col("s_suppkey") + i * 1000L)
+      })
+    land("events", tenfold(spark.read.parquet(s"$in/events.parquet")) {
+      (d, i) =>
+        d.withColumn("event_id", col("event_id") + i * 100000L)
+          .withColumn("user_id", col("user_id") + i * 1500L)
+    })
+    land("documents",
+      tenfold(spark.read.parquet(s"$in/documents.parquet")) { (d, i) =>
+        val t = if (i == 0) col("text")
+          else concat(col("text"), lit(s" sc$i"))
+        d.withColumn("doc_id", col("doc_id") + i * 5000L)
+          .withColumn("text", t)
+          .withColumn("n_chars", length(t).cast("long"))
+      })
+    land("embeddings",
+      tenfold(spark.read.parquet(s"$in/embeddings.parquet")) { (d, i) =>
+        val e = if (i == 0) col("embedding")
+          else concat(
+            array((element_at(col("embedding"), 1) +
+              lit(i * 1e-4f)).cast("float")),
+            slice(col("embedding"), 2, 63))
+        d.withColumn("vec_id", col("vec_id") + i * 2000L)
+          .withColumn("embedding", e)
+      })
+    land("region", spark.read.parquet(s"$in/region.parquet"))
+    land("nation", spark.read.parquet(s"$in/nation.parquet"))
+    spark.stop()
+  }
+}

@@ -354,6 +354,29 @@ class StorageSpec extends SparkSpec {
       "vacuum is not idempotent")
   }
 
+  test("m_time_travel snapshot survives vacuum to its horizon") {
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.Storage.timeTravelRoot(spark, sf)
+    val snap2 = SparkEntry.queries("m_time_travel")(spark, sf)
+      .collect().map(_.toSeq)
+    // the live generation has MOVED ON: gen=3 carries batch 2's rows
+    val n2 = spark.read.parquet(s"$root/gen=2")
+      .agg(sum("n")).collect()(0).getLong(0)
+    val n3 = spark.read.parquet(s"$root/gen=3")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(n3 > n2, s"live gen=3 ($n3) should exceed snapshot gen=2 ($n2)")
+    // vacuum keep=2 retains exactly the travel horizon {2, 3}
+    val (kept, deleted) =
+      graft.ops.Storage.vacuumGenerations(spark, root, keep = 2)
+    assert(kept == Seq(2L, 3L) && deleted == Seq(1L),
+      s"vacuum horizon wrong: kept=$kept deleted=$deleted")
+    // the snapshot is still readable and unchanged after the vacuum
+    val snapAfter = SparkEntry.queries("m_time_travel")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(snapAfter.toSeq == snap2.toSeq,
+      "time-travel snapshot changed after vacuum")
+  }
+
   test("m_mv_rewrite routes to the summary, never the base scan") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("m_mv_rewrite")(spark, sf)
