@@ -57,6 +57,14 @@ object Streams {
   /** Run a streaming DF to completion (availableNow) into a memory sink
     * and return the sink contents as a batch DataFrame.
     */
+  /** Peak state-store footprint of the most recent streaming run:
+    * (operatorName, numRowsTotal, memoryUsedBytes) per stateful
+    * operator — the PERF.md state-sizing audit reads this right after
+    * driving a query. */
+  private[graft] val lastStateMetrics =
+    new java.util.concurrent.atomic.AtomicReference[
+      Seq[(String, Long, Long)]](Nil)
+
   private def runToMemory(s: SparkSession, df: DataFrame,
                           mode: String): DataFrame = {
     // State store provider: MEASURED choice, not a default. RocksDB +
@@ -87,6 +95,16 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // record the run's peak state-operator footprint (rows + bytes per
+    // operator) for the PERF.md state-sizing audit — observational
+    // only, never part of a query's result
+    val ops = q.recentProgress.flatMap(p =>
+      Option(p.stateOperators).toSeq.flatten)
+    if (ops.nonEmpty)
+      lastStateMetrics.set(
+        ops.groupBy(_.operatorName).map { case (op, ms) =>
+          (op, ms.map(_.numRowsTotal).max, ms.map(_.memoryUsedBytes).max)
+        }.toSeq.sortBy(_._1))
     s.table(sink)
   }
 
