@@ -2060,7 +2060,14 @@ object Graph {
     * Survivors carry their in-core degree (all decrements applied).
     */
   private def kcore(s: SparkSession, d: String, k: Int,
-                    maxIter: Int = 20): DataFrame = {
+                    maxIter: Int = 100): DataFrame = {
+    // maxIter is a RUNAWAY GUARD, not a tuning knob: peel depth is
+    // the graph's degeneracy-ordering length and grows with density —
+    // the round-7 sf1 audit measured 20+ rounds on the 10× fixture
+    // where sf0.1 needs 8, and a tight cap turned a converging peel
+    // into a hard failure at scale. Rounds after the frontier empties
+    // cost nothing (the loop exits), and each delta round is
+    // frontier-proportional, so a generous cap is free.
     // e is loop-invariant: src-partitioned + persisted (see
     // [[cachedBySrc]]) — the initial degree aggregate and every
     // round's frontier semi-join run exchange-free on the edge side.

@@ -226,7 +226,13 @@ object Ingest {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(hp, true)
+      // repartition on the partition key first: otherwise every one of
+      // the N input tasks opens a writer in every date directory —
+      // dirs × tasks tiny files (~12k at sf1, 283 s of file-open cost,
+      // round-7 audit); clustered, each directory is written by one
+      // task (dirs files total, 10× faster)
       tsvLines(s, d).filter(col("dirname").isNotNull)
+        .repartition(col("dirname"))
         .write.partitionBy("dirname").text(path)
       def decoy(rel: String, content: String): Unit = {
         val out = fs.create(

@@ -197,8 +197,19 @@ object Similarity {
     * by `m_simhash` (raw fingerprint + exact-collision groups) and
     * `m_simhash_hamming` (banded hd<=1 neighbor degree).
     */
+  /** Signature width: 32 bits (one parity bit per md5 hex char, the
+    * scheme's max). Round-7 sf1 audit: the earlier 16-bit signature
+    * put 8-bit pigeonhole bands on m_simhash_hamming, whose bucket
+    * occupancy grows LINEARLY with the corpus (256 keys/band) and
+    * pair expansion quadratically — 88× wall at 10× rows. 32-bit
+    * sigs / 16-bit bands give 65k keys per band, so bucket collisions
+    * are driven by genuine similarity, not key exhaustion — and the
+    * 16-bit "near" pairs were mostly collision noise anyway (6,465
+    * pairs over 500 docs at sf0.01 vs 331 real ones at 32 bits). */
+  private val simhashBits = 32
+
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    val bits = 16
+    val bits = simhashBits
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
@@ -216,7 +227,7 @@ object Similarity {
   /** DuckDB twin of [[simhashSigs]]: CTE chain ending in
     * `f(doc_id, simhash)`. */
   private val simhashSigsCtes: String = {
-    val bits = 16
+    val bits = simhashBits
     val votes = (1 to bits).map { b =>
       s"sum(CASE WHEN ascii(substr(md5(tok), $b, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
     }.mkString(",\n    ")
@@ -990,9 +1001,11 @@ object Similarity {
     // of all hd<=1 pairs — which is why the oracle can be the plain
     // all-pairs definition while the Spark plan never goes all-pairs:
     // bucket on the band key, expand pairs inside buckets only, verify
-    // with one codegen'd bit_count(xor). At production 64-bit sigs use
-    // 4x16-bit bands (radius 3) — same plan, thinner buckets; the
-    // fixture's 16-bit sigs force 8-bit bands. Output is the per-doc
+    // with one codegen'd bit_count(xor). Band width matters at scale:
+    // the band key space must outgrow the corpus or buckets fill by
+    // pigeonhole alone (the round-7 sf1 finding) — 32-bit sigs give
+    // 16-bit bands (65k keys); production 64-bit sigs use 4×16-bit
+    // bands (radius 3) — same plan, thinner buckets. Output is the per-doc
     // neighbor count (degree), zero-filled — the quantity a dedup
     // pipeline thresholds on.
     Q("m_simhash_hamming",
@@ -1001,9 +1014,10 @@ object Similarity {
         val bands = sig.select(col("doc_id"), col("simhash"),
           explode(array(
             struct(lit(0).as("band"),
-              shiftright(col("simhash"), 8).as("k")),
+              shiftright(col("simhash"), simhashBits / 2).as("k")),
             struct(lit(1).as("band"),
-              col("simhash").bitwiseAND(255).as("k")))).as("bk"))
+              col("simhash").bitwiseAND((1L << (simhashBits / 2)) - 1)
+                .as("k")))).as("bk"))
           .select(col("doc_id"), col("simhash"),
             col("bk.band").as("band"), col("bk.k").as("k"))
         val pairStruct = struct(col("doc_id"), col("simhash"))

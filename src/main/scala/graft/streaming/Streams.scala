@@ -41,12 +41,27 @@ object Streams {
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source needs a DIRECTORY path; select the single
-    // fixture file via pathGlobFilter.
-    val raw = s.readStream
-      .schema(eventsRawSchema(s, dir))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // The file stream source needs a DIRECTORY path. The events table
+    // exists in BOTH layouts: a single flat file `events.parquet`
+    // (driver fixtures) and a directory `events.parquet/part-*.parquet`
+    // (anything Spark itself wrote, incl. the sf1 scale fixture) —
+    // branch on the filesystem, because a pathGlobFilter for the flat
+    // name matches ZERO leaf files under the directory layout and the
+    // stream silently runs empty (found by the round-7 sf1 audit).
+    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = evPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(evPath).isDirectory
+    val raw =
+      if (isDir)
+        s.readStream
+          .schema(eventsRawSchema(s, dir))
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(evPath.toString)
+      else
+        s.readStream
+          .schema(eventsRawSchema(s, dir))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
