@@ -1816,6 +1816,122 @@ object Similarity {
           |SELECT qid, CAST(rank AS INT) AS rank, vid, d
           |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // ----- IVF+PQ composed index (FAISS IndexIVFPQ — Jégou et al.
+    // 2011, the PRODUCTION billion-vector layout): the coarse
+    // quantizer prunes the search to nprobe=2 inverted lists (~12% of
+    // the corpus here), and only those candidates pay the ADC table
+    // lookup — where plain m_ann_pq ADC-scans the whole corpus per
+    // probe, the composition touches |probes| × nprobe × |cell|. Both
+    // index halves are the LANDED artifacts (graft_ivf_cent/lists,
+    // graft_pq_codebook/codes — build-once/probe-many); the probe
+    // query assigns its query vectors against the landed centroids,
+    // shortlists via the lists, and ranks by exact-integer ADC. The
+    // round-7 sf1 audit motivated this composition: the brute-ADC
+    // queries scale with |probes|×|corpus| by design, and IVF pruning
+    // is the standard fix. Oracle recomputes the whole lifecycle from
+    // raw embeddings.
+    Q("m_ann_ivfpq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (cent, lists) = ivfIndex(s, d)
+        val (cb, codes) = pqIndex(s, d)
+        val e = normed(s, d).select("vec_id", "e", "nrm")
+        val probes = ivfNearest(
+            e.filter(col("vec_id") % 25 === 0), cent, 2)
+          .select(col("vec_id").as("qid"), col("cell"))
+        val cand = probes
+          .join(lists.select(col("cell"), col("vid")), Seq("cell"))
+          .filter(col("qid") =!= col("vid"))
+          .select("qid", "vid")
+        val qd = pqL2(pqSubs(s, d).filter(col("vec_id") % 25 === 0), cb)
+          .select(col("vec_id").as("qid"), col("s"),
+            col("cid").as("code"), col("dsq"))
+        val ad = cand.join(codes, Seq("vid"))
+          .join(broadcast(qd), Seq("qid", "s", "code"))
+          .groupBy("qid", "vid").agg(sum("dsq").as("adist"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("vid"))
+        ad.withColumn("rank", row_number().over(wTop).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("adist"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH cent0 AS (
+          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          |  WHERE vec_id < 16
+          |), u0 AS (
+          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(ce) AS DOUBLE) AS y
+          |  FROM embeddings e, cent0
+          |), a0 AS (
+          |  SELECT vec_id, cid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
+          |  FROM u0 GROUP BY vec_id, cid
+          |), as0 AS (
+          |  SELECT vec_id, cid AS cell FROM (
+          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1
+          |), m0 AS (
+          |  SELECT cell, pos, round(avg(x), 6) AS m FROM (
+          |    SELECT a.cell, generate_subscripts(e.embedding, 1) AS pos,
+          |           CAST(unnest(e.embedding) AS DOUBLE) AS x
+          |    FROM as0 a JOIN embeddings e ON e.vec_id = a.vec_id)
+          |  GROUP BY cell, pos
+          |), cent1 AS (
+          |  SELECT cell AS cid, list(m ORDER BY pos) AS ce
+          |  FROM m0 GROUP BY cell
+          |), u1 AS (
+          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         unnest(ce) AS y
+          |  FROM embeddings e, cent1
+          |), a1 AS (
+          |  SELECT vec_id, cid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
+          |  FROM u1 GROUP BY vec_id, cid
+          |), r1 AS (
+          |  SELECT vec_id, cid AS cell, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a1
+          |), dat AS (SELECT vec_id AS vid, cell FROM r1 WHERE rn = 1),
+          |pq AS (
+          |  SELECT vec_id AS qid, cell FROM r1
+          |  WHERE rn <= 2 AND vec_id % 25 = 0
+          |), cand AS (
+          |  SELECT qid, vid FROM pq JOIN dat USING (cell)
+          |  WHERE qid <> vid
+          |), up AS (
+          |  SELECT vec_id,
+          |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+          |      AS BIGINT) AS xi,
+          |    generate_subscripts(embedding, 1) AS k
+          |  FROM embeddings
+          |), l2 AS (
+          |  SELECT a.vec_id AS vid, (a.k - 1) // 4 AS s, c.vec_id AS cid,
+          |    CAST(sum((a.xi - c.xi) * (a.xi - c.xi)) AS BIGINT) AS dsq
+          |  FROM up a JOIN up c ON c.k = a.k AND c.vec_id < 64
+          |  GROUP BY 1, 2, 3
+          |), codes AS (
+          |  SELECT vid, s, cid AS code FROM (
+          |    SELECT vid, s, cid,
+          |      row_number() OVER (PARTITION BY vid, s ORDER BY dsq, cid)
+          |        AS rn
+          |    FROM l2) WHERE rn = 1
+          |), qd AS (
+          |  SELECT vid AS qid, s, cid, dsq FROM l2 WHERE vid % 25 = 0
+          |), ad AS (
+          |  SELECT p.qid, p.vid, CAST(sum(q.dsq) AS BIGINT) AS adist
+          |  FROM cand p
+          |  JOIN codes c ON c.vid = p.vid
+          |  JOIN qd q ON q.qid = p.qid AND q.s = c.s AND q.cid = c.code
+          |  GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT qid, vid, adist,
+          |    row_number() OVER (PARTITION BY qid ORDER BY adist, vid)
+          |      AS rank
+          |  FROM ad)
+          |SELECT qid, CAST(rank AS INT) AS rank, vid, adist
+          |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
     // ----- distributed k-means (Lloyd 1953/1982), the clustering
     // primitive behind semantic dedup and topic-balanced data mixing.
     // Shaped for 100 TB, differently from MLlib's implementation:
