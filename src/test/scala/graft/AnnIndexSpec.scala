@@ -22,6 +22,20 @@ class AnnIndexSpec extends SparkSpec {
       "the probe plan re-runs the centroid training pass")
   }
 
+  test("m_ann_ivfpq reads all four landed index tables") {
+    val plan = SparkEntry.queries("m_ann_ivfpq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    Seq("graft_ivf_cent", "graft_ivf_lists",
+        "graft_pq_codebook", "graft_pq_codes").foreach { t =>
+      assert(plan.contains(t), s"composed probe does not read $t")
+    }
+    // the probe side splits its OWN query vectors into subspaces
+    // (posexplode is legitimate there); the training pass's marker is
+    // the per-(cell, pos) Lloyd mean — no avg() may survive routing
+    assert(!plan.contains("avg("),
+      "the composed probe re-runs the centroid training pass")
+  }
+
   test("m_ann_pq probes the landed codebook and codes") {
     val plan = SparkEntry.queries("m_ann_pq")(spark, sf)
       .queryExecution.executedPlan.toString
