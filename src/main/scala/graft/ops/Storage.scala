@@ -585,20 +585,17 @@ object Storage {
     // never results.
     Q("m_mv_rewrite",
       (s, d) => {
+        // The registration stays armed for THIS query's DataFrame
+        // lifetime (the write path re-optimizes a fresh QueryExecution
+        // and must still route); SparkEntry disarms it the moment any
+        // other query is built, so no later shape-matching query can
+        // be routed to a since-stale summary (round-6 ADVICE).
         armMvRewrite(s, d)
-        val out = Tables.rawTable(s, d, "lineitem")
+        Tables.rawTable(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")
-        // Scope the registration to THIS query: force the optimizer
-        // (the DataFrame caches its QueryExecution, so the routed plan
-        // survives the disarm) and immediately drop the registration —
-        // no later shape-matching query in the session can be silently
-        // routed to a since-stale summary (round-6 ADVICE).
-        out.queryExecution.optimizedPlan
-        graft.plans.MvRewrite.registered = None
-        out
       },
       Some(
         """SELECT l_returnflag,

@@ -22,25 +22,36 @@ class ArtifactRewriteSpec extends SparkSpec {
       s"k16 does not read the landed LPA artifact:\n$phys")
     // every one of the three derivation references must be routed: an
     // unrouted copy would leave the loop's per-round (dst, lbl)
-    // argmax aggregate in the optimized plan
-    val survivors = df.queryExecution.optimizedPlan.collect {
+    // argmax aggregate in the plan
+    def survivors(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan) = p.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if a.aggregateExpressions.exists(
             _.toString.contains("min(struct(nc")) => a
     }
-    assert(survivors.isEmpty,
-      s"${survivors.length} LPA loop round(s) survived routing")
-    // registration is per-query — the builder disarms after its own
-    // plan is built
+    assert(survivors(df.queryExecution.optimizedPlan).isEmpty,
+      "LPA loop round(s) survived routing in the optimized plan")
+    // the WRITE path builds a fresh QueryExecution over the logical
+    // plan and re-optimizes — that re-optimization must ALSO route
+    // (round-7: an eager per-builder disarm made the sink path
+    // silently re-run the 3× loop while queryExecution pins passed)
+    val rewritten = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, df.queryExecution.logical)
+    assert(survivors(rewritten.queryExecution.optimizedPlan).isEmpty,
+      "a fresh QueryExecution (the write path) no longer routes")
+    // registration scope: building ANY other query disarms it, so a
+    // later shape-matching query can never be stale-routed
+    SparkEntry.queries("f1_groupby_agg")(spark, sf)
     assert(graft.plans.ArtifactRewrite.registered.isEmpty,
-      "k16_modularity left the artifact registration armed")
+      "building another query did not disarm the artifact registration")
   }
 
   test("routing is result-invariant vs the unrouted derivation") {
     val routed = SparkEntry.queries("k16_modularity")(spark, sf)
       .collect().map(_.toSeq)
-    assert(graft.plans.ArtifactRewrite.registered.isEmpty)
     // unrouted twin: the same score computed with the rule disarmed
+    // (k16Unrouted is not a SparkEntry query, so disarm explicitly)
+    graft.plans.ArtifactRewrite.registered = Nil
     val direct = ops.Graph.k16Unrouted(spark, sf).collect().map(_.toSeq)
     assert(routed.toSeq == direct.toSeq,
       "routed and unrouted modularity differ")

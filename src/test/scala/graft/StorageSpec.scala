@@ -385,11 +385,14 @@ class StorageSpec extends SparkSpec {
       s"routed query still scans the base table:\n$plan")
     assert(plan.contains("graft_mv_li_flag"),
       s"routed query does not read the summary:\n$plan")
-    // the query builder disarms after its own plan is built (per-query
-    // registration scope) — pin that, then re-arm explicitly for the
-    // negative controls so they exercise the MATCHER, not the disarm
+    // registration scope: it stays armed for the owning query's
+    // DataFrame lifetime (the write path must still route), and
+    // building ANY other query disarms it — pin that, then re-arm
+    // explicitly for the negative controls so they exercise the
+    // MATCHER, not the disarm
+    SparkEntry.queries("f1_groupby_agg")(spark, sf)
     assert(graft.plans.MvRewrite.registered.isEmpty,
-      "m_mv_rewrite left the MV registration armed session-wide")
+      "building another query did not disarm the MV registration")
     graft.ops.Storage.armMvRewrite(spark, sf)
     // negative control 1: a different aggregate shape must NOT route
     val ctrl = Tables.rawTable(spark, sf, "lineitem")
