@@ -50,9 +50,15 @@ object Bench {
     // while iterating (the driver passes no args → full suite)
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names =
-      if (args.nonEmpty && args(0).nonEmpty)
-        names0.filter(args(0).split(",").toSet)
-      else names0
+      if (args.nonEmpty && args(0).nonEmpty) {
+        val wanted = args(0).split(",").toSet
+        val unknown = wanted -- names0
+        // fail FAST on a typo: a silently-empty selective run would
+        // still clobber /root/repo/bench_out.json with {"value":0}
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.mkString(", ")}")
+        names0.filter(wanted)
+      } else names0
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
@@ -60,9 +66,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_BENCH_RUNS overrides the per-query sample count
-    // (default 3) — the sf1 scale audit runs once, the driver's sf0.1
-    // round bench keeps the interleaved median-of-3
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // (default 3, clamped to >= 1) — the sf1 scale audit runs once,
+    // the driver's sf0.1 round bench keeps the interleaved median-of-3
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val samples = (1 to nRuns).map { _ =>
       names.map { name =>
         name -> (try once(name)
@@ -73,8 +80,11 @@ object Bench {
     }
     val results = names.map { name =>
       val runs = samples.map(_(name))
+      // LOWER median for even run counts — on a host with multi-
+      // minute kernel bursts the smaller sample is the quiet-window
+      // one, and the upper element would report the burst
       name -> (if (runs.exists(_ < 0)) -1.0
-        else runs.sorted.apply(nRuns / 2))
+        else runs.sorted.apply((nRuns - 1) / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -124,27 +124,46 @@ object Tables {
     }
   }
 
-  /** Land a derived table to parquet once per (session, name, dir) and
-    * return its location — the build-once/probe-many artifact lifecycle
-    * (MV summaries, ANN index tables, LPA labels). The build runs at
-    * most once per session; later callers read the landed files. */
-  private[graft] def landedDir(spark: SparkSession, name: String,
-                               dir: String)(build: => DataFrame): String = {
+  /** Serializes [[landedDirWith]] builds: the delete+overwrite of a
+    * landing is DESTRUCTIVE, so two first-callers racing on the same
+    * location (parallel test execution) must not both run it — unlike
+    * the harmless duplicate *cached DataFrame* builds that get/
+    * putIfAbsent tolerates elsewhere. One coarse lock is fine: landings
+    * are rare, build-once events. */
+  private val landLock = new Object
+
+  /** Land a derived artifact once per (session, name, dir) and return
+    * its location — the build-once/probe-many lifecycle (MV summaries,
+    * ANN index tables, LPA labels, generation layouts). `write` is
+    * handed the cleaned target location and may lay out anything
+    * (single parquet table, gen=N subdirs, a file tree); it runs at
+    * most once per session, under [[landLock]]. */
+  private[graft] def landedDirWith(spark: SparkSession, name: String,
+      dir: String)(write: String => Unit): String = {
     val m = sessionScoped(spark)
     val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
     val key = s"dir:${name}_$sfx"
     val loc = spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(
         s"${name}_$sfx")).toString
-    if (m.get(key) == null) {
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-      build.write.mode("overwrite").parquet(loc)
-      m.putIfAbsent(key, spark.emptyDataFrame)
+    if (m.get(key) == null) landLock.synchronized {
+      if (m.get(key) == null) {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        write(loc)
+        m.putIfAbsent(key, spark.emptyDataFrame)
+      }
     }
     loc
   }
+
+  /** [[landedDirWith]] specialized to the common single-parquet-table
+    * landing. */
+  private[graft] def landedDir(spark: SparkSession, name: String,
+                               dir: String)(build: => DataFrame): String =
+    landedDirWith(spark, name, dir)(
+      loc => build.write.mode("overwrite").parquet(loc))
 
   /** get/putIfAbsent, NOT computeIfAbsent: builders nest (videos() calls
     * table() on the same map) and a nested computeIfAbsent on one

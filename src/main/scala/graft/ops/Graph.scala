@@ -1975,21 +1975,8 @@ object Graph {
     * iterative artifact [[graft.plans.ArtifactRewrite]] routes to.
     * Built by the checkpointed [[lpaLabels]] loop (same labels as the
     * pure plan: the checkpoints only cut lineage). */
-  private[graft] def lpaArtifactDir(s: SparkSession, d: String): String = {
-    val m = Tables.sessionScoped(s)
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    val key = s"dir:graft_lpa_labels_$sfx"
-    val loc = s.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"graft_lpa_labels_$sfx")).toString
-    if (m.get(key) == null) {
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      lpaLabels(s, d, rounds = 4).write.mode("overwrite").parquet(loc)
-      m.putIfAbsent(key, s.emptyDataFrame)
-    }
-    loc
-  }
+  private[graft] def lpaArtifactDir(s: SparkSession, d: String): String =
+    Tables.landedDir(s, "graft_lpa_labels", d)(lpaLabels(s, d, rounds = 4))
 
   /** Install ArtifactRewrite and register the pure 4-round LPA plan
     * against the landed label table for `d`. Shared by k16_modularity
@@ -2000,13 +1987,29 @@ object Graph {
     * whole seconds per call if repeated (the round-7 sf0.1 bench
     * measured k16's median doubling from re-optimization alone —
     * landing was already cached, the PLANS were not). Entries
-    * reference only session-owned plans; the map is keyed by the
-    * session so a new session builds its own. */
+    * reference session-owned plans, so they are EVICTED when the
+    * session's context ends (the Tables.sessionScoped discipline) —
+    * otherwise a long-lived JVM would retain every dead session via
+    * its cached plan trees. */
   private val lpaArtCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[graft.plans.ArtifactRewrite.ArtDef]]()
+  private val lpaArtListenerInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession,
+        java.lang.Boolean]())
 
   private[graft] def armLpaArtifact(s: SparkSession, d: String): Unit = {
     graft.plans.ArtifactRewrite.install(s)
+    if (lpaArtListenerInstalled.add(s))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            lpaArtCache.keySet.removeIf(_._1 eq s)
+            lpaArtListenerInstalled.remove(s)
+          }
+        })
     graft.plans.ArtifactRewrite.registered =
       lpaArtCache.computeIfAbsent((s, d), _ => buildLpaCandidates(s, d))
   }

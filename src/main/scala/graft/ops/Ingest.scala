@@ -217,15 +217,8 @@ object Ingest {
     * holding [[tsvLines]]'s lines, PLUS two decoys the A3 scan must
     * skip — a `log`-prefixed .txt and a non-.txt file. Returns the
     * tree root. */
-  private def tsvTreeRoot(s: SparkSession, d: String): String = {
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+|_+$", "")
-    val path = s"/tmp/graft_tree_$sfx"
-    val m = Tables.sessionScoped(s)
-    val key = s"tree:$path"
-    if (m.get(key) == null) {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
+  private def tsvTreeRoot(s: SparkSession, d: String): String =
+    Tables.landedDirWith(s, "graft_tree", d) { path =>
       // repartition on the partition key first: otherwise every one of
       // the N input tasks opens a writer in every date directory —
       // dirs × tasks tiny files (~12k at sf1, 283 s of file-open cost,
@@ -234,6 +227,8 @@ object Ingest {
       tsvLines(s, d).filter(col("dirname").isNotNull)
         .repartition(col("dirname"))
         .write.partitionBy("dirname").text(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
       def decoy(rel: String, content: String): Unit = {
         val out = fs.create(
           new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
@@ -242,10 +237,7 @@ object Ingest {
       decoy("dirname=000000/log_decoy.txt",
         "must\tbe\tskipped\tby\tthe\tlog-prefix\trule\n")
       decoy("notes.md", "must be skipped by the *.txt glob\n")
-      m.putIfAbsent(key, s.emptyDataFrame)
     }
-    path
-  }
 
   val all: Seq[Q] = Seq(
 

@@ -219,15 +219,8 @@ object Storage {
     * directory — generation 2 ADDED a column (o_orderstatus), the way
     * real logs evolve. Written once per (session, dir); read back with
     * mergeSchema. */
-  private def schemaGenDir(s: SparkSession, d: String): String = {
-    val m = Tables.sessionScoped(s)
-    val key = s"dir:graft_schema_gen_${sfx(d)}"
-    val loc = s.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"graft_schema_gen_${sfx(d)}")).toString
-    if (m.get(key) == null) {
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  private def schemaGenDir(s: SparkSession, d: String): String =
+    Tables.landedDirWith(s, "graft_schema_gen", d) { loc =>
       val o = Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_totalprice")
@@ -235,10 +228,7 @@ object Storage {
       o.filter(col("o_orderkey") % 2 === 1)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .write.mode("overwrite").parquet(s"$loc/gen=2")
-      m.putIfAbsent(key, s.emptyDataFrame) // presence marker only
     }
-    loc
-  }
 
   /** Land a 3-generation copy-on-write upsert table once per
     * (session, dir): deterministic CDC batches (event_id % 3 = b, so
@@ -247,15 +237,8 @@ object Storage {
     * m_stream_upsert sink uses — `gen=b` holds the table AS OF batch
     * b. The substrate for snapshot reads (m_time_travel) and the
     * vacuum/time-travel interplay pinned in StorageSpec. */
-  private[graft] def timeTravelRoot(s: SparkSession, d: String): String = {
-    val m = Tables.sessionScoped(s)
-    val key = s"dir:graft_timetravel_${sfx(d)}"
-    val loc = s.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"graft_timetravel_${sfx(d)}")).toString
-    if (m.get(key) == null) {
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  private[graft] def timeTravelRoot(s: SparkSession, d: String): String =
+    Tables.landedDirWith(s, "graft_timetravel", d) { loc =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"), col("value"))
@@ -271,10 +254,7 @@ object Storage {
         merged.write.mode("overwrite").parquet(s"$loc/gen=${b + 1}")
         prev = Some(s.read.parquet(s"$loc/gen=${b + 1}"))
       }
-      m.putIfAbsent(key, s.emptyDataFrame) // presence marker only
     }
-    loc
-  }
 
   val all: Seq[Q] = Seq(
 
@@ -663,42 +643,20 @@ object Storage {
 
   /** Land the GDPR-deleted events copy once per (session, dir):
     * victims = user_id % 97 == 0, the deterministic ~1% erasure set. */
-  private def gdprDir(s: SparkSession, d: String): String = {
-    val m = Tables.sessionScoped(s)
-    val key = s"dir:graft_gdpr_${sfx(d)}"
-    val loc = s.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"graft_gdpr_${sfx(d)}")).toString
-    if (m.get(key) == null) {
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      Tables.events(s, d).filter(col("user_id") % 97 =!= 0)
-        .write.mode("overwrite").parquet(loc)
-      m.putIfAbsent(key, s.emptyDataFrame)
-    }
-    loc
-  }
+  private def gdprDir(s: SparkSession, d: String): String =
+    Tables.landedDir(s, "graft_gdpr", d)(
+      Tables.events(s, d).filter(col("user_id") % 97 =!= 0))
 
   /** Land the lineitem-by-flag summary once per (session, dir); the
     * registration is disarmed while the summary itself materializes so
     * the build can never be routed. */
-  private def mvSummaryDir(s: SparkSession, d: String): String = {
-    val m = Tables.sessionScoped(s)
-    val key = s"dir:graft_mv_li_flag_${sfx(d)}"
-    val loc = s.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"graft_mv_li_flag_${sfx(d)}")).toString
-    if (m.get(key) == null) {
-      graft.plans.MvRewrite.registered = None
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  private def mvSummaryDir(s: SparkSession, d: String): String =
+    Tables.landedDirWith(s, "graft_mv_li_flag", d) { loc =>
+      graft.plans.MvRewrite.registered = None // never route the build
       Tables.rawTable(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
           count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(loc)
-      m.putIfAbsent(key, s.emptyDataFrame)
     }
-    loc
-  }
 }

@@ -72,6 +72,10 @@ object ArtifactRewrite extends Rule[LogicalPlan] {
   def candidates(derivation: DataFrame, mv: DataFrame,
                  joinCols: Seq[String]): Seq[ArtDef] = {
     val mvPlan = mv.queryExecution.analyzed
+    require(derivation.columns.length == mvPlan.output.length,
+      s"artifact arity ${mvPlan.output.length} != derivation arity " +
+        s"${derivation.columns.length} — positional substitution " +
+        "would silently truncate")
     val plain = ArtDef(derivation.queryExecution.optimizedPlan,
       mvPlan, Nil)
     val filtered = joinCols.map { c =>
@@ -88,9 +92,14 @@ object ArtifactRewrite extends Rule[LogicalPlan] {
     if (defs.isEmpty) plan
     else plan transformUp {
       case p if p.resolved && defs.exists(a =>
-          p.output.length == a.src.output.length && p.sameResult(a.src)) =>
+          p.output.length == a.src.output.length &&
+            p.output.length == a.mv.output.length &&
+            p.sameResult(a.src)) =>
+        // the guard proved a match exists; re-find it once (cheap —
+        // canonicalized forms are cached per plan instance)
         val a = defs.find(x =>
           p.output.length == x.src.output.length &&
+            p.output.length == x.mv.output.length &&
             p.sameResult(x.src)).get
         val proj: Seq[NamedExpression] =
           p.output.zip(a.mv.output).map { case (o, m) =>

@@ -115,11 +115,13 @@ object Streams {
     // only, never part of a query's result
     val ops = q.recentProgress.flatMap(p =>
       Option(p.stateOperators).toSeq.flatten)
-    if (ops.nonEmpty)
-      lastStateMetrics.set(
-        ops.groupBy(_.operatorName).map { case (op, ms) =>
-          (op, ms.map(_.numRowsTotal).max, ms.map(_.memoryUsedBytes).max)
-        }.toSeq.sortBy(_._1))
+    // ALWAYS set (Nil for a stateless run) — leaving the previous
+    // run's metrics in place would let a reader attribute them to the
+    // wrong query
+    lastStateMetrics.set(
+      ops.groupBy(_.operatorName).map { case (op, ms) =>
+        (op, ms.map(_.numRowsTotal).max, ms.map(_.memoryUsedBytes).max)
+      }.toSeq.sortBy(_._1))
     s.table(sink)
   }
 
