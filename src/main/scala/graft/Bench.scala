@@ -86,12 +86,13 @@ object Bench {
       name -> (if (runs.exists(_ < 0)) -1.0
         else runs.sorted.apply((nRuns - 1) / 2))
     }
+    val statName = if (nRuns % 2 == 1) "median" else "median_lower"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":$warmup,"runs_per_query":$nRuns,"stat":"median","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":$warmup,"runs_per_query":$nRuns,"stat":"$statName","sf":"$sfDir"}"""
     // stdout for the driver's capture AND a file for when the captured
     // tail truncates (VERDICT r3: "parsed": null on a long stdout line)
     println(json)

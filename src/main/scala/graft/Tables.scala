@@ -141,7 +141,10 @@ object Tables {
   private[graft] def landedDirWith(spark: SparkSession, name: String,
       dir: String)(write: String => Unit): String = {
     val m = sessionScoped(spark)
+    // same mangling as Storage.sfx ("/root/testdata/sf0.01" ->
+    // "root_testdata_sf0_01") — one convention for every landed name
     val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("^_+|_+$", "")
     val key = s"dir:${name}_$sfx"
     val loc = spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(

@@ -1986,32 +1986,34 @@ object Graph {
     * optimizes 8 copies of the 4-round derivation plan, which costs
     * whole seconds per call if repeated (the round-7 sf0.1 bench
     * measured k16's median doubling from re-optimization alone —
-    * landing was already cached, the PLANS were not). Entries
-    * reference session-owned plans, so they are EVICTED when the
-    * session's context ends (the Tables.sessionScoped discipline) —
-    * otherwise a long-lived JVM would retain every dead session via
-    * its cached plan trees. */
-  private val lpaArtCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[graft.plans.ArtifactRewrite.ArtDef]]()
-  private val lpaArtListenerInstalled =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession,
-        java.lang.Boolean]())
+    * landing was already cached, the PLANS were not). The cache is a
+    * small synchronized LRU (entries hold plan trees that reference
+    * their session, so listener- or weak-key-based eviction can't
+    * work — plan→session back-references defeat weak keys, and a
+    * per-session listener on the SHARED context bus would itself pin
+    * dead sessions under newSession() churn); a hard size bound keeps
+    * the worst case at a handful of plan trees regardless of churn. */
+  private val lpaArtCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (SparkSession, String), Seq[graft.plans.ArtifactRewrite.ArtDef]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          (SparkSession, String),
+          Seq[graft.plans.ArtifactRewrite.ArtDef]]): Boolean = size > 8
+    })
 
   private[graft] def armLpaArtifact(s: SparkSession, d: String): Unit = {
     graft.plans.ArtifactRewrite.install(s)
-    if (lpaArtListenerInstalled.add(s))
-      s.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit = {
-            lpaArtCache.keySet.removeIf(_._1 eq s)
-            lpaArtListenerInstalled.remove(s)
-          }
-        })
-    graft.plans.ArtifactRewrite.registered =
-      lpaArtCache.computeIfAbsent((s, d), _ => buildLpaCandidates(s, d))
+    graft.plans.ArtifactRewrite.registered = lpaArtCache.synchronized {
+      val k = (s, d)
+      val existing = lpaArtCache.get(k)
+      if (existing != null) existing
+      else {
+        val built = buildLpaCandidates(s, d)
+        lpaArtCache.put(k, built)
+        built
+      }
+    }
   }
 
   private def buildLpaCandidates(s: SparkSession, d: String)

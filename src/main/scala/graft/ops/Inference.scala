@@ -181,26 +181,31 @@ object Inference {
               .otherwise(0L)).as("conc"),
             sum(when(col("y") > col("y2"), col("c") * col("c2"))
               .otherwise(0L)).as("disc"))
-        // `div`, not `/`: Column `/` on longs is DOUBLE division, which
-        // would make n1/n2 float aggregates (exact only below 2^53).
-        // t·(t−1) is always even, so integer division is exact, and the
-        // tie sums stay pure BIGINTs at any corpus size (round-6 ADVICE).
+        // Exact-integer tie sums, 128-bit clean: Column `/` on longs
+        // is DOUBLE division (round-6 ADVICE), and even integer `div`
+        // silently wraps once t exceeds ~3.04e9 (t·(t−1) > 2^63 — a
+        // single hot value level in a 100-TB group). t·(t−1) is even,
+        // so halving in decimal(38,0) stays exact; the same applies to
+        // the n·(n−1)/2 pair total. The REPORTED conc/disc columns
+        // stay BIGINT (pair counts ≤ n²/2 fit to n ≈ 4.3e9/group;
+        // beyond that the output schema itself would need DECIMAL).
+        def half(c: org.apache.spark.sql.Column) =
+          (c.cast("decimal(38,0)") * (c - 1L) / 2L)
+            .cast("decimal(38,0)")
         val margx = li.groupBy("flag", "x").agg(count(lit(1)).as("t"))
           .groupBy("flag")
-          .agg(sum(expr("t * (t - 1) div 2")).as("n1"),
-            sum(col("t")).as("n"))
+          .agg(sum(half(col("t"))).as("n1"), sum(col("t")).as("n"))
         val margy = li.groupBy("flag", "y").agg(count(lit(1)).as("t"))
           .groupBy("flag")
-          .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+          .agg(sum(half(col("t"))).as("n2"))
         cd.join(broadcast(margx), Seq("flag"))
           .join(broadcast(margy), Seq("flag"))
           .select(col("flag").as("l_returnflag"), col("n"),
             col("conc"), col("disc"),
             round((col("conc") - col("disc")).cast("double") /
-              (sqrt((expr("n * (n - 1) div 2") - col("n1"))
-                  .cast("double")) *
-               sqrt((expr("n * (n - 1) div 2") - col("n2"))
-                  .cast("double"))), 4).as("tau_b"))
+              (sqrt((half(col("n")) - col("n1")).cast("double")) *
+               sqrt((half(col("n")) - col("n2")).cast("double"))), 4)
+              .as("tau_b"))
           .orderBy("l_returnflag")
       },
       Some(
@@ -222,19 +227,23 @@ object Inference {
           |    ON a.flag = b.flag AND a.x < b.x
           |  GROUP BY a.flag
           |), mx AS (
-          |  SELECT flag, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+          |  SELECT flag,
+          |    sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1,
           |         CAST(sum(t) AS BIGINT) AS n
           |  FROM (SELECT flag, x, CAST(count(*) AS BIGINT) AS t
           |        FROM li GROUP BY flag, x) GROUP BY flag
           |), my AS (
-          |  SELECT flag, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+          |  SELECT flag,
+          |    sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2
           |  FROM (SELECT flag, y, CAST(count(*) AS BIGINT) AS t
           |        FROM li GROUP BY flag, y) GROUP BY flag
           |)
           |SELECT flag AS l_returnflag, n, conc, disc,
           |  round(CAST(conc - disc AS DOUBLE) /
-          |    (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) *
-          |     sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 4) AS tau_b
+          |    (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n1
+          |            AS DOUBLE)) *
+          |     sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n2
+          |            AS DOUBLE))), 4) AS tau_b
           |FROM cd JOIN mx USING (flag) JOIN my USING (flag)
           |ORDER BY l_returnflag""".stripMargin)),
 

@@ -113,15 +113,21 @@ object Streams {
     // record the run's peak state-operator footprint (rows + bytes per
     // operator) for the PERF.md state-sizing audit — observational
     // only, never part of a query's result
-    val ops = q.recentProgress.flatMap(p =>
-      Option(p.stateOperators).toSeq.flatten)
     // ALWAYS set (Nil for a stateless run) — leaving the previous
     // run's metrics in place would let a reader attribute them to the
-    // wrong query
+    // wrong query. Operator identity = position WITHIN one progress
+    // event (two same-named operators — e.g. two stream-stream joins —
+    // are distinct rows, not max-merged); max is only taken ACROSS
+    // progress events, where the same position is the same operator.
+    val perOp = q.recentProgress.flatMap { p =>
+      Option(p.stateOperators).toSeq.flatten.zipWithIndex
+        .map { case (o, i) => ((i, o.operatorName), o) }
+    }
     lastStateMetrics.set(
-      ops.groupBy(_.operatorName).map { case (op, ms) =>
-        (op, ms.map(_.numRowsTotal).max, ms.map(_.memoryUsedBytes).max)
-      }.toSeq.sortBy(_._1))
+      perOp.groupBy(_._1).toSeq.sortBy(_._1).map { case ((_, op), ms) =>
+        (op, ms.map(_._2.numRowsTotal).max,
+          ms.map(_._2.memoryUsedBytes).max)
+      })
     s.table(sink)
   }
 

@@ -43,11 +43,14 @@ class AnnIndexSpec extends SparkSpec {
       "probe does not read the landed codebook")
     assert(plan.contains("graft_pq_codes"),
       "probe does not read the landed codes")
-    // corpus re-encode would put the per-(vec_id, s) nearest-centroid
-    // window over the FULL subs table in the probe plan; the probe
-    // side only windows per-qid rankings, so any window keyed on
-    // vec_id#..., s#... partitions is the encode pass leaking in
-    assert(!plan.contains("vec_id % 25) = 0) AND (vec_id < 64"),
-      "probe recomputed the codebook from raw vectors")
+    // corpus re-encode would add a FULL-corpus embeddings scan (the
+    // per-(vec_id, s) nearest-centroid pass) on top of the probe
+    // side's bounded reads — bound the number of embeddings scans
+    // instead of matching a formatting-dependent predicate string
+    val embScans =
+      "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(embScans <= 2,
+      s"$embScans embeddings scans in the probe plan — the encode " +
+        "pass leaked back in")
   }
 }
