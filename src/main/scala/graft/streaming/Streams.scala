@@ -448,11 +448,20 @@ object Streams {
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
       .select(col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    // 4dp average computed HALF-UP IN EXACT INTEGER SPACE
+    // ((Σus·10⁴ + d/2) div d, d = n·10⁶) — round(double, 4) put the
+    // two engines on opposite sides of a decimal half-boundary at
+    // sf0.1 (10522.48765 → .4877 vs .4876); the integral form is the
+    // repo's floor/round-free float-emission convention. decimal(38)
+    // keeps Σus·10⁴ exact far beyond BIGINT (the 100-TB sum).
     runToMemory(s, joined, "append")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("lag_us")) / (count(lit(1)) * lit(1000000.0)), 4)
-          .as("avg_lag_sec"))
+        sum(col("lag_us")).cast("decimal(38,0)").as("sum_us"))
+      .withColumn("avg_lag_sec",
+        expr("CAST((sum_us * 10000 + n_pairs * 500000) DIV " +
+          "(n_pairs * 1000000) AS DOUBLE) / 10000.0"))
+      .drop("sum_us")
       .orderBy("user_id")
   }
 
@@ -631,8 +640,8 @@ object Streams {
           |  WHERE event_type = 'purchase'
           |)
           |SELECT v.user_id, count(*) AS n_pairs,
-          |  round(CAST(sum(p_us - v_us) AS BIGINT)
-          |    / (count(*) * 1000000.0), 4) AS avg_lag_sec
+          |  CAST((sum(p_us - v_us) * 10000 + count(*) * 500000)
+          |    // (count(*) * 1000000) AS DOUBLE) / 10000.0 AS avg_lag_sec
           |FROM v JOIN p ON p.user_id = v.user_id
           |  AND p_us >= v_us AND p_us <= v_us + 86400000000
           |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)),

@@ -22,11 +22,11 @@ class AnnIndexSpec extends SparkSpec {
       "the probe plan re-runs the centroid training pass")
   }
 
-  test("m_ann_ivfpq reads all four landed index tables") {
+  test("m_ann_ivfpq reads all five landed index tables") {
     val plan = SparkEntry.queries("m_ann_ivfpq")(spark, sf)
       .queryExecution.executedPlan.toString
-    Seq("graft_ivf_cent", "graft_ivf_lists",
-        "graft_pq_codebook", "graft_pq_codes").foreach { t =>
+    Seq("graft_ivf_cent", "graft_ivf_lists", "graft_pqr_rcent",
+        "graft_pqr_codebook", "graft_pqr_codes").foreach { t =>
       assert(plan.contains(t), s"composed probe does not read $t")
     }
     // the probe side splits its OWN query vectors into subspaces

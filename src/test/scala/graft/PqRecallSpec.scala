@@ -53,19 +53,22 @@ class PqRecallSpec extends SparkSpec {
     assert(recall >= 0.45, s"PQ recall $recall below the 0.45 pin")
   }
 
-  test("IVF+PQ composed recall vs exact top-3 (measure + floor)") {
+  test("IVF+PQ+refine composed recall vs exact top-3 >= 0.4") {
     val recall = recallOf("m_ann_ivfpq")
-    info(f"IVF+PQ recall vs exact top-3: $recall%.3f")
-    // composition loses on BOTH axes (coarse cells can prune a true
-    // neighbor, ADC mis-ranks inside the cell) and the UNIFORM random
-    // fixture is the worst case for cell pruning — there is no cluster
-    // structure, so nprobe=2 of 16 cells (1/8 of the corpus) keeps a
-    // true neighbor only when it happens to share a cell. Measured
-    // exactly 0.250 (vs PQ-alone 0.500 scanning everything); the floor
-    // guards against a parameter regression, not against the
-    // fixture's inherent loss — real clustered embeddings are where
-    // the composition earns its 8× candidate reduction.
-    assert(recall >= 0.2, s"IVF+PQ recall $recall below the 0.2 pin")
+    info(f"IVF+PQ+refine recall vs exact top-3: $recall%.3f")
+    // the UNIFORM random fixture is the worst case for cell pruning —
+    // no cluster structure, so a true neighbor survives only when it
+    // shares a visited cell. Exact-L2-in-visited-cells is a HARD
+    // recall ceiling no ADC can beat: measured 0.383 at nprobe=2 and
+    // 0.467 at nprobe=3 (which is why the round-7 raw-coded ADC
+    // plateaued at 0.250 and residual coding ALONE could not reach
+    // 0.4 at nprobe=2). The landed composition — residual-encoded
+    // Lloyd-trained codebooks, nprobe=3, exact refine of the ADC
+    // top-16 (FAISS IndexIVFPQR) — measures exactly 0.467, i.e. the
+    // nprobe=3 ceiling: the ADC+refine stage loses nothing on top of
+    // the pruning. Real clustered embeddings are where the coarse
+    // stage earns its ~5× candidate reduction without this penalty.
+    assert(recall >= 0.4, s"IVF+PQ+refine recall $recall below 0.4")
   }
 
   test("PQ + exact re-rank recall vs exact top-3 >= 0.9") {
