@@ -69,7 +69,11 @@ object Bench {
     // (default 3, clamped to >= 1) — the sf1 scale audit runs once,
     // the driver's sf0.1 round bench keeps the interleaved median-of-3
     val nRuns = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+      try sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+      catch { case _: NumberFormatException =>
+        sys.error("SPARK_GRAFT_BENCH_RUNS must be an integer, got: " +
+          s"'${sys.env("SPARK_GRAFT_BENCH_RUNS")}'")
+      })
     val samples = (1 to nRuns).map { _ =>
       names.map { name =>
         name -> (try once(name)
@@ -87,12 +91,32 @@ object Bench {
         else runs.sorted.apply((nRuns - 1) / 2))
     }
     val statName = if (nRuns % 2 == 1) "median" else "median_lower"
+    // Regression envelopes (round 8): bench_envelope.json holds each
+    // query's historical QUIET-WINDOW median at sf0.1. A query > 3x
+    // its envelope is FLAGGED (never failed — the host's documented
+    // multi-minute kernel bursts produce exactly such spikes on
+    // unchanged plans, and a hard failure would flake); the flagged
+    // list separates "this plan regressed" from "the host was loud"
+    // at a glance instead of hand-diffing per-query seconds across
+    // rounds. Envelope misses (new queries) are never flagged.
+    val envelope: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/bench_envelope.json")),
+          "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val flagged = results.collect {
+      case (k, v) if v >= 0 && envelope.get(k).exists(e => v > 3 * e) =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_sec":$warmup,"runs_per_query":$nRuns,"stat":"$statName","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flagged":$flagged,"warmup_sec":$warmup,"runs_per_query":$nRuns,"stat":"$statName","sf":"$sfDir"}"""
     // stdout for the driver's capture AND a file for when the captured
     // tail truncates (VERDICT r3: "parsed": null on a long stdout line)
     println(json)

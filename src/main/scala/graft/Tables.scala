@@ -132,12 +132,78 @@ object Tables {
     * are rare, build-once events. */
   private val landLock = new Object
 
-  /** Land a derived artifact once per (session, name, dir) and return
-    * its location — the build-once/probe-many lifecycle (MV summaries,
-    * ANN index tables, LPA labels, generation layouts). `write` is
-    * handed the cleaned target location and may lay out anything
-    * (single parquet table, gen=N subdirs, a file tree); it runs at
-    * most once per session, under [[landLock]]. */
+  /** Fingerprint of the code that builds landed artifacts: the
+    * (path, size, mtime) listing of the classes directory (dev
+    * layout) or the (size, mtime) of the jar. Folded into every
+    * landing manifest so an artifact built by OLD logic is stale the
+    * moment the build changes — the deployment-artifact version is
+    * the code version, the same contract a production catalog keys
+    * on. Memoized: one listing per JVM. */
+  private lazy val codeFingerprint: String = {
+    val src = Tables.getClass.getProtectionDomain.getCodeSource
+    if (src == null || src.getLocation == null) "no-code-source"
+    else {
+      val root = new java.io.File(src.getLocation.toURI)
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).flatMap(walk).toSeq
+        else Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
+      val listing = walk(root).mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Fingerprint of a base-data directory: MD5 over the sorted
+    * recursive (relative path, length, mtime) listing — the
+    * snapshot-id discipline of a table format's manifest, applied to
+    * raw parquet dirs. Listing is metadata-only (no data read): at
+    * 100 TB this is one namenode/object-store listing, the same cost
+    * any query's file enumeration already pays. */
+  private def baseFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        entries += s"${f.getPath.toString.stripPrefix(p.toString)}:" +
+          s"${f.getLen}:${f.getModificationTime}"
+      }
+    }
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest((codeFingerprint +: entries.sorted).mkString("\n")
+        .getBytes("UTF-8"))
+    h.map("%02x".format(_)).mkString
+  }
+
+  /** Name of the per-landing manifest marker. Underscore-prefixed so
+    * Spark's file index ignores it like _SUCCESS. */
+  private val manifestFile = "_GRAFT_MANIFEST"
+
+  /** Land a derived artifact and return its location — the
+    * build-once/probe-many lifecycle (MV summaries, ANN index tables,
+    * LPA labels, generation layouts). `write` is handed the cleaned
+    * target location and may lay out anything (single parquet table,
+    * gen=N subdirs, a file tree).
+    *
+    * CROSS-SESSION CATALOG (round 8): a landing is complete iff its
+    * `_GRAFT_MANIFEST` holds the current fingerprint of (base data ×
+    * build code). A fresh session — or a separate process sharing the
+    * warehouse — that finds a valid manifest REUSES the landing with
+    * no build and, critically, no destructive delete while another
+    * session may still be reading it; a changed base (file added,
+    * resized, or re-written) or recompiled build logic invalidates
+    * the manifest and triggers a rebuild. The manifest is written
+    * AFTER a successful build, so an interrupted build leaves no
+    * marker and the next caller rebuilds. In-session callers hit the
+    * session map and never re-fingerprint. Cross-PROCESS builds are
+    * additionally guarded by a best-effort `.build_lock` directory
+    * (atomic mkdirs): a second process waits for the winner's
+    * manifest instead of double-building; a crashed winner's stale
+    * lock is broken after a bounded wait. StorageSpec pins
+    * reuse-across-newSession and the stale-base negative control. */
   private[graft] def landedDirWith(spark: SparkSession, name: String,
       dir: String)(write: String => Unit): String = {
     val m = sessionScoped(spark)
@@ -152,13 +218,67 @@ object Tables {
     if (m.get(key) == null) landLock.synchronized {
       if (m.get(key) == null) {
         val p = new org.apache.hadoop.fs.Path(loc)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-        write(loc)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(p, manifestFile)
+        val fp = baseFingerprint(spark, dir)
+        def markerValid: Boolean = fs.exists(marker) && {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString == fp
+          finally in.close()
+        }
+        if (!markerValid) {
+          val lock = new org.apache.hadoop.fs.Path(loc + ".build_lock")
+          // atomic exclusive create (create with overwrite=false
+          // throws if the file exists — unlike mkdirs, which is
+          // mkdir -p semantics and reports success on an existing dir)
+          val gotLock =
+            try { fs.create(lock, false).close(); true }
+            catch { case _: Exception => false }
+          try {
+            if (gotLock && !markerValid) {
+              fs.delete(p, true)
+              write(loc)
+              val out = fs.create(marker, true)
+              try out.write(fp.getBytes("UTF-8")) finally out.close()
+            } else if (!gotLock) {
+              // another process is building: wait (bounded) for its
+              // manifest; fall through to a local rebuild if it died
+              val deadline = System.nanoTime + 120L * 1000000000L
+              while (!markerValid && System.nanoTime < deadline)
+                Thread.sleep(500)
+              if (!markerValid) {
+                fs.delete(p, true)
+                write(loc)
+                val out = fs.create(marker, true)
+                try out.write(fp.getBytes("UTF-8")) finally out.close()
+              }
+            }
+          } finally if (gotLock) fs.delete(lock, true)
+        }
         m.putIfAbsent(key, spark.emptyDataFrame)
       }
     }
     loc
+  }
+
+  /** Drop a landing's manifest (and its session fast-path entry) so
+    * the next caller rebuilds — the manual invalidation hook for
+    * callers that MUTATE a landed layout in place (e.g. StorageSpec's
+    * vacuum-interplay test, which deletes generations under the
+    * landed time-travel root and must not bequeath the vacuumed state
+    * to the next session as a "complete" landing). */
+  private[graft] def invalidateLanding(spark: SparkSession, name: String,
+      dir: String): Unit = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("^_+|_+$", "")
+    sessionScoped(spark).remove(s"dir:${name}_$sfx")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_$sfx")).toString
+    val marker = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), manifestFile)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
   }
 
   /** [[landedDirWith]] specialized to the common single-parquet-table

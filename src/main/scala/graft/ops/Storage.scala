@@ -237,6 +237,13 @@ object Storage {
     * m_stream_upsert sink uses — `gen=b` holds the table AS OF batch
     * b. The substrate for snapshot reads (m_time_travel) and the
     * vacuum/time-travel interplay pinned in StorageSpec. */
+  /** Invalidate the landed time-travel layout (see
+    * [[graft.Tables.invalidateLanding]]) — for callers that vacuum it
+    * in place and must not leave the mutated state catalogued. */
+  private[graft] def invalidateTimeTravel(s: SparkSession,
+      d: String): Unit =
+    Tables.invalidateLanding(s, "graft_timetravel", d)
+
   private[graft] def timeTravelRoot(s: SparkSession, d: String): String =
     Tables.landedDirWith(s, "graft_timetravel", d) { loc =>
       val ev = Tables.events(s, d)

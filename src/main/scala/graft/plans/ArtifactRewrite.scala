@@ -57,7 +57,21 @@ object ArtifactRewrite extends Rule[LogicalPlan] {
   final case class ArtDef(src: LogicalPlan, mv: LogicalPlan,
                           notNullCols: Seq[Int])
 
-  @volatile var registered: Seq[ArtDef] = Nil
+  /** Per-session registrations (round-8 fix, same rationale as
+    * [[MvRewrite.reg]]): var-style accessors resolve the calling
+    * thread's session so arm/disarm sites keep assignment syntax
+    * while concurrent sessions can no longer disarm each other. */
+  private val reg = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Seq[ArtDef]]())
+
+  private def session: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+
+  def registered: Seq[ArtDef] =
+    session.flatMap(s => Option(reg.get(s))).getOrElse(Nil)
+
+  def registered_=(v: Seq[ArtDef]): Unit =
+    session.foreach(s => reg.put(s, v))
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this))
@@ -101,17 +115,31 @@ object ArtifactRewrite extends Rule[LogicalPlan] {
           p.output.length == x.src.output.length &&
             p.output.length == x.mv.output.length &&
             p.sameResult(x.src)).get
+        // fresh relation instance PER SUBSTITUTION SITE (round-8
+        // fix): inserting the same analyzed mv instance at several
+        // matched sites (k16 references the derivation three times)
+        // put identical attribute exprIds on multiple join legs — a
+        // shape DeduplicateRelations exists to prevent. A landed
+        // artifact's analyzed plan is the bare file relation, which
+        // is MultiInstanceRelation — newInstance() re-mints its
+        // output ids; anything else falls back to the in-place plan.
+        val mv: LogicalPlan = a.mv match {
+          case m: org.apache.spark.sql.catalyst.analysis
+              .MultiInstanceRelation =>
+            m.newInstance().asInstanceOf[LogicalPlan]
+          case other => other
+        }
         val proj: Seq[NamedExpression] =
-          p.output.zip(a.mv.output).map { case (o, m) =>
+          p.output.zip(mv.output).map { case (o, m) =>
             Alias(m, o.name)(exprId = o.exprId)
           }
         val base: LogicalPlan =
-          if (a.notNullCols.isEmpty) a.mv
+          if (a.notNullCols.isEmpty) mv
           else Filter(
-            a.notNullCols.map(i => IsNotNull(a.mv.output(i)))
+            a.notNullCols.map(i => IsNotNull(mv.output(i)))
               .reduce[org.apache.spark.sql.catalyst.expressions
                 .Expression](And(_, _)),
-            a.mv)
+            mv)
         Project(proj, base)
     }
   }

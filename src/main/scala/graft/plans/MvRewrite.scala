@@ -50,7 +50,27 @@ object MvRewrite extends Rule[LogicalPlan] {
                          groupCol: String, sumCol: String,
                          countCol: String)
 
-  @volatile var registered: Option[MvDef] = None
+  /** Registrations are PER-SESSION (round-8 fix): a JVM-global var on
+    * a singleton rule let any concurrently-building query disarm
+    * another session's routing mid-DataFrame-lifetime. The var-style
+    * `registered` accessors resolve the session from the calling
+    * thread (active session during optimization — QueryExecution runs
+    * under withActive — falling back to the default session for
+    * builder threads), so the dozens of arm/disarm call sites keep
+    * their assignment syntax while isolation is per-session. Weak
+    * keys: a discarded newSession() drops its entry with the session.
+    */
+  private val reg = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Option[MvDef]]())
+
+  private def session: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+
+  def registered: Option[MvDef] =
+    session.flatMap(s => Option(reg.get(s))).flatten
+
+  def registered_=(v: Option[MvDef]): Unit =
+    session.foreach(s => reg.put(s, v))
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this))

@@ -30,6 +30,30 @@ object GenScale {
     val out = "/root/repo/scaledata/sf1"
     val copies = 10
 
+    // per-copy key shifts COMPUTED from the fixture (round-8 fix:
+    // hardcoded constants silently collide if the fixture's key
+    // ranges ever grow, breaking the "10x exact cardinality,
+    // preserved referential structure" premise with no error). A
+    // shared key domain (orders<->lineitem etc.) takes the max over
+    // every table carrying it, +1.
+    def shiftOf(cols: (String, String)*): Long =
+      cols.map { case (f, c) =>
+        spark.read.parquet(s"$in/$f.parquet")
+          .agg(max(col(c)).cast("long")).head.getLong(0)
+      }.max + 1
+    val orderShift = shiftOf("orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey")
+    val partShift = shiftOf("part" -> "p_partkey",
+      "lineitem" -> "l_partkey")
+    val suppShift = shiftOf("supplier" -> "s_suppkey",
+      "lineitem" -> "l_suppkey")
+    val custShift = shiftOf("customer" -> "c_custkey",
+      "orders" -> "o_custkey")
+    val eventShift = shiftOf("events" -> "event_id")
+    val userShift = shiftOf("events" -> "user_id")
+    val docShift = shiftOf("documents" -> "doc_id")
+    val vecShift = shiftOf("embeddings" -> "vec_id")
+
     def tenfold(df: DataFrame)(shift: (DataFrame, Int) => DataFrame)
         : DataFrame =
       (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
@@ -41,36 +65,36 @@ object GenScale {
 
     val li = spark.read.parquet(s"$in/lineitem.parquet")
     land("lineitem", tenfold(li) { (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + i * 150000L)
-        .withColumn("l_partkey", col("l_partkey") + i * 20000L)
-        .withColumn("l_suppkey", col("l_suppkey") + i * 1000L)
+      d.withColumn("l_orderkey", col("l_orderkey") + i * orderShift)
+        .withColumn("l_partkey", col("l_partkey") + i * partShift)
+        .withColumn("l_suppkey", col("l_suppkey") + i * suppShift)
     })
     land("orders", tenfold(spark.read.parquet(s"$in/orders.parquet")) {
       (d, i) =>
-        d.withColumn("o_orderkey", col("o_orderkey") + i * 150000L)
-          .withColumn("o_custkey", col("o_custkey") + i * 15000L)
+        d.withColumn("o_orderkey", col("o_orderkey") + i * orderShift)
+          .withColumn("o_custkey", col("o_custkey") + i * custShift)
     })
     land("customer",
       tenfold(spark.read.parquet(s"$in/customer.parquet")) { (d, i) =>
-        d.withColumn("c_custkey", col("c_custkey") + i * 15000L)
+        d.withColumn("c_custkey", col("c_custkey") + i * custShift)
       })
     land("part", tenfold(spark.read.parquet(s"$in/part.parquet")) {
-      (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * 20000L)
+      (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * partShift)
     })
     land("supplier",
       tenfold(spark.read.parquet(s"$in/supplier.parquet")) { (d, i) =>
-        d.withColumn("s_suppkey", col("s_suppkey") + i * 1000L)
+        d.withColumn("s_suppkey", col("s_suppkey") + i * suppShift)
       })
     land("events", tenfold(spark.read.parquet(s"$in/events.parquet")) {
       (d, i) =>
-        d.withColumn("event_id", col("event_id") + i * 100000L)
-          .withColumn("user_id", col("user_id") + i * 1500L)
+        d.withColumn("event_id", col("event_id") + i * eventShift)
+          .withColumn("user_id", col("user_id") + i * userShift)
     })
     land("documents",
       tenfold(spark.read.parquet(s"$in/documents.parquet")) { (d, i) =>
         val t = if (i == 0) col("text")
           else concat(col("text"), lit(s" sc$i"))
-        d.withColumn("doc_id", col("doc_id") + i * 5000L)
+        d.withColumn("doc_id", col("doc_id") + i * docShift)
           .withColumn("text", t)
           .withColumn("n_chars", length(t).cast("long"))
       })
@@ -81,7 +105,7 @@ object GenScale {
             array((element_at(col("embedding"), 1) +
               lit(i * 1e-4f)).cast("float")),
             slice(col("embedding"), 2, 63))
-        d.withColumn("vec_id", col("vec_id") + i * 2000L)
+        d.withColumn("vec_id", col("vec_id") + i * vecShift)
           .withColumn("embedding", e)
       })
     land("region", spark.read.parquet(s"$in/region.parquet"))

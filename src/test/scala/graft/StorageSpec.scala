@@ -356,6 +356,12 @@ class StorageSpec extends SparkSpec {
 
   test("m_time_travel snapshot survives vacuum to its horizon") {
     import org.apache.spark.sql.functions._
+    // this test MUTATES the landed layout (vacuum deletes gen=1), so
+    // it must not leave the vacuumed state behind as a "complete"
+    // landing for the cross-session catalog — invalidate up front
+    // (in case a prior run left the mutated state) and at the end
+    graft.ops.Storage.invalidateTimeTravel(spark, sf)
+    try {
     val root = graft.ops.Storage.timeTravelRoot(spark, sf)
     val snap2 = SparkEntry.queries("m_time_travel")(spark, sf)
       .collect().map(_.toSeq)
@@ -375,6 +381,7 @@ class StorageSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(snapAfter.toSeq == snap2.toSeq,
       "time-travel snapshot changed after vacuum")
+    } finally graft.ops.Storage.invalidateTimeTravel(spark, sf)
   }
 
   test("m_mv_rewrite routes to the summary, never the base scan") {
@@ -432,5 +439,42 @@ class StorageSpec extends SparkSpec {
       .orderBy("l_returnflag").collect().map(_.toSeq)
     assert(routed.toSeq == direct.toSeq,
       "routed and direct answers differ")
+  }
+
+  test("landed-artifact catalog: cross-session reuse + stale-base " +
+      "invalidation") {
+    // a private base dir the test can mutate (the real fixtures are
+    // read-only); what the builder READS is irrelevant to the catalog
+    // — the manifest fingerprints the BASE DIR's file listing
+    val base = java.nio.file.Files.createTempDirectory("graft_cat_base")
+    java.nio.file.Files.write(base.resolve("data.bin"),
+      Array[Byte](1, 2, 3))
+    var builds = 0
+    def land(s: org.apache.spark.sql.SparkSession): String =
+      Tables.landedDir(s, "graft_cat_probe", base.toString) {
+        builds += 1
+        s.range(5).toDF("n")
+      }
+    val loc1 = land(spark)
+    assert(builds == 1)
+    // same session: session-map fast path, no re-fingerprint needed
+    land(spark)
+    assert(builds == 1)
+    // FRESH session, same warehouse: the on-disk manifest is valid, so
+    // the landing is reused with NO rebuild and — critically — no
+    // destructive delete while this session may still be reading it
+    val s2 = spark.newSession()
+    val loc2 = land(s2)
+    assert(loc2 == loc1, "landing location must be session-independent")
+    assert(builds == 1,
+      "a fresh session re-ran the build despite a valid manifest")
+    // stale-base negative control: any change to the base listing
+    // (new file, resize, rewrite) must invalidate and rebuild
+    java.nio.file.Files.write(base.resolve("late_arrival.bin"),
+      Array[Byte](9))
+    val s3 = spark.newSession()
+    land(s3)
+    assert(builds == 2,
+      "a changed base dir did not invalidate the landed artifact")
   }
 }
