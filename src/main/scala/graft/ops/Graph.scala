@@ -2079,63 +2079,102 @@ object Graph {
     lbl
   }
 
-  /** Iterative k-core peel over the symmetrized video graph by DELTA
-    * propagation: degrees are computed ONCE, then each round removes
-    * the sub-k vertices and decrements only their neighbours — work
-    * per round is proportional to the edges incident to the newly
-    * removed frontier, not to the whole graph (the naive re-peel
-    * re-joined the FULL edge set against the keep-set twice per round:
-    * 13.7 s vs 8.7 s at sf0.1, same rounds — PERF.md). The full edge
-    * set is
-    * immutable (checkpointed once): an edge into an already-removed
-    * vertex decrements nothing because the left-semi-free decrement
-    * JOINS ONTO the surviving degree table — removed rows are simply
-    * absent; two vertices removed in the same round decrement each
-    * other's doomed rows, which the same subtraction then drops.
-    * Termination: the frontier empties ⇒ every surviving degree ≥ k.
-    * Survivors carry their in-core degree (all decrements applied).
+  /** k-core membership via an H-INDEX-PRUNED PEEL — the degree peel
+    * (Matula & Beck 1983) accelerated with the h-index bound of Lü,
+    * Zhou, Zhang & Stanley 2016 ("The H-index of a network node and
+    * its relation to degree and coreness", Nat. Commun. 7:10168).
+    * Each round computes, over the CURRENT subgraph, every vertex's
+    * h-index of its neighbours' degrees and drops all H < k at once.
+    * Soundness of each side of the loop:
+    *   - REMOVAL: H is an upper bound on coreness (one step of Lü's
+    *     monotone operator from degrees), so H(v) < k proves v is
+    *     outside the subgraph's k-core — which equals the original
+    *     k-core as long as only non-members are removed (induction).
+    *   - TERMINATION: h-index of a vertex's neighbour multiset never
+    *     exceeds its degree, so "no vertex has H < k" means every
+    *     surviving degree ≥ k — the survivor set IS the k-core
+    *     (min-degree ≥ k + maximality from sound removals).
+    *
+    * Why not the plain degree peel (round-7 form): its round count
+    * is the graph's peel DEPTH — 8 at sf0.1, 20+ at sf1 (73 s, fixed
+    * per-round job latency dominating) — because a cascade (chain
+    * hanging off the core) sheds one layer per round. The h-bound
+    * removes the whole cascade in one round: a chain vertex's
+    * neighbour degrees are ~2, so H ≈ 2 < 7 immediately, no matter
+    * how long the chain. And why not Lü's FULL coreness fixpoint:
+    * measured 40 rounds at sf1 — low-coreness regions settle one hop
+    * per round, exactly the tail the membership query doesn't need.
+    *
+    * THRESHOLDING: the query never needs the h-index VALUE, only
+    * the test h ≥ k — and by the h-index definition that test is
+    * "at least k of the neighbour values are ≥ k". So each operator
+    * step over booleans b_t(v) = [h^t(v) ≥ k] is just a semi-join
+    * of the edge table against the current candidate set plus a
+    * per-dst count: no per-vertex sorted-rank pass at all (the
+    * general h-index needs a shuffle-SORT per step — the dominant
+    * per-round cost on hot vertices). Induction: b_0 = [deg ≥ k];
+    * b_t(v) = [#{u ~ v : b_{t-1}(u)} ≥ k] = [h^t(v) ≥ k].
+    *
+    * FUSION: `steps` boolean operator steps compose LAZILY inside
+    * one round's plan, so the per-round synchronization barrier
+    * (checkpoint + count action — the fixed cost that dominates at
+    * 21 one-step rounds on sf1) is paid once per batch. Soundness
+    * is unchanged: every h^(t) ≥ coreness and the h^(t) sequence
+    * is pointwise non-increasing (Lü et al.), so removing
+    * b_n = false only removes non-members, and "nothing removed"
+    * still forces deg ≥ h^(1) ≥ … ≥ h^(n) ≥ k on every survivor.
+    * The edge table starts src-partitioned + persisted
+    * ([[cachedBySrc]]) — each step's semi-join is exchange-free on
+    * the edge side, and the per-dst count shuffles only map-side
+    * combined vertex-scale partials — and shrinks monotonically
+    * (checkpointed per round). Flat steps=3 is the measured sf1
+    * sweet spot (39 s) over steps=1 (21 rounds, 43 s), steps=6
+    * (7 rounds, 54 s — extra fused steps re-scan the still-big
+    * early graph), a doubling schedule (47 s), and a fixpoint
+    * iteration over the IMMUTABLE full edge set (75 s — peeling
+    * pays off because the subgraph shrinks under the scans).
+    * maxIter stays a generous runaway guard — the round-7 lesson
+    * that a tight cap turns a converging computation into a hard
+    * failure at scale.
     */
   private def kcore(s: SparkSession, d: String, k: Int,
-                    maxIter: Int = 100): DataFrame = {
-    // maxIter is a RUNAWAY GUARD, not a tuning knob: peel depth is
-    // the graph's degeneracy-ordering length and grows with density —
-    // the round-7 sf1 audit measured 20+ rounds on the 10× fixture
-    // where sf0.1 needs 8, and a tight cap turned a converging peel
-    // into a hard failure at scale. Rounds after the frontier empties
-    // cost nothing (the loop exits), and each delta round is
-    // frontier-proportional, so a generous cap is free.
-    // e is loop-invariant: src-partitioned + persisted (see
-    // [[cachedBySrc]]) — the initial degree aggregate and every
-    // round's frontier semi-join run exchange-free on the edge side.
-    val e = symEdgesBySrc(s, d)
-    var deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+                    maxIter: Int = 100, steps: Int = 3): DataFrame = {
+    var sub = symEdgesBySrc(s, d)
     var iter = 0
     var done = false
+    // ONE action per round: the filtered subgraph's checkpoint.
+    // Termination reads edge counts off the cached checkpoints (a
+    // removed vertex always removes ≥ 1 edge, since every vertex in
+    // `sub` has degree ≥ 1, so |E| unchanged ⇔ no vertex removed).
+    var prevE = sub.count()
     while (iter < maxIter && !done) {
-      val rm = deg.filter(col("deg") < k).select("src").localCheckpoint()
-      if (rm.isEmpty) done = true
-      else {
-        // decrement = per-survivor count of edges arriving from the
-        // removed frontier; |dec| ≤ edges incident to the frontier
-        val dec = e.join(rm, Seq("src"), "left_semi")
-          .groupBy(col("dst").as("src"))
-          .agg(count(lit(1)).as("d"))
-        deg = deg.join(rm, Seq("src"), "left_anti")
-          .join(dec, Seq("src"), "left")
-          .select(col("src"),
-            (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
-          .localCheckpoint()
-      }
+      // b_t → b_{t+1}: vertices with ≥ k candidate neighbours
+      def bStep(cand: DataFrame): DataFrame =
+        sub.join(cand, Seq("src"), "left_semi")
+          .groupBy(col("dst"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= k)
+          .select(col("dst").as("src"))
+      val cand0 = sub.groupBy("src").agg(count(lit(1)).as("h"))
+        .filter(col("h") >= k).select("src")
+      val members = (1 to steps).foldLeft(cand0)((c, _) => bStep(c))
+      val sub2 = sub
+        .join(members, Seq("src"), "left_semi")
+        .join(members.withColumnRenamed("src", "dst"), Seq("dst"),
+          "left_semi")
+        .localCheckpoint()
+      val e2 = sub2.count()
+      if (e2 == prevE) done = true
+      else { sub = sub2; prevE = e2 }
       iter += 1
     }
-    // fail loudly rather than return fringe vertices as "core": an
-    // exhausted bound is indistinguishable from convergence in the
-    // output (peel depth grows with scale: 4 → 6 → 8 across the
-    // fixture sfs, so the bound is headroom, not a convergence crutch)
     require(done,
-      s"k-core peel did not converge within $maxIter rounds")
-    deg.select(col("src").as("vertex"), col("deg"))
+      s"k-core h-pruned peel did not converge within $maxIter rounds")
+    System.err.println(s"[kcore] h-pruned peel converged in $iter rounds")
+    // survivors carry their in-core degree, whose minimum the
+    // termination proof bounds at k
+    sub.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("vertex"), col("deg"))
       .orderBy("vertex")
   }
 }
