@@ -1,6 +1,6 @@
 package graft
-import graft.ops.{Ext, Graph, Inference, Ingest, Mining, Multimodal, Q,
-  Relational, Similarity, Stats, Storage, Text, Tpch, Typed, Windows}
+import graft.ops.{Ext, Fuzz, Graph, Inference, Ingest, Mining, Multimodal,
+  Q, Relational, Similarity, Stats, Storage, Text, Tpch, Typed, Windows}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.all ++ Windows.all ++ Stats.all ++ Graph.all ++ Text.all ++
       Ext.all ++ Tpch.all ++ Similarity.all ++ Ingest.all ++
       Multimodal.all ++ Storage.all ++ Mining.all ++ Inference.all ++
-      Typed.all ++
+      Typed.all ++ Fuzz.all ++
       graft.streaming.Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

