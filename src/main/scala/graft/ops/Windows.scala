@@ -75,9 +75,15 @@ object Windows {
         val parts = s.sparkContext.defaultParallelism
         val ranged = v.repartitionByRange(parts, desc("views"), col("id"))
           .withColumn("pid", spark_partition_id())
+        // frozen before branching: the offsets aggregate re-executes
+        // this subplan, and spark_partition_id is nondeterministic —
+        // a range-exchange reuse miss would re-sample boundaries and
+        // misalign pids between the two branches (see
+        // w_anomaly_chunked, where this surfaced as an off-by-one)
         val local = ranged.withColumn("local_rn",
           row_number().over(Window.partitionBy(col("pid"))
             .orderBy(desc("views"), col("id"))))
+          .localCheckpoint()
         // per-partition counts -> cumulative offsets + grand total (tiny:
         // one row per partition), broadcast back. The total rides the same
         // frame, so no separate count() job over the full table.
@@ -299,6 +305,107 @@ object Windows {
           .withColumn("s1", sum(col("v")).over(f))
           .withColumn("s2", sum(col("v") * col("v")).over(f))
           .filter(col("np") >= 5)
+          .withColumn("dev", col("np") * col("v") - col("s1"))
+          .filter(col("dev") * col("dev") * (col("np") - 1) >
+            lit(4L) * col("np") * (col("np") * col("s2") -
+              col("s1") * col("s1")))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("value"), col("np").cast("int").as("n_prev"), col("dev"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+          |    CAST(floor(value * 10000.0) AS BIGINT) AS v
+          |  FROM events
+          |  WHERE abs(CAST(floor(value * 10000.0) AS BIGINT)) <= 5700000
+          |), wd AS (
+          |  SELECT event_id, user_id, ts_us, value, v,
+          |    count(*) OVER f AS np,
+          |    sum(v) OVER f AS s1,
+          |    sum(v * v) OVER f AS s2
+          |  FROM e
+          |  WINDOW f AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+          |SELECT event_id, user_id, ts_us, value,
+          |  CAST(np AS INT) AS n_prev,
+          |  CAST(np * v - s1 AS BIGINT) AS dev
+          |FROM wd
+          |WHERE np >= 5
+          |  AND (np*v - s1) * (np*v - s1) * (np - 1)
+          |      > 4 * np * (np*s2 - s1*s1)
+          |ORDER BY event_id""".stripMargin)),
+
+    // ----- [EXT] w_anomaly at scale: the SAME rolling-frame anomaly
+    // flag WITHOUT a per-user window partition. A hot user (sf1skew:
+    // one user holds 20% of events, w_anomaly 1.38 s -> 2.41 s while
+    // every balanced query moved <= +18%) serializes an ordered
+    // per-user frame onto one task, and salting can't split an
+    // ORDERED rolling frame naively — each split would lose its
+    // predecessor rows. Chunk-with-halo restores balance exactly:
+    //   1. balanced per-user sequence numbers — range-partition on
+    //      (user, ts, id) (the sampler SPLITS a hot user's range
+    //      across partitions), row_number inside each (pid, user)
+    //      slice, plus per-(pid, user) count offsets cumulated over
+    //      pid — the w_rank_distributed pattern, per key;
+    //   2. chunk = seq div 1024; the LAST 20 rows of each chunk are
+    //      duplicated into the next chunk as halo rows — exactly the
+    //      frame depth (ROWS -20..-1), so every row's frame is fully
+    //      present inside its own (user, chunk) window partition,
+    //      whose size is bounded by 1044 rows NO MATTER how hot the
+    //      user;
+    //   3. rolling count/s1/s2 per (user, chunk), halo rows dropped
+    //      after serving as context.
+    // Must hash-match the plain w_anomaly oracle exactly.
+    Q("w_anomaly_chunked",
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("v", floor(col("value") * 10000.0))
+          .filter(abs(col("v")) <= 5700000L)
+          .select("event_id", "user_id", "ts_us", "value", "v")
+        val parts = s.sparkContext.defaultParallelism * 2
+        val ranged = base
+          .repartitionByRange(parts, col("user_id"), col("ts_us"),
+            col("event_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLoc = Window.partitionBy(col("pid"), col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        // FROZEN before branching: spark_partition_id is
+        // nondeterministic — the offsets branch and the row branch
+        // would otherwise re-execute the range exchange, and a reuse
+        // miss re-samples the range boundaries, silently shifting a
+        // boundary user's offset (observed as an off-by-one in every
+        // frame of the straddling user). localCheckpoint pins one
+        // materialized pid/local_rn assignment for both consumers.
+        val local = ranged
+          .withColumn("local_rn", row_number().over(wLoc).cast("long"))
+          .localCheckpoint()
+        // one row per (pid, user) — the per-user cumulation window is
+        // bounded by the partition count, never by data
+        val offs = local.groupBy("pid", "user_id")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(
+            sum(col("cnt")).over(Window.partitionBy(col("user_id"))
+              .orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "user_id", "offset")
+        val chunkLen = 1024L
+        val seqd = local.join(offs, Seq("pid", "user_id"))
+          .withColumn("pos", col("offset") + col("local_rn") - 1)
+          .withColumn("chunk",
+            floor(col("pos").cast("double") / chunkLen).cast("long"))
+        val halo = seqd.filter(pmod(col("pos"), lit(chunkLen)) >=
+            chunkLen - 20)
+          .withColumn("chunk", col("chunk") + 1)
+          .withColumn("is_halo", lit(true))
+        val wc = Window.partitionBy(col("user_id"), col("chunk"))
+          .orderBy(col("pos")).rowsBetween(-20, -1)
+        seqd.withColumn("is_halo", lit(false)).unionByName(halo)
+          .withColumn("np", count(lit(1)).over(wc))
+          .withColumn("s1", sum(col("v")).over(wc))
+          .withColumn("s2", sum(col("v") * col("v")).over(wc))
+          .filter(!col("is_halo") && col("np") >= 5)
           .withColumn("dev", col("np") * col("v") - col("s1"))
           .filter(col("dev") * col("dev") * (col("np") - 1) >
             lit(4L) * col("np") * (col("np") * col("s2") -

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew bench fixture (round-8, VERDICT item 7): derives
+  * /root/repo/scaledata/sf1skew from the uniform sf1 replication with
+  * three deterministic hot-key injections, so the AQE-skew / salting /
+  * hot-shingle-cap patterns are PROVEN against real skew rather than
+  * argued from uniform data:
+  *
+  *   - events:   ~20% of all events (pmod(event_id, 5) = 0) are
+  *               reassigned to ONE user — every
+  *               Window.partitionBy(user_id) query gets a partition
+  *               holding a fifth of the table, and every user-keyed
+  *               aggregate gets one massive group;
+  *   - documents: ~25% of docs (pmod(doc_id, 4) = 0) get the same
+  *               12-token phrase appended — each phrase shingle's
+  *               posting list covers a quarter of the corpus, the
+  *               worst case for shingle-join dedup candidate
+  *               generation (quadratic without a cap);
+  *   - lineitem: ~20% of lines (pmod(l_orderkey, 5) = 0) point at ONE
+  *               part — part-side equi-joins and partkey aggregates
+  *               get a single hot build/probe key.
+  *
+  * All other tables (and all other columns) are byte-identical to sf1,
+  * so a uniform-vs-skew bench delta isolates the skew response.
+  * Bench-only, never a correctness gate.
+  */
+object GenSkew {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val in = "/root/repo/scaledata/sf1"
+    val out = "/root/repo/scaledata/sf1skew"
+
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genskew] $name: done")
+    }
+
+    val ev = spark.read.parquet(s"$in/events.parquet")
+    val hotUser = ev.agg(min(col("user_id")).cast("long")).head.getLong(0)
+    land("events", ev.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) === 0, lit(hotUser))
+        .otherwise(col("user_id"))))
+
+    val docs = spark.read.parquet(s"$in/documents.parquet")
+    val phrase = " the quick brown fox jumps over the lazy dog every day"
+    val skewText = when(pmod(col("doc_id"), lit(4)) === 0,
+      concat(col("text"), lit(phrase))).otherwise(col("text"))
+    land("documents", docs
+      .withColumn("text", skewText)
+      .withColumn("n_chars", length(col("text")).cast("long")))
+
+    val li = spark.read.parquet(s"$in/lineitem.parquet")
+    val hotPart = li.agg(min(col("l_partkey")).cast("long")).head.getLong(0)
+    land("lineitem", li.withColumn("l_partkey",
+      when(pmod(col("l_orderkey"), lit(5)) === 0, lit(hotPart))
+        .otherwise(col("l_partkey"))))
+
+    Seq("orders", "customer", "part", "supplier", "embeddings",
+      "region", "nation").foreach { t =>
+      land(t, spark.read.parquet(s"$in/$t.parquet"))
+    }
+    spark.stop()
+  }
+}
