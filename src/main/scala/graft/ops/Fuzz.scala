@@ -54,8 +54,8 @@ object Fuzz {
     * plan AND its oracle SQL are both re-derived from the seed at
     * runtime, so the two sides can never drift apart. */
   private val driverSeeds: Vector[Int] = Vector(
-    1, 2, 3, 4, 5, 7, 8, 9, 12, 14, 17, 22, 28, 30, 31, 32, 34, 41,
-    43, 50, 58, 68, 71, 74, 79)
+    1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 20, 22, 23, 27, 28,
+    30, 31, 32, 33, 68, 145, 185)
 
   // lazy: toSql walks tableSchemas, which is defined further down the
   // object body — eager init would read it as null
@@ -144,6 +144,23 @@ object Fuzz {
   /** explode(array(a, b)) — both elements TL. */
   final case class Expl(in: Pl, name: String, a: Ex, b: Ex) extends Pl {
     def schema: Vector[Cl] = in.schema :+ Cl(name, TL)
+  }
+  /** ORDER BY every column (NULLS FIRST, asc) LIMIT n — ordering by the
+    * full column list is total up to duplicate rows, which are
+    * interchangeable, so the selected MULTISET is deterministic. The
+    * NULLS FIRST is explicit on both engines: Spark defaults to nulls
+    * first on ASC where DuckDB defaults to nulls last. */
+  final case class Lim(in: Pl, n: Int) extends Pl {
+    def schema: Vector[Cl] = in.schema
+  }
+  /** UNION ALL of two same-schema branches (bag semantics). */
+  final case class UnionA(l: Pl, r: Pl) extends Pl {
+    def schema: Vector[Cl] = l.schema
+  }
+  /** EXCEPT / INTERSECT — set semantics (deduped) on both engines,
+    * null-safe row equality. */
+  final case class SetOp(l: Pl, r: Pl, op: String) extends Pl {
+    def schema: Vector[Cl] = l.schema
   }
 
   // ----------------------------------------------------- bounded base scans
@@ -255,13 +272,18 @@ object Fuzz {
         val ord = rest(rnd.nextInt(rest.size))
         val fun = Vector("rank", "dense_rank", "cnt")(rnd.nextInt(3))
         Wnd(p, s"w$step", fun, part, ord, rnd.nextBoolean())
-      } else if (roll < 94 && longCols.nonEmpty && explodes < 2) {
+      } else if (roll < 91 && longCols.nonEmpty && explodes < 2) {
         explodes += 1
         val a = AMod(Ref(longCols(rnd.nextInt(longCols.size)).name, TL),
           7 + rnd.nextInt(91))
         val b = genEx(rnd, sch, TL, 1, step, 90 + step)
         Expl(p, s"e$step", a, b)
-      } else Dist(p)
+      } else if (roll < 93) Lim(p, 5 + rnd.nextInt(46))
+      else if (roll < 95) UnionA(p, Filt(p, genPred(rnd, sch, 1)))
+      else if (roll < 97)
+        SetOp(p, Filt(p, genPred(rnd, sch, 1)),
+          if (rnd.nextBoolean()) "except" else "intersect")
+      else Dist(p)
     (q, explodes, windows)
   }
 
@@ -462,6 +484,14 @@ object Fuzz {
     case Expl(in, name, a, b) =>
       toDF(s, dir, in)
         .select(col("*"), explode(array(exCol(a), exCol(b))).as(name))
+    case Lim(in, n) =>
+      val df = toDF(s, dir, in)
+      df.orderBy(in.schema.map(c => col(c.name).asc_nulls_first): _*)
+        .limit(n)
+    case UnionA(l, r) => toDF(s, dir, l).unionByName(toDF(s, dir, r))
+    case SetOp(l, r, op) =>
+      val (ld, rd) = (toDF(s, dir, l), toDF(s, dir, r))
+      if (op == "except") ld.except(rd) else ld.intersect(rd)
   }
 
   private def sentinelCol(t: Typ): Column = t match {
@@ -582,6 +612,20 @@ object Fuzz {
         val sub = sqlOf(in, c)
         s"SELECT *, unnest([${exSql(a)}, ${exSql(b)}]) AS $name " +
           s"FROM ($sub) ${al()}"
+      case Lim(in, n) =>
+        val sub = sqlOf(in, c)
+        val ord = in.schema.map(_.name + " NULLS FIRST").mkString(", ")
+        s"SELECT * FROM ($sub) ${al()} ORDER BY $ord LIMIT $n"
+      case UnionA(l, r) =>
+        val ls = sqlOf(l, c)
+        val rs = sqlOf(r, c)
+        s"SELECT * FROM ($ls) ${al()} UNION ALL " +
+          s"SELECT * FROM ($rs) ${al()}"
+      case SetOp(l, r, op) =>
+        val ls = sqlOf(l, c)
+        val rs = sqlOf(r, c)
+        val kw = if (op == "except") "EXCEPT" else "INTERSECT"
+        s"SELECT * FROM ($ls) ${al()} $kw SELECT * FROM ($rs) ${al()}"
     }
   }
 
@@ -730,6 +774,39 @@ object Fuzz {
       interp(in, base).flatMap { r =>
         Seq(evalEx(a, r, idx), evalEx(b, r, idx)).map(v => r :+ v)
       }
+    case Lim(in, n) =>
+      val rows = interp(in, base)
+      rows.sortWith((a, b) => rowLt(in.schema, a, b)).take(n)
+    case UnionA(l, r) => interp(l, base) ++ interp(r, base)
+    case SetOp(l, r, op) =>
+      val rset = interp(r, base).toSet
+      val ldist = interp(l, base).distinct
+      if (op == "except") ldist.filterNot(rset.contains)
+      else ldist.filter(rset.contains)
+  }
+
+  /** Total lexicographic row order: null first, then typed compare —
+    * matches ASC NULLS FIRST over every column on both engines. */
+  private def rowLt(sch: Vector[Cl], a: Row, b: Row): Boolean = {
+    var i = 0
+    while (i < sch.size) {
+      val (x, y) = (a(i), b(i))
+      if (x == null && y != null) return true
+      if (x != null && y == null) return false
+      if (x != null && y != null) {
+        val c = sch(i).typ match {
+          case TL => java.lang.Long.compare(x.asInstanceOf[Long],
+            y.asInstanceOf[Long])
+          case TD => java.lang.Double.compare(x.asInstanceOf[Double],
+            y.asInstanceOf[Double])
+          case TS => x.asInstanceOf[String]
+            .compareTo(y.asInstanceOf[String])
+        }
+        if (c != 0) return c < 0
+      }
+      i += 1
+    }
+    false
   }
 
   private def index(sch: Vector[Cl]): Map[String, Int] =
