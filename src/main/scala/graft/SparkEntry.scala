@@ -36,8 +36,8 @@ object SparkEntry {
     * only the unrouted cost. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     allQs.map(q => q.name -> { (s: SparkSession, d: String) =>
-      graft.plans.MvRewrite.registered = None
-      graft.plans.ArtifactRewrite.registered = Nil
+      graft.plans.MvRewrite.register(s, None)
+      graft.plans.ArtifactRewrite.register(s, Nil)
       q.fn(s, d)
     }).toMap
 

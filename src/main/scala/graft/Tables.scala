@@ -204,17 +204,30 @@ object Tables {
     * manifest instead of double-building; a crashed winner's stale
     * lock is broken after a bounded wait. StorageSpec pins
     * reuse-across-newSession and the stale-base negative control. */
+  /** One convention for every landed name: session-map key and landing
+    * location derived together (shared with [[invalidateLanding]] —
+    * the two MUST stay byte-identical or invalidation goes stale).
+    * Mangling matches Storage.sfx ("/root/testdata/sf0.01" ->
+    * "root_testdata_sf0_01"). */
+  private def landingKeyLoc(spark: SparkSession, name: String,
+      dir: String): (String, String) = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("^_+|_+$", "")
+    (s"dir:${name}_$sfx",
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${name}_$sfx")).toString)
+  }
+
+  /** A waiter gives up on a lock file this much older than now and
+    * breaks it — generous versus measured landing builds (≤ ~30 s at
+    * sf1), so only a genuinely dead builder loses its lock. */
+  private val lockStaleMs = 600000L
+
   private[graft] def landedDirWith(spark: SparkSession, name: String,
       dir: String)(write: String => Unit): String = {
     val m = sessionScoped(spark)
-    // same mangling as Storage.sfx ("/root/testdata/sf0.01" ->
-    // "root_testdata_sf0_01") — one convention for every landed name
-    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
-      .replaceAll("^_+|_+$", "")
-    val key = s"dir:${name}_$sfx"
-    val loc = spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"${name}_$sfx")).toString
+    val (key, loc) = landingKeyLoc(spark, name, dir)
     if (m.get(key) == null) landLock.synchronized {
       if (m.get(key) == null) {
         val p = new org.apache.hadoop.fs.Path(loc)
@@ -230,30 +243,50 @@ object Tables {
           val lock = new org.apache.hadoop.fs.Path(loc + ".build_lock")
           // atomic exclusive create (create with overwrite=false
           // throws if the file exists — unlike mkdirs, which is
-          // mkdir -p semantics and reports success on an existing dir)
-          val gotLock =
+          // mkdir -p semantics and reports success on an existing
+          // dir). A BUILD ONLY EVER RUNS WHILE HOLDING THE LOCK: the
+          // earlier fall-through that rebuilt lockless after a wait
+          // timeout could interleave with a still-writing winner and
+          // then stamp the mixed directory with a valid manifest —
+          // sticky corruption. A crashed builder's stale lock is
+          // broken by AGE (lockStaleMs), so waiters converge instead
+          // of stalling forever behind a dead process.
+          def tryLock(): Boolean =
             try { fs.create(lock, false).close(); true }
-            catch { case _: Exception => false }
-          try {
-            if (gotLock && !markerValid) {
-              fs.delete(p, true)
-              write(loc)
-              val out = fs.create(marker, true)
-              try out.write(fp.getBytes("UTF-8")) finally out.close()
-            } else if (!gotLock) {
-              // another process is building: wait (bounded) for its
-              // manifest; fall through to a local rebuild if it died
-              val deadline = System.nanoTime + 120L * 1000000000L
-              while (!markerValid && System.nanoTime < deadline)
-                Thread.sleep(500)
-              if (!markerValid) {
+            catch {
+              case _: Exception =>
+                try {
+                  val age = System.currentTimeMillis -
+                    fs.getFileStatus(lock).getModificationTime
+                  if (age > lockStaleMs) {
+                    fs.delete(lock, false)
+                    fs.create(lock, false).close()
+                    true
+                  } else false
+                } catch { case _: Exception => false }
+            }
+          val deadline = System.nanoTime +
+            (lockStaleMs + 60000L) * 1000000L
+          var done = false
+          while (!done) {
+            if (markerValid) done = true // winner finished: reuse
+            else if (tryLock()) {
+              try if (!markerValid) {
                 fs.delete(p, true)
                 write(loc)
                 val out = fs.create(marker, true)
                 try out.write(fp.getBytes("UTF-8")) finally out.close()
-              }
-            }
-          } finally if (gotLock) fs.delete(lock, true)
+              } finally fs.delete(lock, true)
+              done = true
+            } else if (System.nanoTime > deadline)
+              // a LIVE builder has held the lock past the stale
+              // threshold + grace: refuse the unlocked-rebuild race
+              throw new IllegalStateException(
+                s"landing $key: build lock still held after " +
+                  s"${(lockStaleMs + 60000L) / 1000}s and manifest " +
+                  "invalid — refusing a concurrent rebuild")
+            else Thread.sleep(500)
+          }
         }
         m.putIfAbsent(key, spark.emptyDataFrame)
       }
@@ -269,12 +302,8 @@ object Tables {
     * to the next session as a "complete" landing). */
   private[graft] def invalidateLanding(spark: SparkSession, name: String,
       dir: String): Unit = {
-    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
-      .replaceAll("^_+|_+$", "")
-    sessionScoped(spark).remove(s"dir:${name}_$sfx")
-    val loc = spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"${name}_$sfx")).toString
+    val (key, loc) = landingKeyLoc(spark, name, dir)
+    sessionScoped(spark).remove(key)
     val marker = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(loc), manifestFile)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

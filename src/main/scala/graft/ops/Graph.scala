@@ -1153,8 +1153,15 @@ object Graph {
            |  SELECT DISTINCT v FROM (
            |    SELECT s AS v FROM de UNION ALL SELECT d FROM de)
            |), l0 AS MATERIALIZED (SELECT v, v AS l FROM verts),
-           |$stages
-           |SELECT l AS component, CAST(count(*) AS BIGINT) AS n_members
+           |$stages,
+           |nonconv AS (
+           |  SELECT count(*) AS c FROM l22 a JOIN l21 b
+           |  ON a.v = b.v AND a.l <> b.l)
+           |SELECT CASE WHEN (SELECT c FROM nonconv) > 0
+           |    THEN CAST(error('k9 oracle: 22-stage unroll did NOT ' ||
+           |      'converge — raise the stage count') AS BIGINT)
+           |    ELSE l END AS component,
+           |  CAST(count(*) AS BIGINT) AS n_members
            |FROM l22 GROUP BY l ORDER BY component""".stripMargin
       }),
 
@@ -2017,7 +2024,7 @@ object Graph {
 
   private[graft] def armLpaArtifact(s: SparkSession, d: String): Unit = {
     graft.plans.ArtifactRewrite.install(s)
-    graft.plans.ArtifactRewrite.registered = lpaArtCache.synchronized {
+    graft.plans.ArtifactRewrite.register(s, lpaArtCache.synchronized {
       val k = (s, d)
       val existing = lpaArtCache.get(k)
       if (existing != null) existing
@@ -2026,7 +2033,7 @@ object Graph {
         lpaArtCache.put(k, built)
         built
       }
-    }
+    })
   }
 
   private def buildLpaCandidates(s: SparkSession, d: String)

@@ -1993,8 +1993,13 @@ object Similarity {
         val wTop = Window.partitionBy(col("qid"))
           .orderBy(col("d"), col("vid"))
         short
-          .join(broadcast(qz.select(col("vec_id").as("qid"),
-            col("xi").as("qq"))), Seq("qid"))
+          // probe rows only: broadcasting the full quantized corpus
+          // as the query side would ship a corpus-sized table to
+          // every executor for a join that can only match the 20
+          // probe qids
+          .join(broadcast(qz.filter(annProbes)
+            .select(col("vec_id").as("qid"), col("xi").as("qq"))),
+            Seq("qid"))
           .join(qz.select(col("vec_id").as("vid"), col("xi").as("vv")),
             Seq("vid"))
           .withColumn("d", aggregate(

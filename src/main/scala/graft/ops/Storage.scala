@@ -642,10 +642,10 @@ object Storage {
   def armMvRewrite(s: SparkSession, d: String): Unit = {
     graft.plans.MvRewrite.install(s)
     val mv = s.read.parquet(mvSummaryDir(s, d))
-    graft.plans.MvRewrite.registered =
+    graft.plans.MvRewrite.register(s,
       Some(graft.plans.MvRewrite.MvDef(
         s"$d/lineitem.parquet", mv.queryExecution.analyzed,
-        "l_returnflag", "qty_sum", "n"))
+        "l_returnflag", "qty_sum", "n")))
   }
 
   /** Land the GDPR-deleted events copy once per (session, dir):
@@ -659,7 +659,7 @@ object Storage {
     * the build can never be routed. */
   private def mvSummaryDir(s: SparkSession, d: String): String =
     Tables.landedDirWith(s, "graft_mv_li_flag", d) { loc =>
-      graft.plans.MvRewrite.registered = None // never route the build
+      graft.plans.MvRewrite.register(s, None) // never route the build
       Tables.rawTable(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(sum(floor(col("l_quantity"))).as("qty_sum"),

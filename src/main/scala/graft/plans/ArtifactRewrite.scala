@@ -58,20 +58,27 @@ object ArtifactRewrite extends Rule[LogicalPlan] {
                           notNullCols: Seq[Int])
 
   /** Per-session registrations (round-8 fix, same rationale as
-    * [[MvRewrite.reg]]): var-style accessors resolve the calling
-    * thread's session so arm/disarm sites keep assignment syntax
-    * while concurrent sessions can no longer disarm each other. */
+    * [[MvRewrite.reg]]): bounded access-order LRU, NOT a weak map —
+    * ArtDef plans back-reference their session, which would pin a
+    * weak key forever. Arm/disarm take the session explicitly; only
+    * the optimizer-side getter reads the thread-local active session
+    * (correct under Catalyst's withActive). */
   private val reg = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, Seq[ArtDef]]())
-
-  private def session: Option[SparkSession] =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    new java.util.LinkedHashMap[SparkSession, Seq[ArtDef]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, Seq[ArtDef]])
+      : Boolean = size > 64
+    })
 
   def registered: Seq[ArtDef] =
-    session.flatMap(s => Option(reg.get(s))).getOrElse(Nil)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(s => Option(reg.get(s))).getOrElse(Nil)
 
-  def registered_=(v: Seq[ArtDef]): Unit =
-    session.foreach(s => reg.put(s, v))
+  def registeredIn(s: SparkSession): Seq[ArtDef] =
+    Option(reg.get(s)).getOrElse(Nil)
+
+  def register(s: SparkSession, v: Seq[ArtDef]): Unit = reg.put(s, v)
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this))

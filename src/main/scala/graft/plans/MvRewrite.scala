@@ -52,25 +52,36 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** Registrations are PER-SESSION (round-8 fix): a JVM-global var on
     * a singleton rule let any concurrently-building query disarm
-    * another session's routing mid-DataFrame-lifetime. The var-style
-    * `registered` accessors resolve the session from the calling
-    * thread (active session during optimization — QueryExecution runs
-    * under withActive — falling back to the default session for
-    * builder threads), so the dozens of arm/disarm call sites keep
-    * their assignment syntax while isolation is per-session. Weak
-    * keys: a discarded newSession() drops its entry with the session.
-    */
+    * another session's routing mid-DataFrame-lifetime. NOT a weak
+    * map: an MvDef holds an analyzed plan whose relation back-
+    * references its owning session, so a weak key would never be
+    * collectable (the Graph.scala LRU rationale) — a bounded
+    * access-order LRU caps the residue instead, and every query build
+    * disarms, nulling the plan payload anyway. Registration/disarm
+    * take the session EXPLICITLY: resolving it from thread-locals
+    * (active/default session) silently targets the wrong slot for
+    * `newSession()` children on the parent thread — the exact
+    * cross-session interference the per-session map exists to stop.
+    * Only the optimizer-side getter reads the thread-local active
+    * session, which Catalyst guarantees via withActive. */
   private val reg = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, Option[MvDef]]())
+    new java.util.LinkedHashMap[SparkSession, Option[MvDef]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, Option[MvDef]])
+      : Boolean = size > 64
+    })
 
-  private def session: Option[SparkSession] =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-
+  /** Read by [[apply]] during optimization — Catalyst runs rules under
+    * withActive, so the thread-local session is the right one THERE. */
   def registered: Option[MvDef] =
-    session.flatMap(s => Option(reg.get(s))).flatten
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(s => Option(reg.get(s))).flatten
 
-  def registered_=(v: Option[MvDef]): Unit =
-    session.foreach(s => reg.put(s, v))
+  def registeredIn(s: SparkSession): Option[MvDef] =
+    Option(reg.get(s)).flatten
+
+  def register(s: SparkSession, v: Option[MvDef]): Unit = reg.put(s, v)
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this))

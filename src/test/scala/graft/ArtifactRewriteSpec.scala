@@ -42,7 +42,7 @@ class ArtifactRewriteSpec extends SparkSpec {
     // registration scope: building ANY other query disarms it, so a
     // later shape-matching query can never be stale-routed
     SparkEntry.queries("f1_groupby_agg")(spark, sf)
-    assert(graft.plans.ArtifactRewrite.registered.isEmpty,
+    assert(graft.plans.ArtifactRewrite.registeredIn(spark).isEmpty,
       "building another query did not disarm the artifact registration")
   }
 
@@ -51,7 +51,7 @@ class ArtifactRewriteSpec extends SparkSpec {
       .collect().map(_.toSeq)
     // unrouted twin: the same score computed with the rule disarmed
     // (k16Unrouted is not a SparkEntry query, so disarm explicitly)
-    graft.plans.ArtifactRewrite.registered = Nil
+    graft.plans.ArtifactRewrite.register(spark, Nil)
     val direct = ops.Graph.k16Unrouted(spark, sf).collect().map(_.toSeq)
     assert(routed.toSeq == direct.toSeq,
       "routed and unrouted modularity differ")
@@ -65,6 +65,6 @@ class ArtifactRewriteSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(!p3.contains("graft_lpa_labels"),
         s"a 3-round LPA plan was wrongly routed to the 4-round artifact:\n$p3")
-    } finally graft.plans.ArtifactRewrite.registered = Nil
+    } finally graft.plans.ArtifactRewrite.register(spark, Nil)
   }
 }

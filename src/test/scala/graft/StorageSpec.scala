@@ -398,7 +398,7 @@ class StorageSpec extends SparkSpec {
     // explicitly for the negative controls so they exercise the
     // MATCHER, not the disarm
     SparkEntry.queries("f1_groupby_agg")(spark, sf)
-    assert(graft.plans.MvRewrite.registered.isEmpty,
+    assert(graft.plans.MvRewrite.registeredIn(spark).isEmpty,
       "building another query did not disarm the MV registration")
     graft.ops.Storage.armMvRewrite(spark, sf)
     // negative control 1: a different aggregate shape must NOT route
@@ -431,7 +431,7 @@ class StorageSpec extends SparkSpec {
       "column-shadowing aggregate was wrongly routed to the summary")
     // result invariance: disarm the rule and recompute directly
     val routed = df.collect().map(_.toSeq)
-    graft.plans.MvRewrite.registered = None
+    graft.plans.MvRewrite.register(spark, None)
     val direct = Tables.rawTable(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(sum(floor(col("l_quantity"))).as("qty_sum"),
