@@ -103,32 +103,55 @@ object Streams {
       s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
     }
     val sink = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // record the run's peak state-operator footprint (rows + bytes per
-    // operator) for the PERF.md state-sizing audit — observational
-    // only, never part of a query's result
-    // ALWAYS set (Nil for a stateless run) — leaving the previous
-    // run's metrics in place would let a reader attribute them to the
-    // wrong query. Operator identity = position WITHIN one progress
-    // event (two same-named operators — e.g. two stream-stream joins —
-    // are distinct rows, not max-merged); max is only taken ACROSS
-    // progress events, where the same position is the same operator.
-    val perOp = q.recentProgress.flatMap { p =>
-      Option(p.stateOperators).toSeq.flatten.zipWithIndex
-        .map { case (o, i) => ((i, o.operatorName), o) }
-    }
-    lastStateMetrics.set(
-      perOp.groupBy(_._1).toSeq.sortBy(_._1).map { case ((_, op), ms) =>
-        (op, ms.map(_._2.numRowsTotal).max,
-          ms.map(_._2.memoryUsedBytes).max)
-      })
-    s.table(sink)
+    // Shuffle/state partitions for the STREAMING query only: sized to
+    // the MEASURED state (state-sizing audit: ~40 k rows / 8.4 MB for
+    // the largest operator here), not to the core count. Each stateful
+    // operator commits one delta file per state store per partition per
+    // micro-batch (a stream-stream join holds FOUR stores per
+    // partition), and on this syscall-expensive host those commits —
+    // not compute — dominate the fixed cost: 32 → 8 partitions cut the
+    // join trio ~7.2 → ~3.3 s and the whole family 41.5 → 23.8 s (measured). Production
+    // sizing is the same rule from the other direction: partitions =
+    // state / what one store instance should hold, decoupled from the
+    // batch session's shuffle width. The streaming engine PINS the
+    // partition count at first checkpoint, so the knob is also what a
+    // restart-compatible redeploy must hold fixed; env-overridable for
+    // state that outgrows it.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    val batchParts = s.conf.get("spark.sql.shuffle.partitions")
+    // conf held from start() through termination: the stream clones the
+    // session conf at query construction, but holding it for the (run-
+    // to-completion) query's whole life removes any dependence on WHEN
+    // that clone happens; queries here run sequentially per session
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // record the run's peak state-operator footprint (rows + bytes per
+      // operator) for the PERF.md state-sizing audit — observational
+      // only, never part of a query's result
+      // ALWAYS set (Nil for a stateless run) — leaving the previous
+      // run's metrics in place would let a reader attribute them to the
+      // wrong query. Operator identity = position WITHIN one progress
+      // event (two same-named operators — e.g. two stream-stream joins —
+      // are distinct rows, not max-merged); max is only taken ACROSS
+      // progress events, where the same position is the same operator.
+      val perOp = q.recentProgress.flatMap { p =>
+        Option(p.stateOperators).toSeq.flatten.zipWithIndex
+          .map { case (o, i) => ((i, o.operatorName), o) }
+      }
+      lastStateMetrics.set(
+        perOp.groupBy(_._1).toSeq.sortBy(_._1).map { case ((_, op), ms) =>
+          (op, ms.map(_._2.numRowsTotal).max,
+            ms.map(_._2.memoryUsedBytes).max)
+        })
+      s.table(sink)
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchParts)
   }
 
   /** Tumbling 1-day window count/sum per event_type with a 1-hour
