@@ -98,9 +98,14 @@ object Bench {
     // unchanged plans, and a hard failure would flake); the flagged
     // list separates "this plan regressed" from "the host was loud"
     // at a glance instead of hand-diffing per-query seconds across
-    // rounds. Envelope misses (new queries) are never flagged.
+    // rounds. Envelope misses (new queries) are never flagged, and the
+    // check only arms at the scale the envelopes were RECORDED at
+    // (sf0.1) — an sf1 scale-audit run would otherwise flag nearly
+    // every query and drown the signal in by-design 10x ratios.
+    val envelopeScale = sfDir.replaceAll("/+$", "").endsWith("/sf0.1")
     val envelope: Map[String, Double] =
-      try {
+      if (!envelopeScale) Map.empty
+      else try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/root/repo/bench_envelope.json")),
           "UTF-8")

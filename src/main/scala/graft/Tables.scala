@@ -251,19 +251,45 @@ object Tables {
           // sticky corruption. A crashed builder's stale lock is
           // broken by AGE (lockStaleMs), so waiters converge instead
           // of stalling forever behind a dead process.
+          // Exclusive create: Hadoop's local create(overwrite=false)
+          // is exists-then-create (not atomic), so on file:// the
+          // lock goes through NIO createFile (O_CREAT|O_EXCL — the
+          // kernel arbitrates). Non-local schemes keep fs.create,
+          // which IS atomic on HDFS.
+          def atomicCreate(): Boolean = {
+            val scheme = lock.toUri.getScheme
+            if (scheme == null || scheme == "file")
+              try {
+                val lp = java.nio.file.Paths.get(lock.toUri.getPath)
+                if (lp.getParent != null)
+                  java.nio.file.Files.createDirectories(lp.getParent)
+                java.nio.file.Files.createFile(lp); true
+              } catch { case _: Exception => false }
+            else
+              try { fs.create(lock, false).close(); true }
+              catch { case _: Exception => false }
+          }
           def tryLock(): Boolean =
-            try { fs.create(lock, false).close(); true }
-            catch {
-              case _: Exception =>
-                try {
-                  val age = System.currentTimeMillis -
-                    fs.getFileStatus(lock).getModificationTime
-                  if (age > lockStaleMs) {
-                    fs.delete(lock, false)
-                    fs.create(lock, false).close()
-                    true
+            atomicCreate() || {
+              // Create failed: the holder may be dead. Break the stale
+              // lock by RENAME, never delete-then-create — rename is
+              // atomic on local and HDFS, so when several waiters see
+              // the same stale mtime exactly ONE wins the break (the
+              // losers' rename fails, source gone) and even the winner
+              // still re-contends through atomicCreate. The old
+              // delete+create break let waiter B delete waiter A's
+              // FRESH lock (delete checks no identity) and both build.
+              try {
+                val age = System.currentTimeMillis -
+                  fs.getFileStatus(lock).getModificationTime
+                if (age > lockStaleMs) {
+                  val tomb = new org.apache.hadoop.fs.Path(
+                    loc + s".build_lock.broken.${java.util.UUID.randomUUID}")
+                  if (fs.rename(lock, tomb)) {
+                    fs.delete(tomb, false); atomicCreate()
                   } else false
-                } catch { case _: Exception => false }
+                } else false
+              } catch { case _: Exception => false }
             }
           val deadline = System.nanoTime +
             (lockStaleMs + 60000L) * 1000000L
@@ -271,12 +297,23 @@ object Tables {
           while (!done) {
             if (markerValid) done = true // winner finished: reuse
             else if (tryLock()) {
+              // heartbeat: refresh the lock's mtime while the build
+              // runs, so a LIVE build stalled past lockStaleMs (the
+              // host's documented multi-minute kernel bursts) never
+              // has its lock age-broken under it
+              val beat = new Thread(() => {
+                try while (true) {
+                  Thread.sleep(lockStaleMs / 10)
+                  fs.setTimes(lock, System.currentTimeMillis, -1)
+                } catch { case _: Throwable => }
+              })
+              beat.setDaemon(true); beat.start()
               try if (!markerValid) {
                 fs.delete(p, true)
                 write(loc)
                 val out = fs.create(marker, true)
                 try out.write(fp.getBytes("UTF-8")) finally out.close()
-              } finally fs.delete(lock, true)
+              } finally { beat.interrupt(); fs.delete(lock, true) }
               done = true
             } else if (System.nanoTime > deadline)
               // a LIVE builder has held the lock past the stale

@@ -855,7 +855,7 @@ object Fuzz {
       else evalEx(el, r, idx)
     case UpperE(a) =>
       val v = evalEx(a, r, idx)
-      if (v == null) null else v.asInstanceOf[String].toUpperCase
+      if (v == null) null else v.asInstanceOf[String].toUpperCase(java.util.Locale.ROOT) // locale-independent, like Spark's upper()
     case SubstrE(a, pos, len) =>
       val v = evalEx(a, r, idx)
       if (v == null) null
@@ -970,7 +970,14 @@ object Fuzz {
           case v: String => "S" + v
           case v         => "?" + v
         }
-      }.mkString("")
+        // cell separator \u0001 (escaped — a literal control char
+        // in source renders as mkString("") in diffs and misleads
+        // review): without it adjacent strings are ambiguous
+        // (("AS","IA") and ("A","SIA") would both canonicalize to
+        // "SASSIA") and a real divergence could compare as a false
+        // pass. \u0001 cannot appear in a cell: pool values are
+        // printable ASCII and substr/concat/upper mint no new chars.
+      }.mkString("\u0001")
     }.sorted
   }
 }

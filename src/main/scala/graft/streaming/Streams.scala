@@ -480,7 +480,10 @@ object Streams {
     runToMemory(s, joined, "append")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("lag_us")).cast("decimal(38,0)").as("sum_us"))
+        // cast the OPERAND, not the finished sum: sum over BIGINT
+        // accumulates in long and wraps past 2^63 (~1.1e8 max-lag
+        // pairs in one group) before the outer cast ever runs
+        sum(col("lag_us").cast("decimal(38,0)")).as("sum_us"))
       .withColumn("avg_lag_sec",
         expr("CAST((sum_us * 10000 + n_pairs * 500000) DIV " +
           "(n_pairs * 1000000) AS DOUBLE) / 10000.0"))
