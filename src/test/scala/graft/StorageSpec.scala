@@ -477,4 +477,38 @@ class StorageSpec extends SparkSpec {
     assert(builds == 2,
       "a changed base dir did not invalidate the landed artifact")
   }
+
+  test("landed-artifact catalog: a crashed builder's stale lock is " +
+      "broken (by rename) and the build proceeds") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lock_base")
+    java.nio.file.Files.write(base.resolve("data.bin"), Array[Byte](7))
+    var builds = 0
+    def land(s: org.apache.spark.sql.SparkSession): String =
+      Tables.landedDir(s, "graft_lock_probe", base.toString) {
+        builds += 1
+        s.range(3).toDF("n")
+      }
+    // derive the landing location exactly as landedDirWith does, then
+    // plant a dead builder's lock, aged past lockStaleMs (600 s)
+    val sfx = base.toString.replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("^_+|_+$", "")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_lock_probe_$sfx")).toString
+    val lock = new org.apache.hadoop.fs.Path(loc + ".build_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis - 700000L, -1)
+    // a waiter must BREAK the stale lock (not wait out the 11-minute
+    // deadline, not throw) and complete the build
+    land(spark)
+    assert(builds == 1, "stale lock was not broken")
+    assert(!fs.exists(lock), "winner did not release the lock")
+    // no broken-lock tombstones left behind by the rename break
+    val leftovers = fs.globStatus(
+      new org.apache.hadoop.fs.Path(loc + ".build_lock.broken.*"))
+    assert(leftovers == null || leftovers.isEmpty,
+      "rename-break left a tombstone file")
+  }
 }
