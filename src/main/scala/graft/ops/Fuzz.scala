@@ -50,12 +50,16 @@ object Fuzz {
   /** Driver-facing pinned seeds, screened so each passes the DuckDB
     * differential at sf0.01 AND sf0.001 with a non-empty result, and so
     * the set jointly covers every operator the generator emits (joins,
-    * semi/anti, aggregates incl. avg, windows, explode, distinct). The
+    * semi/anti, aggregates incl. avg, windows, explode, distinct,
+    * set ops, and the null-semantics predicates: null-safe equality,
+    * IN-lists under NOT, LIKE). Selection is the greedy construct
+    * cover over seeds 1-200, all 200 of which pass the DuckDB
+    * differential at both gate scales (see FuzzInventory). The
     * plan AND its oracle SQL are both re-derived from the seed at
     * runtime, so the two sides can never drift apart. */
   private val driverSeeds: Vector[Int] = Vector(
-    1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 20, 22, 23, 27, 28,
-    30, 31, 32, 33, 68, 145, 185)
+    1, 2, 3, 4, 5, 8, 9, 10, 12, 13, 14, 15, 16, 20, 22, 24, 27, 28,
+    30, 31, 32, 40, 68, 83, 153)
 
   // lazy: toSql walks tableSchemas, which is defined further down the
   // object body — eager init would read it as null
@@ -98,6 +102,17 @@ object Fuzz {
   final case class AndP(a: Pr, b: Pr) extends Pr
   final case class OrP(a: Pr, b: Pr) extends Pr
   final case class NotP(a: Pr) extends Pr
+  /** Null-safe equality — the one TWO-valued comparison in SQL
+    * (NULL is equal to NULL, never UNKNOWN). Spark spells it `<=>`,
+    * DuckDB `IS NOT DISTINCT FROM`. */
+  final case class NsEq(a: Ex, b: Ex, negated: Boolean) extends Pr
+  /** `a IN (lit, …)` over non-null literals — UNKNOWN when a is null;
+    * NOT IN's famous 3VL arises via [[NotP]] wrapping. */
+  final case class InP(a: Ex, lits: Vector[Ex]) extends Pr
+  /** `a LIKE pattern`; patterns here use only letters, spaces and `%`
+    * (no `_`, no escapes), so the three backends agree by
+    * construction. */
+  final case class LikeP(a: Ex, pattern: String) extends Pr
 
   sealed trait Ag
   case object CntAll extends Ag
@@ -422,7 +437,7 @@ object Fuzz {
       Cmp(op, Ref(c.name, c.typ), rhs)
     }
     if (depth <= 0) cmp()
-    else rnd.nextInt(6) match {
+    else rnd.nextInt(9) match {
       case 0 => AndP(genPred(rnd, sch, depth - 1),
         genPred(rnd, sch, depth - 1))
       case 1 => OrP(genPred(rnd, sch, depth - 1),
@@ -432,6 +447,41 @@ object Fuzz {
         val c = sch(rnd.nextInt(sch.size))
         IsNull(NullIfE(Ref(c.name, c.typ),
           genLit(rnd, c.typ, Some(c.name))), rnd.nextBoolean())
+      case 4 =>
+        // LHS wrapped in nullif so the null arm of the two-valued
+        // comparison is actually exercised, not just reachable
+        val c = sch(rnd.nextInt(sch.size))
+        NsEq(NullIfE(Ref(c.name, c.typ), genLit(rnd, c.typ, Some(c.name))),
+          genLit(rnd, c.typ, Some(c.name)), rnd.nextBoolean())
+      case 5 =>
+        val c = sch(rnd.nextInt(sch.size))
+        val n = 2 + rnd.nextInt(3)
+        InP(Ref(c.name, c.typ),
+          Vector.fill(n)(genLit(rnd, c.typ, Some(c.name))))
+      case 6 =>
+        val ts = sch.filter(_.typ == TS)
+        if (ts.isEmpty) cmp()
+        else {
+          val c = ts(rnd.nextInt(ts.size))
+          val pool = stringPools.getOrElse(c.name, genericStrings)
+          // letters-and-spaces fragment only: `_`/`#`/digits in pool
+          // values are LIKE metacharacters or noise we keep out of
+          // patterns so no escaping logic can diverge across backends
+          val letters = pool(rnd.nextInt(pool.size))
+            .filter(ch => ch.isLetter || ch == ' ')
+          val frag =
+            if (letters.isEmpty) "A"
+            else {
+              val i = rnd.nextInt(letters.length)
+              letters.substring(i,
+                math.min(letters.length, i + 1 + rnd.nextInt(3)))
+            }
+          LikeP(Ref(c.name, c.typ), rnd.nextInt(3) match {
+            case 0 => frag + "%"
+            case 1 => "%" + frag + "%"
+            case _ => "%" + frag
+          })
+        }
       case _ => cmp()
     }
   }
@@ -531,6 +581,14 @@ object Fuzz {
     case AndP(a, b)      => prCol(a) && prCol(b)
     case OrP(a, b)       => prCol(a) || prCol(b)
     case NotP(a)         => !prCol(a)
+    case NsEq(a, b, neg) =>
+      val e = exCol(a) <=> exCol(b); if (neg) !e else e
+    case InP(a, lits)    =>
+      exCol(a).isin(lits.map {
+        case LL(v) => v; case LD(v) => v; case LS(v) => v
+        case other => sys.error(s"non-literal IN element: $other")
+      }: _*)
+    case LikeP(a, pat)   => exCol(a).like(pat)
   }
 
   private def agCol(a: Ag): Column = a match {
@@ -666,6 +724,11 @@ object Fuzz {
     case AndP(a, b) => s"(${prSql(a)} AND ${prSql(b)})"
     case OrP(a, b)  => s"(${prSql(a)} OR ${prSql(b)})"
     case NotP(a)    => s"(NOT ${prSql(a)})"
+    case NsEq(a, b, neg) =>
+      s"(${exSql(a)} IS ${if (neg) "" else "NOT "}DISTINCT FROM ${exSql(b)})"
+    case InP(a, lits) =>
+      s"(${exSql(a)} IN (${lits.map(exSql).mkString(", ")}))"
+    case LikeP(a, pat) => s"(${exSql(a)} LIKE '$pat')"
   }
 
   private def agSql(a: Ag): String = a match {
@@ -915,6 +978,42 @@ object Fuzz {
         case _                                 => None
       }
     case NotP(a) => evalPr(a, r, idx).map(!_)
+    case NsEq(a, b, neg) =>
+      // two-valued by definition: never returns None
+      val va = evalEx(a, r, idx)
+      val vb = evalEx(b, r, idx)
+      val eq =
+        if (va == null || vb == null) va == null && vb == null
+        else a.typ match {
+          case TL => va.asInstanceOf[Long] == vb.asInstanceOf[Long]
+          case TD => java.lang.Double.compare(
+            va.asInstanceOf[Double], vb.asInstanceOf[Double]) == 0
+          case TS => va == vb
+        }
+      Some(if (neg) !eq else eq)
+    case InP(a, lits) =>
+      val va = evalEx(a, r, idx)
+      if (va == null) None // UNKNOWN, and NotP keeps it UNKNOWN
+      else Some(lits.exists { l =>
+        val vl = evalEx(l, r, idx)
+        a.typ match {
+          case TL => va.asInstanceOf[Long] == vl.asInstanceOf[Long]
+          case TD => java.lang.Double.compare(
+            va.asInstanceOf[Double], vl.asInstanceOf[Double]) == 0
+          case TS => va == vl
+        }
+      })
+    case LikeP(a, pat) =>
+      val va = evalEx(a, r, idx)
+      if (va == null) None
+      else {
+        // translate LIKE to an anchored regex: the grammar emits only
+        // letters/spaces/% in patterns, so quoting segments suffices
+        val rx = pat.split("%", -1)
+          .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+          .mkString(".*")
+        Some(va.asInstanceOf[String].matches("(?s)" + rx))
+      }
   }
 
   private def evalAg(a: Ag, rs: Seq[Row], idx: Map[String, Int]): Any =
