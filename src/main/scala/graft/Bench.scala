@@ -102,7 +102,18 @@ object Bench {
     // check only arms at the scale the envelopes were RECORDED at
     // (sf0.1) — an sf1 scale-audit run would otherwise flag nearly
     // every query and drown the signal in by-design 10x ratios.
-    val envelopeScale = sfDir.replaceAll("/+$", "").endsWith("/sf0.1")
+    // arming is by CANONICAL basename (symlinks and ./-spellings
+    // resolve), and a disarmed run says so on stderr instead of
+    // silently reporting an empty flag list
+    val envelopeScale =
+      try java.nio.file.Paths.get(sfDir).toRealPath()
+        .getFileName.toString == "sf0.1"
+      catch { case _: Exception =>
+        sfDir.replaceAll("/+$", "").endsWith("/sf0.1") }
+    if (!envelopeScale)
+      System.err.println(
+        s"[bench] envelope check disarmed: $sfDir is not the sf0.1 " +
+          "fixture the envelopes were recorded at")
     val envelope: Map[String, Double] =
       if (!envelopeScale) Map.empty
       else try {

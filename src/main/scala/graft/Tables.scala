@@ -209,7 +209,7 @@ object Tables {
     * the two MUST stay byte-identical or invalidation goes stale).
     * Mangling matches Storage.sfx ("/root/testdata/sf0.01" ->
     * "root_testdata_sf0_01"). */
-  private def landingKeyLoc(spark: SparkSession, name: String,
+  private[graft] def landingKeyLoc(spark: SparkSession, name: String,
       dir: String): (String, String) = {
     val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       .replaceAll("^_+|_+$", "")
@@ -256,18 +256,39 @@ object Tables {
           // lock goes through NIO createFile (O_CREAT|O_EXCL — the
           // kernel arbitrates). Non-local schemes keep fs.create,
           // which IS atomic on HDFS.
+          // Lock OWNERSHIP is a token (UUID) written as the lock's
+          // content: release and heartbeat first verify the token, so
+          // a builder whose lock was age-broken while it stalled can
+          // never delete or refresh the NEW holder's lock. The build
+          // itself is fenced independently of the lock (see below), so
+          // even a lost-lock double-build publishes a complete tree.
+          val token = java.util.UUID.randomUUID.toString
+          def lockContent(): String =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            } catch { case _: Exception => "" }
           def atomicCreate(): Boolean = {
             val scheme = lock.toUri.getScheme
-            if (scheme == null || scheme == "file")
-              try {
-                val lp = java.nio.file.Paths.get(lock.toUri.getPath)
-                if (lp.getParent != null)
-                  java.nio.file.Files.createDirectories(lp.getParent)
-                java.nio.file.Files.createFile(lp); true
-              } catch { case _: Exception => false }
-            else
-              try { fs.create(lock, false).close(); true }
-              catch { case _: Exception => false }
+            val created =
+              if (scheme == null || scheme == "file")
+                try {
+                  val lp = java.nio.file.Paths.get(lock.toUri.getPath)
+                  if (lp.getParent != null)
+                    java.nio.file.Files.createDirectories(lp.getParent)
+                  java.nio.file.Files.createFile(lp)
+                  java.nio.file.Files.write(lp, token.getBytes("UTF-8"))
+                  true
+                } catch { case _: Exception => false }
+              else
+                try {
+                  val out = fs.create(lock, false)
+                  try out.write(token.getBytes("UTF-8"))
+                  finally out.close()
+                  true
+                } catch { case _: Exception => false }
+            created
           }
           def tryLock(): Boolean =
             atomicCreate() || {
@@ -291,38 +312,84 @@ object Tables {
                 } else false
               } catch { case _: Exception => false }
             }
-          val deadline = System.nanoTime +
-            (lockStaleMs + 60000L) * 1000000L
+          // The waiter's give-up deadline RE-ARMS whenever the lock's
+          // mtime advances: a live heartbeating builder may legitimately
+          // run long (host kernel bursts), and the deadline only exists
+          // to refuse waiting forever behind a lock that is neither
+          // fresh nor breakable (e.g. an unwritable lock dir).
+          val graceNs = (lockStaleMs + 60000L) * 1000000L
+          var deadline = System.nanoTime + graceNs
+          var lastMtime = 0L
           var done = false
           while (!done) {
             if (markerValid) done = true // winner finished: reuse
             else if (tryLock()) {
               // heartbeat: refresh the lock's mtime while the build
-              // runs, so a LIVE build stalled past lockStaleMs (the
-              // host's documented multi-minute kernel bursts) never
-              // has its lock age-broken under it
+              // runs, so a LIVE build stalled past lockStaleMs never
+              // has its lock age-broken under it. Ownership-checked
+              // each beat (stop silently if the lock is no longer
+              // ours), and a transient setTimes failure skips the
+              // beat instead of killing the thread.
               val beat = new Thread(() => {
-                try while (true) {
-                  Thread.sleep(lockStaleMs / 10)
-                  fs.setTimes(lock, System.currentTimeMillis, -1)
-                } catch { case _: Throwable => }
+                var mine = true
+                while (mine)
+                  try {
+                    Thread.sleep(lockStaleMs / 10)
+                    if (lockContent() == token)
+                      fs.setTimes(lock, System.currentTimeMillis, -1)
+                    else mine = false
+                  } catch {
+                    case _: InterruptedException => mine = false
+                    case _: Exception => // transient: keep beating
+                  }
               })
               beat.setDaemon(true); beat.start()
+              // FENCED PUBLICATION: build into a builder-unique temp
+              // sibling with the manifest INSIDE it, then swap it in
+              // with an atomic rename. Data and marker publish
+              // together, so no interleaving of two builders can stamp
+              // a half-written directory as valid: even if this
+              // builder's lock was age-broken mid-build, both builders
+              // publish COMPLETE trees and the last rename wins whole.
+              val tmp = new org.apache.hadoop.fs.Path(
+                loc + s".build.$token")
               try if (!markerValid) {
-                fs.delete(p, true)
-                write(loc)
-                val out = fs.create(marker, true)
+                fs.delete(tmp, true)
+                write(tmp.toString)
+                val out = fs.create(
+                  new org.apache.hadoop.fs.Path(tmp, manifestFile), true)
                 try out.write(fp.getBytes("UTF-8")) finally out.close()
-              } finally { beat.interrupt(); fs.delete(lock, true) }
+                fs.delete(p, true)
+                if (!fs.rename(tmp, p)) {
+                  // target reappeared: a concurrent (lock-broken)
+                  // builder published first. Its tree is complete —
+                  // defer to it if valid, else surface the conflict.
+                  fs.delete(tmp, true)
+                  if (!markerValid) throw new IllegalStateException(
+                    s"landing $key: publish rename failed and no " +
+                      "valid manifest present")
+                }
+              } finally {
+                beat.interrupt()
+                fs.delete(tmp, true)
+                // release only OUR lock — never a successor's
+                if (lockContent() == token) fs.delete(lock, true)
+              }
               done = true
-            } else if (System.nanoTime > deadline)
-              // a LIVE builder has held the lock past the stale
-              // threshold + grace: refuse the unlocked-rebuild race
-              throw new IllegalStateException(
-                s"landing $key: build lock still held after " +
-                  s"${(lockStaleMs + 60000L) / 1000}s and manifest " +
-                  "invalid — refusing a concurrent rebuild")
-            else Thread.sleep(500)
+            } else {
+              val mt = try fs.getFileStatus(lock).getModificationTime
+                catch { case _: Exception => 0L }
+              if (mt != lastMtime) {
+                lastMtime = mt
+                deadline = System.nanoTime + graceNs // live builder: re-arm
+              }
+              if (System.nanoTime > deadline)
+                throw new IllegalStateException(
+                  s"landing $key: build lock neither fresh nor " +
+                    s"breakable after ${graceNs / 1000000000L}s and " +
+                    "manifest invalid — refusing a concurrent rebuild")
+              else Thread.sleep(500)
+            }
           }
         }
         m.putIfAbsent(key, spark.emptyDataFrame)

@@ -1006,15 +1006,23 @@ object Fuzz {
     case LikeP(a, pat) =>
       val va = evalEx(a, r, idx)
       if (va == null) None
-      else {
-        // translate LIKE to an anchored regex: the grammar emits only
-        // letters/spaces/% in patterns, so quoting segments suffices
-        val rx = pat.split("%", -1)
-          .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
-          .mkString(".*")
-        Some(va.asInstanceOf[String].matches("(?s)" + rx))
-      }
+      else Some(likeRegex(pat).matcher(va.asInstanceOf[String]).matches())
   }
+
+  /** Compiled-per-pattern LIKE regex (evalPr runs per ROW — compiling
+    * in place would re-build the automaton for every row). Patterns
+    * come from a finite generator pool, so the map stays tiny; the
+    * translation quotes the literal segments and maps `%` to `.*`
+    * (the grammar emits only letters/spaces/`%` — no `_`, no escapes). */
+  private val likeCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.regex.Pattern]()
+  private def likeRegex(pat: String): java.util.regex.Pattern =
+    likeCache.computeIfAbsent(pat, p =>
+      java.util.regex.Pattern.compile("(?s)" + p.split("%", -1)
+        .map(seg =>
+          if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+        .mkString(".*")))
 
   private def evalAg(a: Ag, rs: Seq[Row], idx: Map[String, Int]): Any =
     a match {

@@ -488,13 +488,12 @@ class StorageSpec extends SparkSpec {
         builds += 1
         s.range(3).toDF("n")
       }
-    // derive the landing location exactly as landedDirWith does, then
-    // plant a dead builder's lock, aged past lockStaleMs (600 s)
-    val sfx = base.toString.replaceAll("[^A-Za-z0-9]", "_")
-      .replaceAll("^_+|_+$", "")
-    val loc = spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(
-        s"graft_lock_probe_$sfx")).toString
+    // derive the landing location through the SAME helper
+    // landedDirWith uses (re-implementing the name mangling here is
+    // exactly the byte-identical-or-stale trap its comment warns of),
+    // then plant a dead builder's lock, aged past lockStaleMs (600 s)
+    val (_, loc) = Tables.landingKeyLoc(spark, "graft_lock_probe",
+      base.toString)
     val lock = new org.apache.hadoop.fs.Path(loc + ".build_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
@@ -510,5 +509,14 @@ class StorageSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(loc + ".build_lock.broken.*"))
     assert(leftovers == null || leftovers.isEmpty,
       "rename-break left a tombstone file")
+    // fenced publication leaves no temp build dirs either
+    val tmps = fs.globStatus(
+      new org.apache.hadoop.fs.Path(loc + ".build.*"))
+    assert(tmps == null || tmps.isEmpty,
+      "fenced publication left a temp build directory")
+    // and the published tree carries its manifest (it rode the rename)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), "_GRAFT_MANIFEST")),
+      "published landing has no manifest inside it")
   }
 }
