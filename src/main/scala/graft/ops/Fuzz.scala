@@ -51,7 +51,8 @@ object Fuzz {
     * differential at sf0.01 AND sf0.001 with a non-empty result, and so
     * the set jointly covers every operator the generator emits (joins,
     * semi/anti, aggregates incl. avg, windows, explode, distinct,
-    * set ops, and the null-semantics predicates: null-safe equality,
+    * set ops, the RANGE-frame running sum, and the null-semantics
+    * predicates: null-safe equality,
     * IN-lists under NOT, LIKE). Selection is the greedy construct
     * cover over seeds 1-200, all 200 of which pass the DuckDB
     * differential at both gate scales (see FuzzInventory). The
@@ -59,7 +60,7 @@ object Fuzz {
     * runtime, so the two sides can never drift apart. */
   private val driverSeeds: Vector[Int] = Vector(
     1, 2, 3, 4, 5, 8, 9, 10, 12, 13, 14, 15, 16, 20, 22, 24, 27, 28,
-    30, 31, 32, 40, 68, 83, 153)
+    30, 31, 32, 39, 68, 83, 153)
 
   // lazy: toSql walks tableSchemas, which is defined further down the
   // object body — eager init would read it as null
@@ -151,7 +152,11 @@ object Fuzz {
   final case class Dist(in: Pl) extends Pl {
     def schema: Vector[Cl] = in.schema
   }
-  /** fun ∈ rank | dense_rank | cnt (partition count). */
+  /** fun ∈ rank | dense_rank | cnt (partition count) | rsum (running
+    * sum of `abs(ord) % 1000` over a RANGE frame — range, not rows,
+    * because peers sum together so the result is TIE-INSENSITIVE and
+    * bit-deterministic without a unique order key; only generated when
+    * `ord` is TL so the summand stays a bounded exact integer). */
   final case class Wnd(in: Pl, name: String, fun: String, part: Cl,
                        ord: Cl, descending: Boolean) extends Pl {
     def schema: Vector[Cl] = in.schema :+ Cl(name, TL)
@@ -285,7 +290,10 @@ object Fuzz {
         val part = sch(rnd.nextInt(sch.size))
         val rest = sch.filterNot(_ == part)
         val ord = rest(rnd.nextInt(rest.size))
-        val fun = Vector("rank", "dense_rank", "cnt")(rnd.nextInt(3))
+        val funs =
+          if (ord.typ == TL) Vector("rank", "dense_rank", "cnt", "rsum")
+          else Vector("rank", "dense_rank", "cnt")
+        val fun = funs(rnd.nextInt(funs.size))
         Wnd(p, s"w$step", fun, part, ord, rnd.nextBoolean())
       } else if (roll < 91 && longCols.nonEmpty && explodes < 2) {
         explodes += 1
@@ -525,6 +533,11 @@ object Fuzz {
       val c = fun match {
         case "cnt" =>
           count(lit(1)).over(Window.partitionBy(col(part.name)))
+        case "rsum" =>
+          val w = Window.partitionBy(col(part.name))
+            .orderBy(if (desc) oc.desc else oc.asc)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          sum(abs(col(ord.name)) % lit(1000L)).over(w).cast("long")
         case f =>
           val w = Window.partitionBy(col(part.name))
             .orderBy(if (desc) oc.desc else oc.asc)
@@ -660,6 +673,11 @@ object Fuzz {
         val dir = if (desc) " DESC" else ""
         val w = fun match {
           case "cnt" => s"COUNT(*) OVER (PARTITION BY ${part.name})"
+          case "rsum" =>
+            s"CAST(SUM(abs(${ord.name}) % 1000) OVER " +
+              s"(PARTITION BY ${part.name} ORDER BY $oc$dir " +
+              "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+              "AS BIGINT)"
           case f =>
             val fn = if (f == "rank") "rank()" else "dense_rank()"
             s"CAST($fn OVER (PARTITION BY ${part.name} " +
@@ -819,6 +837,18 @@ object Fuzz {
         fun match {
           case "cnt" =>
             grp.map(r => r :+ Long.box(grp.size.toLong))
+          case "rsum" =>
+            // RANGE frame = predecessors + peers = every row NOT
+            // strictly after the current one; SQL SUM skips nulls and
+            // returns NULL for an all-null frame
+            grp.map { r =>
+              val v = oVal(r)
+              val vals = grp.filter(o => !before(v, oVal(o)))
+                .map(_(oIx)).filter(_ != null)
+                .map(x => math.abs(x.asInstanceOf[Long]) % 1000L)
+              r :+ (if (vals.isEmpty) null
+                    else Long.box(vals.sum))
+            }
           case "rank" =>
             grp.map { r =>
               val v = oVal(r)
