@@ -519,4 +519,43 @@ class StorageSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(loc), "_GRAFT_MANIFEST")),
       "published landing has no manifest inside it")
   }
+
+  test("landed-artifact catalog: a builder whose lock is stolen " +
+      "mid-build still publishes whole and leaves the thief's lock " +
+      "alone") {
+    // the lost-lock scenario the ownership token + fenced rename exist
+    // for: builder A stalls long enough for its lock to be age-broken
+    // and re-acquired by B; when A resumes it must (a) NOT delete B's
+    // live lock on release, and (b) still publish a COMPLETE tree —
+    // the atomic-rename fence makes the double-build harmless
+    val base = java.nio.file.Files.createTempDirectory("graft_steal_base")
+    java.nio.file.Files.write(base.resolve("data.bin"), Array[Byte](3))
+    val (_, loc) = Tables.landingKeyLoc(spark, "graft_steal_probe",
+      base.toString)
+    val lock = new org.apache.hadoop.fs.Path(loc + ".build_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val thiefToken = "thief-" + java.util.UUID.randomUUID
+    Tables.landedDir(spark, "graft_steal_probe", base.toString) {
+      // mid-build: simulate the age-break + re-acquisition by a
+      // second process — replace the builder's lock with a foreign one
+      fs.delete(lock, false)
+      val out = fs.create(lock, false)
+      try out.write(thiefToken.getBytes("UTF-8")) finally out.close()
+      spark.range(4).toDF("n")
+    }
+    // (a) the thief's lock survived the original builder's release
+    assert(fs.exists(lock), "builder deleted a lock it no longer owns")
+    val in = fs.open(lock)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(content == thiefToken, "thief's lock content was altered")
+    fs.delete(lock, false) // clean up for later suites
+    // (b) the build still published a complete, manifest-stamped tree
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), "_GRAFT_MANIFEST")),
+      "lost-lock build failed to publish a complete tree")
+    assert(spark.read.parquet(loc).count() == 4,
+      "published tree is not the complete build")
+  }
 }
