@@ -2169,10 +2169,16 @@ object Similarity {
     // ----- semantic dedup (SemDeDup, Abbas et al. 2023,
     // arXiv:2303.09540): near-dup detection whose candidate generator
     // is the k-means CELL — pairs are only formed inside a cluster, so
-    // the pair count is Σ|cell|², bounded by construction (production
-    // runs ~100k cells over billions of embeddings; cell size, and
-    // with it per-cell pair cost, stays roughly constant as the corpus
-    // and cell count grow together). Complements m_embed_neardup
+    // the pair count is Σ|cell|². That is only bounded if the cell
+    // COUNT grows with the corpus (production SemDeDup runs ~100k
+    // cells over billions of embeddings — cell size roughly constant),
+    // so k here is data-dependent on BOTH engines: greatest(10,
+    // N div 200), i.e. a ~200-vector expected cell. At the gate scales
+    // (N ≤ 2000) this is exactly the old k = 10 — identical results —
+    // while the 10× audit fixture gets k = 100 and the pair count
+    // stays linear in N (the closing sf1 audit measured the fixed-k
+    // form super-linear at 12.4×, the quadratic shape this removes).
+    // Complements m_embed_neardup
     // (label-bucketed) and m_minhash_dedup (shingle-bucketed): this is
     // the EMBEDDING-space bucketing that needs no labels and no text.
     // Drop rule is the deterministic greedy relaxation: x is dropped
@@ -2184,7 +2190,9 @@ object Similarity {
     // engines at the threshold boundary. 24/500 fixture vectors drop.
     Q("m_semdedup",
       (s, d) => {
-        val asg = kmeans(s, d, k = 10, iters = 3)
+        val n = quantized(s, d).count()
+        val asg = kmeans(s, d,
+            k = math.max(10L, n / 200L).toInt, iters = 3)
           .select("vec_id", "cluster")
         // checkpoint: nrm is consumed three times (both sides of the
         // pair self-join + the final keep projection) and carries the
@@ -2213,7 +2221,8 @@ object Similarity {
           .orderBy("vec_id")
       },
       Some(
-        s"""WITH $kmeansCtes, nrm AS MATERIALIZED (
+        s"""WITH ${kmeansCtesK(
+             "SELECT greatest(10, count(*) // 200) FROM e")}, nrm AS MATERIALIZED (
            |  SELECT a.vec_id, a.cluster, e.xi,
            |    CAST(list_sum(list_transform(e.xi, v -> v*v)) AS BIGINT)
            |      AS na
@@ -2402,7 +2411,14 @@ object Similarity {
     * blowup). */
   // lazy: referenced from `all`, which initializes first in declaration
   // order — a strict val here interpolates as null into the oracle SQL
-  private lazy val kmeansCtes: String = {
+  /** Default-k (10) form — m_kmeans' fixed pedagogical clustering. */
+  private lazy val kmeansCtes: String = kmeansCtesK("10")
+
+  /** The unrolled 3-round Lloyd CTE chain with a caller-chosen k
+    * expression for the `vec_id < k` seeding rule — m_semdedup passes
+    * the data-dependent `greatest(10, count//200)` scalar subquery so
+    * the oracle's cell count scales exactly like the Spark side's. */
+  private def kmeansCtesK(kExpr: String): String = {
     val stages = (1 to 3).map { i =>
       val (p, a, c) = (s"c${i - 1}", s"a$i", s"c$i")
       s"""u$i AS (
@@ -2434,7 +2450,7 @@ object Similarity {
        |  FROM embeddings
        |), c0 AS MATERIALIZED (
        |  SELECT vec_id AS cid, list_transform(xi, v -> v * 1000) AS c
-       |  FROM e WHERE vec_id < 10
+       |  FROM e WHERE vec_id < ($kExpr)
        |), $stages""".stripMargin
   }
 
