@@ -11,9 +11,10 @@ import scala.util.Random
 /** Randomized differential plan fuzzing (VERDICT r7 item 5).
   *
   * A seed-pinned generator composes the §2 relational operator surface —
-  * project / filter / explode / join (inner, left, semi, anti) / aggregate /
-  * window / distinct — over the bounded fixture tables, and each generated
-  * plan is rendered by THREE coordinated backends:
+  * project / filter / explode / join (inner, left, semi, anti, full) /
+  * aggregate (incl. ROLLUP/CUBE grouping sets, count-distinct, conditional
+  * sums) / window / distinct — over the bounded fixture tables, and each
+  * generated plan is rendered by THREE coordinated backends:
   *
   *   1. [[toDF]]   — the Spark DataFrame under test;
   *   2. [[toSql]]  — equivalent ANSI SQL for the DuckDB oracle (driver gate);
@@ -49,18 +50,19 @@ object Fuzz {
 
   /** Driver-facing pinned seeds, screened so each passes the DuckDB
     * differential at sf0.01 AND sf0.001 with a non-empty result, and so
-    * the set jointly covers every operator the generator emits (joins,
-    * semi/anti, aggregates incl. avg, windows, explode, distinct,
-    * set ops, the RANGE-frame running sum, and the null-semantics
-    * predicates: null-safe equality,
-    * IN-lists under NOT, LIKE). Selection is the greedy construct
-    * cover over seeds 1-200, all 200 of which pass the DuckDB
-    * differential at both gate scales (see FuzzInventory). The
-    * plan AND its oracle SQL are both re-derived from the seed at
-    * runtime, so the two sides can never drift apart. */
+    * the set jointly covers every operator the generator emits — all 34
+    * constructs: joins (inner, left, semi, anti, FULL OUTER),
+    * aggregates (incl. avg, count-distinct, conditional sums, ROLLUP /
+    * CUBE grouping sets), windows incl. the RANGE-frame running sum,
+    * explode, distinct, set ops, and the null-semantics predicates
+    * (null-safe equality, IN-lists under NOT, LIKE). Selection is the
+    * greedy construct cover over seeds 1-200, all 200 of which pass the
+    * DuckDB differential at both gate scales (see FuzzInventory /
+    * FuzzScreen). The plan AND its oracle SQL are both re-derived from
+    * the seed at runtime, so the two sides can never drift apart. */
   private val driverSeeds: Vector[Int] = Vector(
-    1, 2, 3, 4, 5, 8, 9, 10, 12, 13, 14, 15, 16, 20, 22, 24, 27, 28,
-    30, 31, 32, 39, 68, 83, 153)
+    1, 2, 3, 4, 8, 9, 10, 12, 13, 15, 16, 20, 22, 24, 28, 31, 32, 42,
+    52, 60, 68, 83, 92, 97, 153)
 
   // lazy: toSql walks tableSchemas, which is defined further down the
   // object body — eager init would read it as null
@@ -122,6 +124,16 @@ object Fuzz {
   final case class AvgL(c: String) extends Ag
   final case class MinA(c: String, t: Typ) extends Ag
   final case class MaxA(c: String, t: Typ) extends Ag
+  /** count(DISTINCT c) — exact distinct count; value equality only
+    * (the grammar never mints -0.0 or NaN, the two doubles whose
+    * distinct-semantics differ across engines). */
+  final case class CntD(c: String) extends Ag
+  /** sum(CASE WHEN p THEN abs(c) % k ELSE 0 END) — the conditional-
+    * aggregation idiom (filtered sums without a filter operator). The
+    * summand is a bounded non-negative integer, so partial sums stay
+    * exact; a NULL c under a true predicate contributes NULL, which
+    * SUM skips on every backend. */
+  final case class SumCase(p: Pr, c: String, k: Long) extends Ag
 
   sealed trait Pl { def schema: Vector[Cl] }
   final case class Scan(t: String) extends Pl {
@@ -144,6 +156,29 @@ object Fuzz {
       })
     }
   }
+  /** GROUP BY ROLLUP / CUBE over 1-2 keys — grouping-set semantics:
+    * each set aggregates independently with its excluded keys
+    * null-filled, so super-aggregate rows interleave engine-generated
+    * nulls with data nulls. The sorted-multiset union is identical on
+    * all three backends, so no GROUPING() disambiguator is needed for
+    * a hash differential.
+    *
+    * Engine quirk (pinned in QuirksSpec): the SQL standard (and
+    * DuckDB) emits the empty grouping set's grand-total row even over
+    * ZERO input rows — like a keyless aggregate — while Spark 4's
+    * rollup/cube emits nothing. The generated SQL appends
+    * `HAVING count(*) > 0`, which is a no-op on any non-empty input
+    * (every grouping-set row aggregates ≥ 1 row) and removes exactly
+    * the empty-input grand-total row, so all three backends agree. */
+  final case class Roll(in: Pl, keys: Vector[Cl],
+                        aggs: Vector[(String, Ag)],
+                        cube: Boolean) extends Pl {
+    def schema: Vector[Cl] = Agg(in, keys, aggs).schema
+  }
+  /** how ∈ inner | left | semi | anti | full. Full outer extends BOTH
+    * sides with nulls, so downstream operators see null join keys and
+    * null-propagating expressions on columns that scanned non-null —
+    * the semantic corner the round-7 verdict called out. */
   final case class Jn(l: Pl, r: Pl, lk: String, rk: String,
                       how: String) extends Pl {
     def schema: Vector[Cl] =
@@ -282,7 +317,8 @@ object Fuzz {
         val lk = joinable.get
         val (tbl, rk) = fkEdges(lk)
         used += tbl
-        val how = Vector("inner", "left", "semi", "anti")(rnd.nextInt(4))
+        val how =
+          Vector("inner", "left", "semi", "anti", "full")(rnd.nextInt(5))
         Jn(p, Scan(tbl), lk, rk, how)
       } else if (roll < 77) genAgg(rnd, p, step)
       else if (roll < 87 && sch.size >= 2 && windows < 2) {
@@ -323,7 +359,7 @@ object Fuzz {
     Proj(p, (kept ++ extra).toVector)
   }
 
-  private def genAgg(rnd: Random, p: Pl, step: Int): Agg = {
+  private def genAgg(rnd: Random, p: Pl, step: Int): Pl = {
     val sch = p.schema
     val nKeys = rnd.nextInt(3) min sch.size
     val keys = rnd.shuffle(sch.toList).take(nKeys).toVector
@@ -333,7 +369,7 @@ object Fuzz {
     val nAggs = 1 + rnd.nextInt(3)
     val aggs = (0 until nAggs).map { j =>
       val c = pool(rnd.nextInt(pool.size))
-      val a: Ag = rnd.nextInt(6) match {
+      val a: Ag = rnd.nextInt(8) match {
         case 0 => CntAll
         case 1 => Cnt(c.name)
         case 2 if longCols.nonEmpty =>
@@ -341,11 +377,20 @@ object Fuzz {
         case 3 if longCols.nonEmpty =>
           AvgL(longCols(rnd.nextInt(longCols.size)).name)
         case 4 => MinA(c.name, c.typ)
+        case 5 => MaxA(c.name, c.typ)
+        case 6 => CntD(c.name)
+        case _ if longCols.nonEmpty =>
+          SumCase(genPred(rnd, sch, 1),
+            longCols(rnd.nextInt(longCols.size)).name,
+            7L + rnd.nextInt(991))
         case _ => MaxA(c.name, c.typ)
       }
       s"a${step}_$j" -> a
     }.toVector
-    Agg(p, keys, aggs)
+    // a quarter of keyed aggregates become grouping-set forms
+    if (keys.nonEmpty && rnd.nextInt(4) == 0)
+      Roll(p, keys, aggs, rnd.nextBoolean())
+    else Agg(p, keys, aggs)
   }
 
   private def genEx(rnd: Random, sch: Vector[Cl], t: Typ, depth: Int,
@@ -519,6 +564,12 @@ object Fuzz {
       if (keys.isEmpty) df.agg(acs.head, acs.tail: _*)
       else df.groupBy(keys.map(k => col(k.name)): _*)
         .agg(acs.head, acs.tail: _*)
+    case Roll(in, keys, aggs, cube) =>
+      val df = toDF(s, dir, in)
+      val acs = aggs.map { case (n, a) => agCol(a).as(n) }
+      val kcols = keys.map(k => col(k.name))
+      val g = if (cube) df.cube(kcols: _*) else df.rollup(kcols: _*)
+      g.agg(acs.head, acs.tail: _*)
     case Jn(l, r, lk, rk, how) =>
       val sparkHow = how match {
         case "semi" => "left_semi"
@@ -611,6 +662,9 @@ object Fuzz {
     case AvgL(c)    => avg(col(c))
     case MinA(c, _) => min(col(c))
     case MaxA(c, _) => max(col(c))
+    case CntD(c)    => count_distinct(col(c))
+    case SumCase(p, c, k) =>
+      sum(when(prCol(p), abs(col(c)) % lit(k)).otherwise(lit(0L)))
   }
 
   // ------------------------------------------------------------ SQL backend
@@ -648,6 +702,15 @@ object Fuzz {
         val grp =
           if (ks.isEmpty) "" else s" GROUP BY ${ks.mkString(", ")}"
         s"SELECT $cols FROM ($sub) ${al()}$grp"
+      case Roll(in, keys, aggs, cube) =>
+        val sub = sqlOf(in, c)
+        val ks = keys.map(_.name)
+        val as = aggs.map { case (nm, a) => s"${agSql(a)} AS $nm" }
+        val kw = if (cube) "CUBE" else "ROLLUP"
+        // HAVING count(*) > 0: no-op on non-empty input; strips the
+        // standard's empty-input grand-total row Spark never emits
+        s"SELECT ${(ks ++ as).mkString(", ")} FROM ($sub) ${al()} " +
+          s"GROUP BY $kw (${ks.mkString(", ")}) HAVING count(*) > 0"
       case Jn(l, r, lk, rk, how) =>
         val ls = sqlOf(l, c)
         val rs = sqlOf(r, c)
@@ -658,7 +721,11 @@ object Fuzz {
             s"SELECT * FROM ($ls) $la WHERE ${not}EXISTS " +
               s"(SELECT 1 FROM ($rs) $ra WHERE $la.$lk = $ra.$rk)"
           case h =>
-            val kw = if (h == "left") "LEFT JOIN" else "JOIN"
+            val kw = h match {
+              case "left" => "LEFT JOIN"
+              case "full" => "FULL JOIN"
+              case _      => "JOIN"
+            }
             val cols = (l.schema.map(x => s"$la.${x.name}") ++
               r.schema.map(x => s"$ra.${x.name}")).mkString(", ")
             s"SELECT $cols FROM ($ls) $la $kw ($rs) $ra " +
@@ -756,6 +823,10 @@ object Fuzz {
     case AvgL(c)    => s"avg($c)"
     case MinA(c, _) => s"min($c)"
     case MaxA(c, _) => s"max($c)"
+    case CntD(c)    => s"CAST(count(DISTINCT $c) AS BIGINT)"
+    case SumCase(p, c, k) =>
+      s"CAST(sum(CASE WHEN ${prSql(p)} THEN (abs($c) % $k) " +
+        "ELSE 0 END) AS BIGINT)"
   }
 
   // ------------------------------------------------- reference interpreter
@@ -804,11 +875,50 @@ object Fuzz {
           if (ms.isEmpty) Seq(lr ++ Vector.fill[Any](r.schema.size)(null))
           else ms.map(rr => lr ++ rr)
         }
+        case "full" =>
+          // positional matched-set: right rows can be duplicates, so
+          // match by index, not by value
+          val rIndexed = rrows.zipWithIndex
+          val rmapIx = rIndexed.filter { case (row, _) => row(ri(rk)) != null }
+            .groupBy { case (row, _) => row(ri(rk)) }
+          val matched = mutable.Set.empty[Int]
+          val leftSide = lrows.flatMap { lr =>
+            val k = lr(lkIx)
+            val ms = if (k == null) Nil else rmapIx.getOrElse(k, Nil)
+            if (ms.isEmpty)
+              Seq(lr ++ Vector.fill[Any](r.schema.size)(null))
+            else ms.map { case (rr, i) => matched += i; lr ++ rr }
+          }
+          val rightSide = rIndexed.collect {
+            case (rr, i) if !matched(i) =>
+              Vector.fill[Any](l.schema.size)(null) ++ rr
+          }
+          leftSide ++ rightSide
         case "semi" => lrows.filter { lr =>
           val k = lr(lkIx); k != null && rmap.contains(k)
         }
         case _ => lrows.filter { lr => // anti: null key never matches → kept
           val k = lr(lkIx); k == null || !rmap.contains(k)
+        }
+      }
+    case Roll(in, keys, aggs, cube) =>
+      val rows = interp(in, base)
+      val idx = index(in.schema)
+      val n = keys.size
+      val sets: Seq[Set[Int]] =
+        if (cube) (0 until (1 << n)).map(m =>
+          (0 until n).filter(i => (m & (1 << i)) != 0).toSet)
+        else (0 to n).map(i => (0 until i).toSet)
+      sets.flatMap { s =>
+        // empty input → zero rows for EVERY grouping set, including
+        // the empty one: Spark semantics, enforced on the SQL side by
+        // the generated HAVING count(*) > 0 (see the Roll scaladoc)
+        rows.groupBy { r =>
+          keys.zipWithIndex.map { case (k, i) =>
+            if (s(i)) r(idx(k.name)) else (null: Any)
+          }
+        }.toSeq.map { case (kv, rs) =>
+          kv ++ aggs.map { case (_, a) => evalAg(a, rs, idx) }
         }
       }
     case Dist(in) => interp(in, base).distinct
@@ -1074,6 +1184,19 @@ object Fuzz {
         }
       case MinA(c, t) => extremum(rs, idx(c), t, wantMin = true)
       case MaxA(c, t) => extremum(rs, idx(c), t, wantMin = false)
+      case CntD(c) =>
+        Long.box(rs.map(_(idx(c))).filter(_ != null).distinct.size.toLong)
+      case SumCase(p, c, k) =>
+        val ix = idx(c)
+        val vals = rs.map { r =>
+          if (evalPr(p, r, idx).contains(true)) {
+            val v = r(ix)
+            if (v == null) null
+            else Long.box(math.abs(v.asInstanceOf[Long]) % k)
+          } else Long.box(0L)
+        }.filter(_ != null)
+        if (vals.isEmpty) null
+        else Long.box(vals.map(_.asInstanceOf[Long]).sum)
     }
 
   private def extremum(rs: Seq[Row], ix: Int, t: Typ,

@@ -12,12 +12,18 @@ object FuzzInventory {
     case _: InP => Set("in")
     case _: LikeP => Set("like")
   }
+  private def agName(a: Ag): String = a match {
+    case _: AvgL => "avg"; case _: SumL => "sum"
+    case _: CntD => "cntd"; case _: SumCase => "sumcase"
+    case _ => "aggf"
+  }
   def ops(p: Pl): Set[String] = p match {
     case _: Scan => Set("scan")
     case Proj(in,_) => ops(in)+"proj"
     case Filt(in,pr) => ops(in)+"filt"++prOps(pr)
-    case Agg(in,_,aggs) => ops(in)+"agg"++aggs.map{
-      case (_,_:AvgL)=>"avg"; case (_,_:SumL)=>"sum"; case _=>"aggf"}.toSet
+    case Agg(in,_,aggs) => ops(in)+"agg"++aggs.map(x=>agName(x._2)).toSet
+    case Roll(in,_,aggs,cube) =>
+      ops(in)+(if (cube) "cube" else "rollup")++aggs.map(x=>agName(x._2)).toSet
     case Jn(l,r,_,_,jt) => ops(l)++ops(r)+("join_"+jt)
     case Dist(in) => ops(in)+"distinct"
     case Wnd(in,_,f,_,_,_) => ops(in)+("wnd_"+f)

@@ -93,4 +93,19 @@ class QuirksSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
     assert(out == Seq((1L, "a"), (2L, "d")))
   }
+
+  test("Spark rollup/cube over EMPTY input emits ZERO rows — the SQL " +
+    "standard (and DuckDB) emits the empty grouping set's grand-total " +
+    "row; Fuzz normalizes with HAVING count(*) > 0 on the SQL side") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    // keyless aggregate over empty input DOES emit its one row …
+    assert(empty.groupBy().agg(count(lit(1))).count() == 1L)
+    // … but the rollup/cube grand-total set does not (quirk pin: an
+    // engine upgrade that goes standard-compliant flips these and the
+    // Fuzz HAVING normalization must then be dropped)
+    assert(empty.rollup(col("k")).agg(count(lit(1))).count() == 0L)
+    assert(empty.cube(col("k")).agg(count(lit(1))).count() == 0L)
+  }
 }
