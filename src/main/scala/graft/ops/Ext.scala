@@ -2166,13 +2166,15 @@ object Ext {
         val cum = freq.withColumn("cum", sum("t").over(w))
         val nt = freq.agg(sum("t").as("n"), sum(col("lag_s") * col("t"))
           .as("sl"))
-        val p50 = cum.crossJoin(broadcast(nt))
-          .filter(col("cum") * 2L >= col("n"))
-          .agg(min("lag_s").as("lag_p50_s"))
-        val p90 = cum.crossJoin(broadcast(nt))
-          .filter(col("cum") * 10L >= col("n") * 9L)
-          .agg(min("lag_s").as("lag_p90_s"))
-        nt.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+        // both rank cutoffs in one aggregation (min over a
+        // conditional = filter+min): the freq→cum window subtree is
+        // evaluated once instead of twice
+        val pct = cum.crossJoin(broadcast(nt))
+          .agg(min(when(col("cum") * 2L >= col("n"), col("lag_s")))
+                 .as("lag_p50_s"),
+               min(when(col("cum") * 10L >= col("n") * 9L, col("lag_s")))
+                 .as("lag_p90_s"))
+        nt.crossJoin(broadcast(pct))
           .select(col("n").as("n_pairs"),
             col("lag_p50_s"), col("lag_p90_s"),
             round(col("sl").cast("double") / col("n"), 4)

@@ -674,23 +674,25 @@ object Mining {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = freq.withColumn("cum", sum("t").over(w))
         val nTab = freq.groupBy("l_returnflag").agg(sum("t").as("n"))
-        val ranked = cum.join(broadcast(nTab), Seq("l_returnflag"))
-        val lo = ranked
-          .filter(col("cum") >= expr("(n + 19) div 20"))
-          .groupBy("l_returnflag").agg(min("v").as("lo"))
-        val hi = ranked
-          .filter(col("cum") >= expr("(n * 19 + 19) div 20"))
-          .groupBy("l_returnflag").agg(min("v").as("hi"))
-        li.join(broadcast(lo), Seq("l_returnflag"))
-          .join(broadcast(hi), Seq("l_returnflag"))
+        // both rank cutoffs in ONE aggregation over the windowed
+        // frequency table (min over a conditional = filter+min, and
+        // nulls are skipped), so the freq→cum subtree is evaluated
+        // once and the thresholds travel as a single broadcast table
+        // instead of two lo/hi tables joined twice each
+        val thr = cum.join(broadcast(nTab), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(min(when(col("cum") >= expr("(n + 19) div 20"),
+                 col("v"))).as("lo"),
+               min(when(col("cum") >= expr("(n * 19 + 19) div 20"),
+                 col("v"))).as("hi"))
+        li.join(broadcast(thr), Seq("l_returnflag"))
           .select(col("l_returnflag"),
             least(greatest(col("v"), col("lo")), col("hi"))
               .cast("decimal(18,2)").as("clipped"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(col("clipped")).cast("double").as("wsum"))
-          .join(broadcast(lo), Seq("l_returnflag"))
-          .join(broadcast(hi), Seq("l_returnflag"))
+          .join(broadcast(thr), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
             col("wsum"),
             floor(col("wsum") * 10000.0 / col("n")).cast("long")
