@@ -860,7 +860,9 @@ object Fuzz {
       val rrows = interp(r, base)
       val li = index(l.schema)
       val ri = index(r.schema)
-      val rmap = rrows.filter(_(ri(rk)) != null)
+      // null keys never match — grouped once here; the "full" branch
+      // derives its positional variant from the same index pass
+      lazy val rmap = rrows.filter(_(ri(rk)) != null)
         .groupBy(row => row(ri(rk)))
       val lkIx = li(lk)
       how match {
