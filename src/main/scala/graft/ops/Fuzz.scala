@@ -50,19 +50,20 @@ object Fuzz {
 
   /** Driver-facing pinned seeds, screened so each passes the DuckDB
     * differential at sf0.01 AND sf0.001 with a non-empty result, and so
-    * the set jointly covers every operator the generator emits — all 34
+    * the set jointly covers every operator the generator emits — all 35
     * constructs: joins (inner, left, semi, anti, FULL OUTER),
     * aggregates (incl. avg, count-distinct, conditional sums, ROLLUP /
-    * CUBE grouping sets), windows incl. the RANGE-frame running sum,
-    * explode, distinct, set ops, and the null-semantics predicates
-    * (null-safe equality, IN-lists under NOT, LIKE). Selection is the
-    * greedy construct cover over seeds 1-200, all 200 of which pass the
-    * DuckDB differential at both gate scales (see FuzzInventory /
-    * FuzzScreen). The plan AND its oracle SQL are both re-derived from
-    * the seed at runtime, so the two sides can never drift apart. */
+    * CUBE grouping sets), uncorrelated scalar-subquery filters, windows
+    * incl. the RANGE-frame running sum, explode, distinct, set ops, and
+    * the null-semantics predicates (null-safe equality, IN-lists under
+    * NOT, LIKE). Selection is the greedy construct cover over seeds
+    * 1-200, all 200 of which pass the DuckDB differential at both gate
+    * scales (see FuzzInventory / FuzzScreen). The plan AND its oracle
+    * SQL are both re-derived from the seed at runtime, so the two
+    * sides can never drift apart. */
   private val driverSeeds: Vector[Int] = Vector(
-    1, 2, 3, 4, 8, 9, 10, 12, 13, 15, 16, 20, 22, 24, 28, 31, 32, 42,
-    52, 60, 68, 83, 92, 97, 153)
+    1, 2, 3, 4, 8, 9, 10, 13, 15, 16, 20, 22, 24, 31, 32, 42, 52, 56,
+    60, 68, 83, 92, 97, 124, 153)
 
   // lazy: toSql walks tableSchemas, which is defined further down the
   // object body — eager init would read it as null
@@ -143,6 +144,18 @@ object Fuzz {
     def schema: Vector[Cl] = outs.map { case (n, e) => Cl(n, e.typ) }
   }
   final case class Filt(in: Pl, p: Pr) extends Pl {
+    def schema: Vector[Cl] = in.schema
+  }
+  /** Filter against an UNCORRELATED scalar subquery (the TPC-H
+    * Q11/Q15 planning shape): keep rows where `a op (scalar of sub)`.
+    * `sub` is always a keyless single-aggregate plan, which yields
+    * exactly ONE row on every backend even over empty input; a NULL
+    * scalar (e.g. min of an empty scan) makes the comparison UNKNOWN
+    * and drops every row — the 3-valued corner this construct exists
+    * to exercise. Spark renders it as crossJoin(broadcast(scalar)),
+    * the plan a hand-written DataFrame pipeline would use; the SQL
+    * side uses a genuine scalar subquery. */
+  final case class FiltSub(in: Pl, a: Ex, op: String, sub: Pl) extends Pl {
     def schema: Vector[Cl] = in.schema
   }
   final case class Agg(in: Pl, keys: Vector[Cl],
@@ -311,7 +324,27 @@ object Fuzz {
     val longCols = sch.filter(_.typ == TL)
     val roll = rnd.nextInt(100)
     val q: Pl =
-      if (roll < 25) Filt(p, genPred(rnd, sch, 2))
+      if (roll < 22) Filt(p, genPred(rnd, sch, 2))
+      else if (roll < 25 && longCols.nonEmpty) {
+        // scalar-subquery filter: compare a long expression against a
+        // keyless aggregate of an independent bounded scan
+        val t2 = Vector("nation", "region", "customer", "supplier",
+          "part")(rnd.nextInt(5))
+        val sch2 = tableSchemas(t2)
+        val lc2 = sch2.filter(_.typ == TL)
+        val inner: Pl =
+          if (rnd.nextBoolean()) Filt(Scan(t2), genPred(rnd, sch2, 1))
+          else Scan(t2)
+        val ag: Ag = rnd.nextInt(4) match {
+          case 0 => CntAll
+          case 1 => SumL(lc2(rnd.nextInt(lc2.size)).name)
+          case 2 => MinA(lc2(rnd.nextInt(lc2.size)).name, TL)
+          case _ => MaxA(lc2(rnd.nextInt(lc2.size)).name, TL)
+        }
+        val op = Vector("<", "<=", ">", ">=", "<>")(rnd.nextInt(5))
+        FiltSub(p, genEx(rnd, sch, TL, 1, step, 17), op,
+          Agg(inner, Vector.empty, Vector(s"sq$step" -> ag)))
+      } else if (roll < 25) Filt(p, genPred(rnd, sch, 2))
       else if (roll < 45) genProj(rnd, p, step)
       else if (roll < 65 && joinable.isDefined) {
         val lk = joinable.get
@@ -558,6 +591,14 @@ object Fuzz {
         exCol(e).as(n)
       }: _*)
     case Filt(in, pr) => toDF(s, dir, in).filter(prCol(pr))
+    case FiltSub(in, a, op, sub) =>
+      val df = toDF(s, dir, in)
+      // the keyless aggregate is a 1-row table: broadcast it across
+      // the fact side — never collect() the scalar to the driver
+      val sc = toDF(s, dir, sub).select(col(sub.schema.head.name).as("__sq"))
+      df.crossJoin(broadcast(sc))
+        .filter(cmpCols(op, exCol(a), col("__sq")))
+        .drop("__sq")
     case Agg(in, keys, aggs) =>
       val df = toDF(s, dir, in)
       val acs = aggs.map { case (n, a) => agCol(a).as(n) }
@@ -633,13 +674,18 @@ object Fuzz {
     case CastD(a)       => exCol(a).cast("double")
   }
 
+  private def cmpCols(op: String, a: Column, b: Column): Column =
+    op match {
+      case "="  => a === b
+      case "<>" => a =!= b
+      case "<"  => a < b
+      case "<=" => a <= b
+      case ">"  => a > b
+      case _    => a >= b
+    }
+
   private def prCol(p: Pr): Column = p match {
-    case Cmp("=", a, b)  => exCol(a) === exCol(b)
-    case Cmp("<>", a, b) => exCol(a) =!= exCol(b)
-    case Cmp("<", a, b)  => exCol(a) < exCol(b)
-    case Cmp("<=", a, b) => exCol(a) <= exCol(b)
-    case Cmp(">", a, b)  => exCol(a) > exCol(b)
-    case Cmp(_, a, b)    => exCol(a) >= exCol(b)
+    case Cmp(op, a, b)   => cmpCols(op, exCol(a), exCol(b))
     case IsNull(a, neg)  =>
       if (neg) exCol(a).isNotNull else exCol(a).isNull
     case AndP(a, b)      => prCol(a) && prCol(b)
@@ -694,6 +740,12 @@ object Fuzz {
       case Filt(in, pr) =>
         val sub = sqlOf(in, c)
         s"SELECT * FROM ($sub) ${al()} WHERE ${prSql(pr)}"
+      case FiltSub(in, a, op, sq) =>
+        val sub = sqlOf(in, c)
+        val sqs = sqlOf(sq, c)
+        s"SELECT * FROM ($sub) ${al()} " +
+          s"WHERE (${exSql(a)} $op (SELECT ${sq.schema.head.name} " +
+          s"FROM ($sqs) ${al()}))"
       case Agg(in, keys, aggs) =>
         val sub = sqlOf(in, c)
         val ks = keys.map(_.name)
@@ -845,6 +897,16 @@ object Fuzz {
     case Filt(in, pr) =>
       val idx = index(in.schema)
       interp(in, base).filter(r => evalPr(pr, r, idx).contains(true))
+    case FiltSub(in, a, op, sub) =>
+      // keyless aggregate: exactly one row, one column, possibly null
+      val sv = interp(sub, base).head.head
+      if (sv == null) Seq.empty // UNKNOWN for every row
+      else {
+        val idx = index(in.schema)
+        val litV = LL(sv.asInstanceOf[Long])
+        interp(in, base)
+          .filter(r => evalPr(Cmp(op, a, litV), r, idx).contains(true))
+      }
     case Agg(in, keys, aggs) =>
       val rows = interp(in, base)
       val idx = index(in.schema)

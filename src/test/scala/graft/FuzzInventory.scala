@@ -21,6 +21,7 @@ object FuzzInventory {
     case _: Scan => Set("scan")
     case Proj(in,_) => ops(in)+"proj"
     case Filt(in,pr) => ops(in)+"filt"++prOps(pr)
+    case FiltSub(in,_,_,sub) => ops(in)++ops(sub)+"filtsub"
     case Agg(in,_,aggs) => ops(in)+"agg"++aggs.map(x=>agName(x._2)).toSet
     case Roll(in,_,aggs,cube) =>
       ops(in)+(if (cube) "cube" else "rollup")++aggs.map(x=>agName(x._2)).toSet
