@@ -157,11 +157,19 @@ object Streams {
   /** Tumbling 1-day window count/sum per event_type with a 1-hour
     * watermark — the streaming twin of `m_window_tumbling`.
     */
-  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
+  /** The watermarked tumbling aggregation itself, source-agnostic —
+    * StreamSplitInvariantSpec drives it through MemoryStream with
+    * seed-random micro-batch splits to pin that results do not depend
+    * on batch boundaries for in-order input. */
+  private[graft] def tumblingAgg(src: DataFrame): DataFrame =
+    src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = tumblingAgg(eventsStream(s, dir))
     runToMemory(s, agg, "complete")
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("sum_value"))
@@ -173,11 +181,15 @@ object Streams {
     * keys by (window, -) pairs. Same operator as the batch
     * `m_window_sliding`, so the oracle is shared verbatim.
     */
-  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
+  private[graft] def slidingAgg(src: DataFrame): DataFrame =
+    src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day", "12 hours"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = slidingAgg(eventsStream(s, dir))
     runToMemory(s, agg, "complete")
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("n"), col("sum_value"))
@@ -195,13 +207,15 @@ object Streams {
     * `dropDuplicatesWithinWatermark` so state is EVICTED as the watermark
     * advances instead of growing forever.
     */
-  def dedupCounts(s: SparkSession, dir: String): DataFrame = {
-    val deduped = eventsStream(s, dir)
-      .select(col("event_id"), col("event_type"), col("ts"))
+  private[graft] def dedupAgg(src: DataFrame): DataFrame =
+    src.select(col("event_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  def dedupCounts(s: SparkSession, dir: String): DataFrame = {
+    val deduped = dedupAgg(eventsStream(s, dir))
     runToMemory(s, deduped, "complete")
       .orderBy("event_type")
   }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+import scala.util.Random
+
+/** Micro-batch boundary invariance for the stateful streaming
+  * operators (`m_stream_tumbling` / `m_stream_sliding` /
+  * `m_stream_dedup`): for IN-ORDER input, the final result must not
+  * depend on how the stream is chopped into micro-batches — the
+  * property that makes backfill (one giant batch) and live tailing
+  * (many small ones) interchangeable at 100 TB. The spec drives the
+  * PRODUCTION transformations (Streams.tumblingAgg / slidingAgg /
+  * dedupAgg — not copies) through MemoryStream with seed-random split
+  * points and compares every run bit-exactly against the
+  * single-batch run and (for the window aggregations) the same
+  * transformation executed as a plain batch query.
+  *
+  * In-order matters: for LATE data the result legitimately depends on
+  * batch boundaries (the watermark only advances between batches), so
+  * late-row semantics are pinned separately in StreamsSpec /
+  * WatermarkQuirkSpec, not here. The fixture includes exact-duplicate
+  * event_ids ≤ 1 h after their originals: with non-decreasing
+  * timestamps the dedup state is provably still live whenever the
+  * duplicate arrives (watermark ≤ dup ts − 1 h < original ts + 1 h),
+  * so drops are split-invariant by construction.
+  */
+class StreamSplitInvariantSpec extends SparkSpec {
+
+  private def ts(day: Int, h: Int, m: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-03-$day%02d $h%02d:$m%02d:00")
+
+  // (ts, event_id, event_type, value) — non-decreasing ts; ids 103 and
+  // 107 are exact duplicates of earlier rows (30 min later)
+  private type Ev = (java.sql.Timestamp, Long, String, Double)
+  private val events: Seq[Ev] = Seq(
+    (ts(1, 8), 101L, "view", 10.50),
+    (ts(1, 9), 102L, "click", 3.25),
+    (ts(1, 9, 30), 103L, "view", 7.00),
+    (ts(1, 10), 103L, "view", 7.00), // duplicate of 103
+    (ts(1, 18), 104L, "purchase", 99.99),
+    (ts(2, 7), 105L, "view", 1.75),
+    (ts(2, 12), 106L, "click", 8.00),
+    (ts(2, 12, 15), 107L, "view", 2.50),
+    (ts(2, 12, 45), 107L, "view", 2.50), // duplicate of 107
+    (ts(2, 23), 108L, "purchase", 42.00),
+    (ts(3, 0, 30), 109L, "view", 5.25),
+    (ts(3, 11), 110L, "click", 6.50),
+    (ts(4, 9), 111L, "view", 12.00),
+    (ts(4, 21), 112L, "signup", 1.00),
+    (ts(5, 6), 113L, "view", 4.75))
+
+  private def srcDF(mem: MemoryStream[Ev]): DataFrame =
+    mem.toDF().toDF("ts", "event_id", "event_type", "value")
+
+  /** Run `agg` over the events fed as the given consecutive batches;
+    * return the canonical sorted rows of the final complete-mode
+    * table. */
+  private def run(batches: Seq[Seq[Ev]],
+                  agg: DataFrame => DataFrame): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val sink = "split_inv_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg(srcDF(mem)).writeStream
+      .outputMode("complete").format("memory").queryName(sink).start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = s.table(sink).collect().map(_.toString).sorted.toSeq
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  /** Random consecutive split of the event list into 2-5 batches. */
+  private def split(rnd: Random): Seq[Seq[Ev]] = {
+    val cuts = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(events.size + 1))
+    val pts = (cuts :+ 0 :+ events.size).distinct.sorted
+    pts.zip(pts.tail).map { case (a, b) => events.slice(a, b) }
+  }
+
+  private val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "tumbling" -> Streams.tumblingAgg,
+    "sliding" -> Streams.slidingAgg,
+    "dedup" -> Streams.dedupAgg)
+
+  test("tumbling/sliding/dedup results are invariant under random " +
+    "micro-batch splits of in-order input") {
+    val rnd = new Random(7) // seed-pinned repro
+    for ((name, agg) <- shapes) {
+      val whole = run(Seq(events), agg)
+      assert(whole.nonEmpty, s"$name produced no rows")
+      for (i <- 1 to 4) {
+        val batches = split(rnd)
+        val got = run(batches, agg)
+        assert(got == whole,
+          s"$name diverged on split ${batches.map(_.size)} (run $i):\n" +
+            s"  whole: $whole\n  split: $got")
+      }
+    }
+  }
+
+  test("the streaming window aggregations land on the plain batch " +
+    "computation of the same transformation") {
+    val s = spark
+    import s.implicits._
+    val batchDF = events.toDF("ts", "event_id", "event_type", "value")
+    for ((name, agg) <- Seq("tumbling" -> (Streams.tumblingAgg _),
+      "sliding" -> (Streams.slidingAgg _))) {
+      // withWatermark is a no-op on a batch Dataset, so the identical
+      // transformation runs in both modes
+      val batch = agg(batchDF).collect().map(_.toString).sorted.toSeq
+      val streamed = run(Seq(events), agg)
+      assert(streamed == batch, s"$name: streamed != batch")
+    }
+  }
+}
