@@ -505,6 +505,79 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Output row of the streaming as-of join: one per purchase. */
+  case class AsofOut(user_id: Long, p_us: Long, v_us: java.lang.Long)
+
+  /** STREAMING as-of join (purchase ← most recent view at or before
+    * it, ≤ 1 day back) via `flatMapGroupsWithState` — the
+    * bounded-output form of the stream-stream pair joins, and the one
+    * that survives hot keys.
+    *
+    * Motivation, measured on the adversarial skew fixture
+    * (scaledata/sf1skew, one user holding 20% of 1M events): the
+    * `m_stream_join` pair semantics emit every (view, purchase) pair
+    * inside the window — 52.2M pairs, 99.9% of them from the single
+    * hot user (DuckDB census; the uniform fixture emits ~56k) — and
+    * the bench run times out (>590 s vs 16 s uniform). That is NOT a
+    * plan defect: pair-join output is quadratic in the hot key's
+    * event rate, and any engine faithful to those semantics pays it.
+    * Attribution at 100 TB therefore wants AS-OF semantics: state is
+    * ONE timestamp per user, output is ONE row per purchase — both
+    * linear however hot the key (measured: 3.35 s on the same skew
+    * fixture that times the pair join out, 3.29 s on uniform sf1 —
+    * skew-invariant). Same shuffle key
+    * (user_id) and sink discipline as the pair joins. Per-batch
+    * events are sorted inside the group function — by micros, views
+    * before purchases at the same instant, matching `m_asof_join`'s
+    * tie-break — so the result does not depend on arrival order
+    * within a batch, and the single-max state composes across
+    * in-order batches.
+    */
+  def asofPairs(s: SparkSession, src: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = src
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("event_type") === "view").as("is_view"))
+      .as[(Long, Long, Boolean)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var lastV = state.getOption.getOrElse(Long.MinValue)
+          val out = List.newBuilder[AsofOut]
+          rows.toSeq.sortBy { case (_, us, isView) =>
+            (us, if (isView) 0 else 1)
+          }.foreach { case (_, us, isView) =>
+            if (isView) lastV = math.max(lastV, us)
+            else out += AsofOut(user, us,
+              if (lastV != Long.MinValue && us - lastV <= 86400000000L)
+                java.lang.Long.valueOf(lastV)
+              else null)
+          }
+          if (lastV != Long.MinValue) state.update(lastV)
+          out.result().iterator
+      }.toDF()
+  }
+
+  def streamAsofCounts(s: SparkSession, dir: String): DataFrame = {
+    val pairs = asofPairs(s, eventsStream(s, dir))
+    runToMemory(s, pairs, "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("v_us")).as("n_matched"),
+        max(when(col("v_us").isNotNull, col("p_us") - col("v_us")))
+          .as("max_lag_us"),
+        // lags are < 8.64e10 µs and per-user match counts keep the sum
+        // far under 2^53, so the decimal→double emission is exact on
+        // both engines at every gate scale
+        sum(when(col("v_us").isNotNull, col("p_us") - col("v_us"))
+          .cast("decimal(38,0)")).cast("double").as("sum_lag_us"))
+      .orderBy("user_id")
+  }
+
   /** Per-user top-k rows for the stateful-top-k example. */
   case class TopkOut(user_id: Long, rank: Int, event_id: Long,
                      value: Double)
@@ -685,6 +758,27 @@ object Streams {
           |FROM v JOIN p ON p.user_id = v.user_id
           |  AND p_us >= v_us AND p_us <= v_us + 86400000000
           |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)),
+    graft.ops.Q("m_stream_asof",
+      (s, d) => streamAsofCounts(s, d),
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |), m AS (
+          |  SELECT p.user_id, p.p_us,
+          |    (SELECT max(v.v_us) FROM v
+          |     WHERE v.user_id = p.user_id AND v.v_us <= p.p_us
+          |       AND v.v_us >= p.p_us - 86400000000) AS v_us
+          |  FROM p
+          |)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+          |  CAST(count(v_us) AS BIGINT) AS n_matched,
+          |  max(p_us - v_us) AS max_lag_us,
+          |  CAST(sum(p_us - v_us) AS DOUBLE) AS sum_lag_us
+          |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
     graft.ops.Q("m_stream_left_join",
       (s, d) => streamLeftJoinCounts(s, d),
       Some(
