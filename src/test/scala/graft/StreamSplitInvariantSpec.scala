@@ -35,6 +35,8 @@ class StreamSplitInvariantSpec extends SparkSpec {
   // (ts, event_id, event_type, value) — non-decreasing ts; ids 103 and
   // 107 are exact duplicates of earlier rows (30 min later)
   private type Ev = (java.sql.Timestamp, Long, String, Double)
+  // the as-of source additionally needs user_id
+  private type AEv = (java.sql.Timestamp, Long, String, Double, Long)
   private val events: Seq[Ev] = Seq(
     (ts(1, 8), 101L, "view", 10.50),
     (ts(1, 9), 102L, "click", 3.25),
@@ -104,6 +106,57 @@ class StreamSplitInvariantSpec extends SparkSpec {
           s"$name diverged on split ${batches.map(_.size)} (run $i):\n" +
             s"  whole: $whole\n  split: $got")
       }
+    }
+  }
+
+  test("the as-of join is invariant under random micro-batch splits " +
+    "and its single-max state composes across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // views and purchases interleave per user, with a same-instant
+    // view+purchase pair (user 2, day 2 12:00) pinning the
+    // views-first tie-break
+    val evs: Seq[AEv] = Seq(
+      (ts(1, 8), 201L, "view", 1.0, 1L),
+      (ts(1, 9), 202L, "purchase", 5.0, 1L),
+      (ts(1, 10), 203L, "view", 1.0, 2L),
+      (ts(2, 12), 204L, "view", 1.0, 2L),
+      (ts(2, 12), 205L, "purchase", 9.0, 2L),
+      (ts(3, 14), 206L, "purchase", 7.0, 2L), // > 1 day after last view
+      (ts(4, 9), 207L, "view", 1.0, 1L),
+      (ts(4, 10), 208L, "purchase", 3.0, 1L),
+      (ts(5, 6), 209L, "purchase", 2.0, 3L)) // user 3: no view ever
+    def runAsof(batches: Seq[Seq[AEv]]): Seq[String] = {
+      val mem = MemoryStream[AEv]
+      val sink = "asof_inv_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = Streams.asofPairs(s,
+          mem.toDF().toDF("ts", "event_id", "event_type", "value",
+            "user_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) mem.addData(b: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val out = s.table(sink).collect().map(_.toString).sorted.toSeq
+      s.catalog.dropTempView(sink)
+      out
+    }
+    val whole = runAsof(Seq(evs))
+    // one row per purchase; same-instant view matched; >1d view not;
+    // user 3 unmatched
+    assert(whole.size == 5)
+    val rnd = new Random(11)
+    for (i <- 1 to 4) {
+      val cuts = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(evs.size + 1))
+      val pts = (cuts :+ 0 :+ evs.size).distinct.sorted
+      val batches = pts.zip(pts.tail).map { case (a, b) => evs.slice(a, b) }
+      assert(runAsof(batches) == whole,
+        s"asof diverged on split ${batches.map(_.size)} (run $i)")
     }
   }
 
