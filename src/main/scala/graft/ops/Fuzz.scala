@@ -922,8 +922,10 @@ object Fuzz {
       val rrows = interp(r, base)
       val li = index(l.schema)
       val ri = index(r.schema)
-      // null keys never match — grouped once here; the "full" branch
-      // derives its positional variant from the same index pass
+      // null keys never match. Lazy because the "full" branch never
+      // touches this value-keyed map — it builds its own POSITIONAL
+      // grouping over rrows.zipWithIndex (duplicate right rows must be
+      // matched by index), so forcing rmap there would be pure waste
       lazy val rmap = rrows.filter(_(ri(rk)) != null)
         .groupBy(row => row(ri(rk)))
       val lkIx = li(lk)

@@ -523,42 +523,91 @@ object Streams {
     * event rate, and any engine faithful to those semantics pays it.
     * Attribution at 100 TB therefore wants AS-OF semantics: state is
     * ONE timestamp per user, output is ONE row per purchase — both
-    * linear however hot the key (measured: 3.35 s on the same skew
-    * fixture that times the pair join out, 3.29 s on uniform sf1 —
-    * skew-invariant). Same shuffle key
+    * linear however hot the key (measured: 3.3-4.9 s on the same
+    * skew fixture that times the pair join out, and the same on
+    * uniform sf1 — skew-invariant). Same shuffle key
     * (user_id) and sink discipline as the pair joins. Per-batch
     * events are sorted inside the group function — by micros, views
     * before purchases at the same instant, matching `m_asof_join`'s
     * tie-break — so the result does not depend on arrival order
     * within a batch, and the single-max state composes across
-    * in-order batches.
+    * in-order batches. Two documented boundary semantics: (1) a
+    * purchase arriving out-of-order AFTER a newer view never matches
+    * forward (the `lastV <= us` guard) — for late data the single-max
+    * state may also have already overwritten the purchase's true
+    * earlier view, the standard as-of-stream approximation under
+    * at-most-one-row state; (2) split-invariance assumes a batch
+    * boundary never lands BETWEEN same-instant peers with the
+    * purchase physically first — a watermark-driven source admits all
+    * events ≤ wm together, so boundaries fall between distinct
+    * instants there. State is evicted via EventTimeTimeout once the
+    * watermark proves a view unmatchable (see inline note), so state
+    * size tracks ACTIVE users, not lifetime cardinality.
     */
   def asofPairs(s: SparkSession, src: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // the watermark-tagged ts column must SURVIVE into the grouped
+    // Dataset (EventTimeTimeout is rejected if projection drops it);
+    // micros are derived inside the function — Timestamp carries full
+    // microsecond precision, so this equals unix_micros(ts)
     val typed = src
       .filter(col("event_type").isin("view", "purchase"))
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
         (col("event_type") === "view").as("is_view"))
-      .as[(Long, Long, Boolean)]
+      .as[(Long, java.sql.Timestamp, Boolean)]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long, Boolean)],
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Boolean)],
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          var lastV = state.getOption.getOrElse(Long.MinValue)
-          val out = List.newBuilder[AsofOut]
-          rows.toSeq.sortBy { case (_, us, isView) =>
-            (us, if (isView) 0 else 1)
-          }.foreach { case (_, us, isView) =>
-            if (isView) lastV = math.max(lastV, us)
-            else out += AsofOut(user, us,
-              if (lastV != Long.MinValue && us - lastV <= 86400000000L)
-                java.lang.Long.valueOf(lastV)
-              else null)
+          if (state.hasTimedOut) {
+            // the stored view aged past every possible match window
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastV = state.getOption.getOrElse(Long.MinValue)
+            val out = List.newBuilder[AsofOut]
+            rows.map { case (_, t, isView) => (micros(t), isView) }
+              .toSeq.sortBy { case (us, isView) =>
+                (us, if (isView) 0 else 1)
+              }.foreach { case (us, isView) =>
+              if (isView) lastV = math.max(lastV, us)
+              // lastV <= us: a purchase arriving LATER than a newer
+              // view (cross-batch out-of-order) must not match a
+              // future view — without the guard the negative
+              // difference passes the window test and emits v_us >
+              // p_us
+              else out += AsofOut(user, us,
+                if (lastV != Long.MinValue && lastV <= us &&
+                  us - lastV <= 86400000000L)
+                  java.lang.Long.valueOf(lastV)
+                else null)
+            }
+            if (lastV != Long.MinValue) {
+              // state is provably dead once the watermark passes
+              // lastV + window (+ the 1 h watermark delay): no
+              // admissible purchase can still match it. Evicting via
+              // EventTimeTimeout bounds state to ACTIVE users instead
+              // of lifetime user cardinality. Eviction never changes
+              // results: an evicted view could only produce
+              // unmatched purchases, which is what a missing state
+              // produces too.
+              val deadlineMs = lastV / 1000L + 86400000L + 3600000L
+              if (deadlineMs <= state.getCurrentWatermarkMs()) {
+                state.remove()
+              } else {
+                state.update(lastV)
+                state.setTimeoutTimestamp(deadlineMs)
+              }
+            }
+            out.result().iterator
           }
-          if (lastV != Long.MinValue) state.update(lastV)
-          out.result().iterator
       }.toDF()
   }
 
@@ -568,13 +617,14 @@ object Streams {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
         count(col("v_us")).as("n_matched"),
-        max(when(col("v_us").isNotNull, col("p_us") - col("v_us")))
-          .as("max_lag_us"),
+        // NULL v_us propagates through the subtraction and max/sum
+        // skip it — the bare forms mirror the oracle line-for-line
+        max(col("p_us") - col("v_us")).as("max_lag_us"),
         // lags are < 8.64e10 µs and per-user match counts keep the sum
         // far under 2^53, so the decimal→double emission is exact on
         // both engines at every gate scale
-        sum(when(col("v_us").isNotNull, col("p_us") - col("v_us"))
-          .cast("decimal(38,0)")).cast("double").as("sum_lag_us"))
+        sum((col("p_us") - col("v_us")).cast("decimal(38,0)"))
+          .cast("double").as("sum_lag_us"))
       .orderBy("user_id")
   }
 

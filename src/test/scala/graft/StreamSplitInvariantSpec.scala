@@ -57,19 +57,19 @@ class StreamSplitInvariantSpec extends SparkSpec {
   private def srcDF(mem: MemoryStream[Ev]): DataFrame =
     mem.toDF().toDF("ts", "event_id", "event_type", "value")
 
-  /** Run `agg` over the events fed as the given consecutive batches;
-    * return the canonical sorted rows of the final complete-mode
-    * table. */
-  private def run(batches: Seq[Seq[Ev]],
-                  agg: DataFrame => DataFrame): Seq[String] = {
+  /** Run the streaming query built by `mk` over the rows fed as the
+    * given consecutive batches; return the canonical sorted rows of
+    * the final sink table. */
+  private def runStream[T: org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[T]], mk: MemoryStream[T] => DataFrame,
+      mode: String): Seq[String] = {
     val s = spark
-    import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[T]
     val sink = "split_inv_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = agg(srcDF(mem)).writeStream
-      .outputMode("complete").format("memory").queryName(sink).start()
+    val q = mk(mem).writeStream
+      .outputMode(mode).format("memory").queryName(sink).start()
     try {
       batches.foreach { b =>
         if (b.nonEmpty) mem.addData(b: _*)
@@ -81,11 +81,21 @@ class StreamSplitInvariantSpec extends SparkSpec {
     out
   }
 
-  /** Random consecutive split of the event list into 2-5 batches. */
-  private def split(rnd: Random): Seq[Seq[Ev]] = {
-    val cuts = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(events.size + 1))
-    val pts = (cuts :+ 0 :+ events.size).distinct.sorted
-    pts.zip(pts.tail).map { case (a, b) => events.slice(a, b) }
+  private def run(batches: Seq[Seq[Ev]],
+                  agg: DataFrame => DataFrame): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    runStream[Ev](batches, m => agg(srcDF(m)), "complete")
+  }
+
+  /** Random consecutive split of `rows` into ≥ 2 batches (one cut is
+    * always interior, so a vacuous whole-vs-whole comparison cannot
+    * be drawn). */
+  private def split[T](rnd: Random, rows: Seq[T]): Seq[Seq[T]] = {
+    val interior = 1 + rnd.nextInt(rows.size - 1)
+    val extra = Seq.fill(rnd.nextInt(3))(rnd.nextInt(rows.size + 1))
+    val pts = (extra :+ interior :+ 0 :+ rows.size).distinct.sorted
+    pts.zip(pts.tail).map { case (a, b) => rows.slice(a, b) }
   }
 
   private val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
@@ -100,7 +110,7 @@ class StreamSplitInvariantSpec extends SparkSpec {
       val whole = run(Seq(events), agg)
       assert(whole.nonEmpty, s"$name produced no rows")
       for (i <- 1 to 4) {
-        val batches = split(rnd)
+        val batches = split(rnd, events)
         val got = run(batches, agg)
         assert(got == whole,
           s"$name diverged on split ${batches.map(_.size)} (run $i):\n" +
@@ -113,10 +123,14 @@ class StreamSplitInvariantSpec extends SparkSpec {
     "and its single-max state composes across batches") {
     val s = spark
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // views and purchases interleave per user, with a same-instant
     // view+purchase pair (user 2, day 2 12:00) pinning the
-    // views-first tie-break
+    // views-first tie-break. NOTE: the invariance property requires
+    // same-instant peers to be fed view-first (as here) — a purchase
+    // physically BEFORE its same-instant view with a boundary between
+    // them legitimately diverges, because append-mode output cannot
+    // be retracted (documented on asofPairs; a watermark-driven
+    // source never splits peers)
     val evs: Seq[AEv] = Seq(
       (ts(1, 8), 201L, "view", 1.0, 1L),
       (ts(1, 9), 202L, "purchase", 5.0, 1L),
@@ -127,34 +141,18 @@ class StreamSplitInvariantSpec extends SparkSpec {
       (ts(4, 9), 207L, "view", 1.0, 1L),
       (ts(4, 10), 208L, "purchase", 3.0, 1L),
       (ts(5, 6), 209L, "purchase", 2.0, 3L)) // user 3: no view ever
-    def runAsof(batches: Seq[Seq[AEv]]): Seq[String] = {
-      val mem = MemoryStream[AEv]
-      val sink = "asof_inv_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = Streams.asofPairs(s,
-          mem.toDF().toDF("ts", "event_id", "event_type", "value",
-            "user_id"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(sink).start()
-      try {
-        batches.foreach { b =>
-          if (b.nonEmpty) mem.addData(b: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      val out = s.table(sink).collect().map(_.toString).sorted.toSeq
-      s.catalog.dropTempView(sink)
-      out
-    }
+    def runAsof(batches: Seq[Seq[AEv]]): Seq[String] =
+      runStream[AEv](batches,
+        m => Streams.asofPairs(s, m.toDF()
+          .toDF("ts", "event_id", "event_type", "value", "user_id")),
+        "append")
     val whole = runAsof(Seq(evs))
     // one row per purchase; same-instant view matched; >1d view not;
     // user 3 unmatched
     assert(whole.size == 5)
     val rnd = new Random(11)
     for (i <- 1 to 4) {
-      val cuts = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(evs.size + 1))
-      val pts = (cuts :+ 0 :+ evs.size).distinct.sorted
-      val batches = pts.zip(pts.tail).map { case (a, b) => evs.slice(a, b) }
+      val batches = split(rnd, evs)
       assert(runAsof(batches) == whole,
         s"asof diverged on split ${batches.map(_.size)} (run $i)")
     }
