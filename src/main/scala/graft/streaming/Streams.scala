@@ -342,6 +342,50 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Stream-static TEMPORAL join against an SCD Type-2 dimension —
+    * point-in-time enrichment: each event joins the dimension version
+    * whose [valid_from, valid_to) interval contains the event time
+    * (the m_scd2 versioned history, built from orders). The 100-TB
+    * properties: the join is STATELESS (static side re-joined per
+    * micro-batch — no streaming state at all, unlike the
+    * stream-stream joins), the equi key (user = custkey) carries the
+    * hash join with the interval predicate as residual filter, the
+    * dim broadcasts while it is small and degrades to a per-batch
+    * shuffled join when it is not, and SCD2 intervals PARTITION time
+    * per key so each event matches at most one version — output
+    * stays exactly linear in the stream however hot a key is.
+    */
+  def streamScd2Counts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from_us"), col("o_orderkey"))
+    val dim = graft.Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("price_cents"),
+        unix_micros(col("o_orderdate").cast("timestamp"))
+          .as("valid_from_us"))
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(w))
+      .drop("o_orderkey")
+    val joined = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("eus"))
+      .join(broadcast(dim),
+        col("user_id") === col("o_custkey") &&
+          col("eus") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("eus") < col("valid_to_us")),
+        "left_outer")
+    runToMemory(s, joined, "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("valid_from_us")).as("n_versioned"),
+        // cents are < 5e7 and match counts keep the sum far under
+        // 2^53 — the decimal→double emission is exact on both engines
+        sum(col("price_cents").cast("decimal(38,0)")).cast("double")
+          .as("sum_price_cents"))
+      .orderBy("event_type")
+  }
+
   /** Append-mode windowed aggregation — the output mode that scales.
     * `complete` mode (the other streaming aggs here, kept for their
     * batch-equality oracles) re-emits the ENTIRE result every batch and
@@ -781,6 +825,26 @@ object Streams {
           |SELECT event_type, count(*) AS n_above
           |FROM events JOIN a USING (event_type)
           |WHERE CAST(value AS DECIMAL(18,4)) * cnt > sv
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    graft.ops.Q("m_stream_scd2",
+      (s, d) => streamScd2Counts(s, d),
+      Some(
+        """WITH scd AS (
+          |  SELECT o_custkey,
+          |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+          |    epoch_us(o_orderdate) AS vf,
+          |    lead(epoch_us(o_orderdate)) OVER (
+          |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |      AS vt
+          |  FROM orders
+          |), e AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS eus FROM events
+          |)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(count(vf) AS BIGINT) AS n_versioned,
+          |  CAST(sum(price_cents) AS DOUBLE) AS sum_price_cents
+          |FROM e LEFT JOIN scd ON o_custkey = user_id
+          |  AND eus >= vf AND (vt IS NULL OR eus < vt)
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     graft.ops.Q("m_stream_append",
       (s, d) => tumblingAppend(s, d),
