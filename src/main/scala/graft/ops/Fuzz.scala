@@ -53,17 +53,19 @@ object Fuzz {
     * the set jointly covers every operator the generator emits — all 35
     * constructs: joins (inner, left, semi, anti, FULL OUTER),
     * aggregates (incl. avg, count-distinct, conditional sums, ROLLUP /
-    * CUBE grouping sets), uncorrelated scalar-subquery filters, windows
-    * incl. the RANGE-frame running sum, explode, distinct, set ops, and
-    * the null-semantics predicates (null-safe equality, IN-lists under
-    * NOT, LIKE). Selection is the greedy construct cover over seeds
-    * 1-200, all 200 of which pass the DuckDB differential at both gate
-    * scales (see FuzzInventory / FuzzScreen). The plan AND its oracle
-    * SQL are both re-derived from the seed at runtime, so the two
-    * sides can never drift apart. */
+    * CUBE grouping sets with GROUPING-id columns), uncorrelated
+    * scalar-subquery filters, windows incl. the RANGE-frame running
+    * sum, explode, distinct, set ops, and the null-semantics
+    * predicates (null-safe equality, IN-lists under NOT, LIKE).
+    * Selection is the greedy construct cover over seeds 1-200 (plus
+    * seed 273, the non-empty set_except carrier), all of which pass
+    * the DuckDB differential at sf0.001, sf0.01 AND sf0.1 (see
+    * FuzzInventory / FuzzScreen). The plan AND its oracle SQL are both
+    * re-derived from the seed at runtime, so the two sides can never
+    * drift apart. */
   private val driverSeeds: Vector[Int] = Vector(
-    1, 2, 3, 4, 8, 9, 10, 13, 15, 16, 20, 22, 24, 31, 32, 42, 52, 56,
-    60, 68, 83, 92, 97, 124, 153)
+    2, 3, 4, 8, 9, 10, 13, 15, 20, 22, 24, 31, 32, 42, 56, 60, 63, 83,
+    92, 97, 103, 124, 141, 142, 273)
 
   // lazy: toSql walks tableSchemas, which is defined further down the
   // object body — eager init would read it as null
@@ -182,11 +184,35 @@ object Fuzz {
     * rollup/cube emits nothing. The generated SQL appends
     * `HAVING count(*) > 0`, which is a no-op on any non-empty input
     * (every grouping-set row aggregates ≥ 1 row) and removes exactly
-    * the empty-input grand-total row, so all three backends agree. */
+    * the empty-input grand-total row, so all three backends agree.
+    *
+    * When `gid` names a column, a grouping-id output disambiguates
+    * super-aggregate nulls from data nulls — and pins the BIT
+    * ENCODING agreement across engines: Spark's grouping_id() and
+    * the standard's GROUPING(k1, …, kn) both place the FIRST listed
+    * key in the most significant bit (1 = aggregated-away). The name
+    * is per-step unique: stacked Rolls may legally GROUP BY an inner
+    * grouping-id column, which a fixed name would shadow.
+    *
+    * Engine bug found by this generator (pinned in QuirksSpec): on
+    * Spark 4.1, a conditional-aggregate CASE predicate that
+    * references a grouping KEY, under ROLLUP/CUBE over a UNION,
+    * trips RemoveRedundantAliases into an invalid (unresolved) plan
+    * — [PLAN_VALIDATION_FAILED_RULE_IN_BATCH]. Plain GROUP BY, a
+    * non-key predicate, or a no-union child are all fine. The
+    * generator therefore draws grouping-set conditional-agg
+    * predicates and operands from NON-KEY columns only. */
   final case class Roll(in: Pl, keys: Vector[Cl],
                         aggs: Vector[(String, Ag)],
-                        cube: Boolean) extends Pl {
-    def schema: Vector[Cl] = Agg(in, keys, aggs).schema
+                        cube: Boolean, gid: Option[String]) extends Pl {
+    def schema: Vector[Cl] = {
+      val base = Agg(in, keys, aggs).schema
+      gid match {
+        case Some(g) =>
+          (base.take(keys.size) :+ Cl(g, TL)) ++ base.drop(keys.size)
+        case None => base
+      }
+    }
   }
   /** how ∈ inner | left | semi | anti | full. Full outer extends BOTH
     * sides with nulls, so downstream operators see null join keys and
@@ -396,9 +422,16 @@ object Fuzz {
     val sch = p.schema
     val nKeys = rnd.nextInt(3) min sch.size
     val keys = rnd.shuffle(sch.toList).take(nKeys).toVector
+    // the grouping-set decision comes FIRST: conditional-agg
+    // generation must know it (see the Roll scaladoc — Spark 4.1's
+    // RemoveRedundantAliases bug with key-referencing CASE predicates
+    // under grouping sets over a union)
+    val roll = keys.nonEmpty && rnd.nextInt(4) == 0
     val rest = sch.filterNot(keys.contains)
     val pool = if (rest.nonEmpty) rest else sch
     val longCols = pool.filter(_.typ == TL)
+    val caseCols = if (roll) rest else sch
+    val caseLongs = caseCols.filter(_.typ == TL)
     val nAggs = 1 + rnd.nextInt(3)
     val aggs = (0 until nAggs).map { j =>
       val c = pool(rnd.nextInt(pool.size))
@@ -412,17 +445,18 @@ object Fuzz {
         case 4 => MinA(c.name, c.typ)
         case 5 => MaxA(c.name, c.typ)
         case 6 => CntD(c.name)
-        case _ if longCols.nonEmpty =>
-          SumCase(genPred(rnd, sch, 1),
-            longCols(rnd.nextInt(longCols.size)).name,
+        case _ if caseLongs.nonEmpty =>
+          SumCase(genPred(rnd, caseCols, 1),
+            caseLongs(rnd.nextInt(caseLongs.size)).name,
             7L + rnd.nextInt(991))
         case _ => MaxA(c.name, c.typ)
       }
       s"a${step}_$j" -> a
     }.toVector
     // a quarter of keyed aggregates become grouping-set forms
-    if (keys.nonEmpty && rnd.nextInt(4) == 0)
-      Roll(p, keys, aggs, rnd.nextBoolean())
+    if (roll)
+      Roll(p, keys, aggs, rnd.nextBoolean(),
+        if (rnd.nextBoolean()) Some(s"g$step") else None)
     else Agg(p, keys, aggs)
   }
 
@@ -605,9 +639,13 @@ object Fuzz {
       if (keys.isEmpty) df.agg(acs.head, acs.tail: _*)
       else df.groupBy(keys.map(k => col(k.name)): _*)
         .agg(acs.head, acs.tail: _*)
-    case Roll(in, keys, aggs, cube) =>
+    case Roll(in, keys, aggs, cube, gid) =>
       val df = toDF(s, dir, in)
-      val acs = aggs.map { case (n, a) => agCol(a).as(n) }
+      val acs0 = aggs.map { case (n, a) => agCol(a).as(n) }
+      val acs = gid match {
+        case Some(g) => grouping_id().cast("long").as(g) +: acs0
+        case None    => acs0
+      }
       val kcols = keys.map(k => col(k.name))
       val g = if (cube) df.cube(kcols: _*) else df.rollup(kcols: _*)
       g.agg(acs.head, acs.tail: _*)
@@ -754,14 +792,16 @@ object Fuzz {
         val grp =
           if (ks.isEmpty) "" else s" GROUP BY ${ks.mkString(", ")}"
         s"SELECT $cols FROM ($sub) ${al()}$grp"
-      case Roll(in, keys, aggs, cube) =>
+      case Roll(in, keys, aggs, cube, gid) =>
         val sub = sqlOf(in, c)
         val ks = keys.map(_.name)
+        val gs = gid.toSeq.map(g =>
+          s"CAST(GROUPING(${ks.mkString(", ")}) AS BIGINT) AS $g")
         val as = aggs.map { case (nm, a) => s"${agSql(a)} AS $nm" }
         val kw = if (cube) "CUBE" else "ROLLUP"
         // HAVING count(*) > 0: no-op on non-empty input; strips the
         // standard's empty-input grand-total row Spark never emits
-        s"SELECT ${(ks ++ as).mkString(", ")} FROM ($sub) ${al()} " +
+        s"SELECT ${(ks ++ gs ++ as).mkString(", ")} FROM ($sub) ${al()} " +
           s"GROUP BY $kw (${ks.mkString(", ")}) HAVING count(*) > 0"
       case Jn(l, r, lk, rk, how) =>
         val ls = sqlOf(l, c)
@@ -967,7 +1007,7 @@ object Fuzz {
           val k = lr(lkIx); k == null || !rmap.contains(k)
         }
       }
-    case Roll(in, keys, aggs, cube) =>
+    case Roll(in, keys, aggs, cube, gid) =>
       val rows = interp(in, base)
       val idx = index(in.schema)
       val n = keys.size
@@ -976,6 +1016,11 @@ object Fuzz {
           (0 until n).filter(i => (m & (1 << i)) != 0).toSet)
         else (0 to n).map(i => (0 until i).toSet)
       sets.flatMap { s =>
+        // grouping id: first listed key = most significant bit,
+        // 1 = aggregated-away (not in this grouping set)
+        val gidVal: Any =
+          Long.box((0 until n).map(i =>
+            if (s(i)) 0L else 1L << (n - 1 - i)).sum)
         // empty input → zero rows for EVERY grouping set, including
         // the empty one: Spark semantics, enforced on the SQL side by
         // the generated HAVING count(*) > 0 (see the Roll scaladoc)
@@ -984,7 +1029,8 @@ object Fuzz {
             if (s(i)) r(idx(k.name)) else (null: Any)
           }
         }.toSeq.map { case (kv, rs) =>
-          kv ++ aggs.map { case (_, a) => evalAg(a, rs, idx) }
+          (if (gid.isDefined) kv :+ gidVal else kv) ++
+            aggs.map { case (_, a) => evalAg(a, rs, idx) }
         }
       }
     case Dist(in) => interp(in, base).distinct

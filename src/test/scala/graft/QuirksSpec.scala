@@ -108,4 +108,31 @@ class QuirksSpec extends SparkSpec {
     assert(empty.rollup(col("k")).agg(count(lit(1))).count() == 0L)
     assert(empty.cube(col("k")).agg(count(lit(1))).count() == 0L)
   }
+
+  test("Spark 4.1 optimizer BUG (found by the fuzzer, seed 219): a " +
+    "CASE predicate referencing a grouping KEY under rollup/cube " +
+    "over a UNION trips RemoveRedundantAliases into an invalid plan") {
+    val s = spark
+    // the parquet-scan child matters: an in-memory LocalRelation does
+    // not reproduce it, the self-aliased cached scan does
+    val base = graft.Tables.part(s, "/root/testdata/sf0.001")
+      .select(col("p_partkey").cast("long").as("p_partkey"),
+        col("p_brand").as("p_brand"), col("p_type").as("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .filter(col("p_partkey") <= 300L)
+    val un = base.unionByName(base.filter(col("p_size") =!= 33L))
+    def q(pred: org.apache.spark.sql.Column) =
+      un.cube(col("p_size"), col("p_brand"))
+        .agg(sum(when(pred, abs(col("p_partkey")) % lit(603))
+          .otherwise(lit(0L))).as("b"))
+    // non-key predicate: fine
+    assert(q(col("p_type") >= "M").collect().nonEmpty)
+    // grouping-key predicate: PLAN_VALIDATION_FAILED_RULE_IN_BATCH.
+    // Quirk pin — an engine upgrade that fixes this flips the
+    // intercept, and the Fuzz generator's non-key-predicate
+    // restriction for grouping-set conditional aggs can be dropped.
+    intercept[Exception] {
+      q(col("p_brand") >= "Brand#22").collect()
+    }
+  }
 }
