@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2 M — capability extensions absent from the reference: set
@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   * batch query.
   */
 object Ext {
+
+  /** SCD Type-2 versioned purchase history — the shared dimension
+    * build behind the batch `m_scd2` query and the streaming
+    * `m_stream_scd2` temporal join (one derivation, two consumers:
+    * an interval-semantics change here reaches both). Columns:
+    * (o_custkey, o_orderkey, o_totalprice, valid_from_us,
+    * valid_to_us) with valid_to_us NULL on the open version. */
+  private[graft] def scd2History(s: SparkSession, d: String)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from_us"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so
+        // the cast to instant is exact.
+        unix_micros(col("o_orderdate").cast("timestamp"))
+          .as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -1791,20 +1811,9 @@ object Ext {
     // self-join (the naive formulation joins the feed to itself on
     // "next change after mine" — quadratic per key under skew).
     Q("m_scd2",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("valid_from_us"), col("o_orderkey"))
-        Tables.orders(s, d)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-            // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so
-            // the cast to instant is exact.
-            unix_micros(col("o_orderdate").cast("timestamp"))
-              .as("valid_from_us"))
-          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
-          .withColumn("is_current", col("valid_to_us").isNull)
-          .orderBy("o_custkey", "valid_from_us", "o_orderkey")
-      },
+      (s, d) => scd2History(s, d)
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("o_custkey", "valid_from_us", "o_orderkey"),
       Some(
         """SELECT o_custkey, o_orderkey, o_totalprice,
           |  epoch_us(o_orderdate) AS valid_from_us,

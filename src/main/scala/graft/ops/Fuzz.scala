@@ -50,8 +50,8 @@ object Fuzz {
 
   /** Driver-facing pinned seeds, screened so each passes the DuckDB
     * differential at sf0.01 AND sf0.001 with a non-empty result, and so
-    * the set jointly covers every operator the generator emits — all 35
-    * constructs: joins (inner, left, semi, anti, FULL OUTER),
+    * the set jointly covers every operator the generator emits — all 36
+    * inventory tags: joins (inner, left, semi, anti, FULL OUTER),
     * aggregates (incl. avg, count-distinct, conditional sums, ROLLUP /
     * CUBE grouping sets with GROUPING-id columns), uncorrelated
     * scalar-subquery filters, windows incl. the RANGE-frame running

@@ -350,27 +350,25 @@ object Streams {
     * micro-batch — no streaming state at all, unlike the
     * stream-stream joins), the equi key (user = custkey) carries the
     * hash join with the interval predicate as residual filter, the
-    * dim broadcasts while it is small and degrades to a per-batch
-    * shuffled join when it is not, and SCD2 intervals PARTITION time
+    * dim auto-broadcasts while it fits the threshold (no forced
+    * hint, so outgrowing it degrades to a per-batch shuffled join
+    * instead of failing the broadcast), and SCD2 intervals PARTITION time
     * per key so each event matches at most one version — output
     * stays exactly linear in the stream however hot a key is.
     */
   def streamScd2Counts(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("valid_from_us"), col("o_orderkey"))
-    val dim = graft.Tables.orders(s, dir)
-      .select(col("o_custkey"), col("o_orderkey"),
+    val dim = graft.ops.Ext.scd2History(s, dir)
+      .select(col("o_custkey"),
         floor(col("o_totalprice") * 100.0).cast("long").as("price_cents"),
-        unix_micros(col("o_orderdate").cast("timestamp"))
-          .as("valid_from_us"))
-      .withColumn("valid_to_us",
-        lead(col("valid_from_us"), 1).over(w))
-      .drop("o_orderkey")
+        col("valid_from_us"), col("valid_to_us"))
+    // no broadcast() hint: a forced hint would disable the size-based
+    // fallback — at fixture scale the dim auto-broadcasts under the
+    // threshold, and a dimension that outgrows it degrades to a
+    // per-batch shuffled join instead of failing the broadcast
     val joined = eventsStream(s, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("eus"))
-      .join(broadcast(dim),
+      .join(dim,
         col("user_id") === col("o_custkey") &&
           col("eus") >= col("valid_from_us") &&
           (col("valid_to_us").isNull || col("eus") < col("valid_to_us")),

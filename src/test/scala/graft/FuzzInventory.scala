@@ -23,8 +23,10 @@ object FuzzInventory {
     case Filt(in,pr) => ops(in)+"filt"++prOps(pr)
     case FiltSub(in,_,_,sub) => ops(in)++ops(sub)+"filtsub"
     case Agg(in,_,aggs) => ops(in)+"agg"++aggs.map(x=>agName(x._2)).toSet
-    case Roll(in,_,aggs,cube,_) =>
-      ops(in)+(if (cube) "cube" else "rollup")++aggs.map(x=>agName(x._2)).toSet
+    case Roll(in,_,aggs,cube,gid) =>
+      ops(in)+(if (cube) "cube" else "rollup")++
+        (if (gid.isDefined) Set("gid") else Set.empty[String])++
+        aggs.map(x=>agName(x._2)).toSet
     case Jn(l,r,_,_,jt) => ops(l)++ops(r)+("join_"+jt)
     case Dist(in) => ops(in)+"distinct"
     case Wnd(in,_,f,_,_,_) => ops(in)+("wnd_"+f)

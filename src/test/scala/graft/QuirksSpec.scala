@@ -131,8 +131,13 @@ class QuirksSpec extends SparkSpec {
     // Quirk pin — an engine upgrade that fixes this flips the
     // intercept, and the Fuzz generator's non-key-predicate
     // restriction for grouping-set conditional aggs can be dropped.
-    intercept[Exception] {
+    val e = intercept[Exception] {
       q(col("p_brand") >= "Brand#22").collect()
     }
+    // pin the SPECIFIC failure — any other error class here would be
+    // a different (new) problem, not this quirk
+    assert(e.getMessage.contains("PLAN_VALIDATION_FAILED_RULE_IN_BATCH"),
+      s"expected the RemoveRedundantAliases plan-validation failure, " +
+        s"got: ${e.getMessage.take(200)}")
   }
 }
