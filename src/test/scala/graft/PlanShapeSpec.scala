@@ -159,6 +159,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("the SCD2 temporal join rides the equi key — the interval " +
+    "predicate is a residual, never the join itself") {
+    import org.apache.spark.sql.functions._
+    // batch analog of m_stream_scd2's per-micro-batch join (the
+    // streaming query itself is excluded from plan pins by design)
+    val dim = graft.ops.Ext.scd2History(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("eus"))
+    val joined = ev.join(dim,
+      col("user_id") === col("o_custkey") &&
+        col("eus") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("eus") < col("valid_to_us")),
+      "left_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"temporal join lost its equi key:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a hash/merge join on the equi key:\n$plan")
+  }
+
   test("m_kmeans never join-shuffles the corpus") {
     // The point of the map-only assignment: the corpus meets the
     // centroids ONLY via a broadcast of the 1-row centroid capsule
