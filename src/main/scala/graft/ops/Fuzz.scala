@@ -230,9 +230,15 @@ object Fuzz {
     * sum of `abs(ord) % 1000` over a RANGE frame — range, not rows,
     * because peers sum together so the result is TIE-INSENSITIVE and
     * bit-deterministic without a unique order key; only generated when
-    * `ord` is TL so the summand stays a bounded exact integer). */
+    * `ord` is TL so the summand stays a bounded exact integer) |
+    * rsumb (the same summand over a BOUNDED range frame
+    * `RANGE BETWEEN bound PRECEDING AND CURRENT ROW` — the moving-
+    * window form; offsets follow the ORDER direction on every
+    * backend, and value-range frames stay tie-insensitive where a
+    * ROWS frame would not be). `bound` is only read by rsumb. */
   final case class Wnd(in: Pl, name: String, fun: String, part: Cl,
-                       ord: Cl, descending: Boolean) extends Pl {
+                       ord: Cl, descending: Boolean,
+                       bound: Long = 0L) extends Pl {
     def schema: Vector[Cl] = in.schema :+ Cl(name, TL)
   }
   /** explode(array(a, b)) — both elements TL. */
@@ -386,10 +392,13 @@ object Fuzz {
         val rest = sch.filterNot(_ == part)
         val ord = rest(rnd.nextInt(rest.size))
         val funs =
-          if (ord.typ == TL) Vector("rank", "dense_rank", "cnt", "rsum")
+          if (ord.typ == TL)
+            Vector("rank", "dense_rank", "cnt", "rsum", "rsumb")
           else Vector("rank", "dense_rank", "cnt")
         val fun = funs(rnd.nextInt(funs.size))
-        Wnd(p, s"w$step", fun, part, ord, rnd.nextBoolean())
+        val bound =
+          if (fun == "rsumb") 10L + rnd.nextInt(491) else 0L
+        Wnd(p, s"w$step", fun, part, ord, rnd.nextBoolean(), bound)
       } else if (roll < 91 && longCols.nonEmpty && explodes < 2) {
         explodes += 1
         val a = AMod(Ref(longCols(rnd.nextInt(longCols.size)).name, TL),
@@ -657,7 +666,7 @@ object Fuzz {
       }
       toDF(s, dir, l).join(toDF(s, dir, r), col(lk) === col(rk), sparkHow)
     case Dist(in) => toDF(s, dir, in).distinct()
-    case Wnd(in, name, fun, part, ord, desc) =>
+    case Wnd(in, name, fun, part, ord, desc, bound) =>
       val df = toDF(s, dir, in)
       val oc = coalesce(col(ord.name), sentinelCol(ord.typ))
       val c = fun match {
@@ -667,6 +676,11 @@ object Fuzz {
           val w = Window.partitionBy(col(part.name))
             .orderBy(if (desc) oc.desc else oc.asc)
             .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          sum(abs(col(ord.name)) % lit(1000L)).over(w).cast("long")
+        case "rsumb" =>
+          val w = Window.partitionBy(col(part.name))
+            .orderBy(if (desc) oc.desc else oc.asc)
+            .rangeBetween(-bound, 0L)
           sum(abs(col(ord.name)) % lit(1000L)).over(w).cast("long")
         case f =>
           val w = Window.partitionBy(col(part.name))
@@ -826,7 +840,7 @@ object Fuzz {
       case Dist(in) =>
         val sub = sqlOf(in, c)
         s"SELECT DISTINCT * FROM ($sub) ${al()}"
-      case Wnd(in, name, fun, part, ord, desc) =>
+      case Wnd(in, name, fun, part, ord, desc, bound) =>
         val sub = sqlOf(in, c)
         val oc = s"COALESCE(${ord.name}, ${sentinelSql(ord.typ)})"
         val dir = if (desc) " DESC" else ""
@@ -836,6 +850,11 @@ object Fuzz {
             s"CAST(SUM(abs(${ord.name}) % 1000) OVER " +
               s"(PARTITION BY ${part.name} ORDER BY $oc$dir " +
               "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+              "AS BIGINT)"
+          case "rsumb" =>
+            s"CAST(SUM(abs(${ord.name}) % 1000) OVER " +
+              s"(PARTITION BY ${part.name} ORDER BY $oc$dir " +
+              s"RANGE BETWEEN $bound PRECEDING AND CURRENT ROW) " +
               "AS BIGINT)"
           case f =>
             val fn = if (f == "rank") "rank()" else "dense_rank()"
@@ -1034,7 +1053,7 @@ object Fuzz {
         }
       }
     case Dist(in) => interp(in, base).distinct
-    case Wnd(in, _, fun, part, ord, desc) =>
+    case Wnd(in, _, fun, part, ord, desc, bound) =>
       val rows = interp(in, base)
       val idx = index(in.schema)
       val pIx = idx(part.name)
@@ -1067,6 +1086,22 @@ object Fuzz {
               val v = oVal(r)
               val vals = grp.filter(o => !before(v, oVal(o)))
                 .map(_(oIx)).filter(_ != null)
+                .map(x => math.abs(x.asInstanceOf[Long]) % 1000L)
+              r :+ (if (vals.isEmpty) null
+                    else Long.box(vals.sum))
+            }
+          case "rsumb" =>
+            // bounded value-range frame: offsets follow the ORDER
+            // direction — [v-bound, v] ascending, [v, v+bound]
+            // descending (ord is always TL here)
+            grp.map { r =>
+              val v = oVal(r).asInstanceOf[Long]
+              val (lo, hi) =
+                if (desc) (v, v + bound) else (v - bound, v)
+              val vals = grp.filter { o =>
+                val x = oVal(o).asInstanceOf[Long]
+                x >= lo && x <= hi
+              }.map(_(oIx)).filter(_ != null)
                 .map(x => math.abs(x.asInstanceOf[Long]) % 1000L)
               r :+ (if (vals.isEmpty) null
                     else Long.box(vals.sum))

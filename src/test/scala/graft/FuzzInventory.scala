@@ -29,7 +29,7 @@ object FuzzInventory {
         aggs.map(x=>agName(x._2)).toSet
     case Jn(l,r,_,_,jt) => ops(l)++ops(r)+("join_"+jt)
     case Dist(in) => ops(in)+"distinct"
-    case Wnd(in,_,f,_,_,_) => ops(in)+("wnd_"+f)
+    case Wnd(in,_,f,_,_,_,_) => ops(in)+("wnd_"+f)
     case Expl(in,_,_,_) => ops(in)+"explode"
     case Lim(in,_) => ops(in)+"limit"
     case UnionA(l,r) => ops(l)++ops(r)+"union"
