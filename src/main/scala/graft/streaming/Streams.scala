@@ -547,6 +547,114 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Pre-aggregated stream attribution — the SAME per-user rollup as
+    * `m_stream_join` (n_pairs + exact 4dp avg lag over every
+    * (view, purchase) pair within 1 day), computed WITHOUT ever
+    * materializing the pairs.
+    *
+    * Why: pair-join output is quadratic in a hot key's event rate —
+    * on the adversarial skew fixture (one user holding ~20% of 1M
+    * events) `m_stream_join` emits 52.2M pairs through the sink and
+    * times out >590 s (PERF.md), while its final answer is only a
+    * per-user (count, sum-of-lags). Both aggregates DECOMPOSE over a
+    * view-side pre-aggregate: with k_p = #views in purchase p's
+    * window and sv_p = Σ v_us over them,
+    *   n_pairs = Σ_p k_p,   Σ lag = Σ_p (k_p·p_us − sv_p).
+    * So the streaming side reduces views to per-(user, 10-minute
+    * bucket) (cnt, Σv_us) — a watermark-evicted windowed aggregation
+    * whose state and output are LINEAR in view count however hot the
+    * key — and the rollup joins purchases to those bucket aggregates:
+    * interior buckets (fully inside [p−1d, p]) contribute their
+    * pre-aggregates directly; the ≤2 boundary buckets are resolved
+    * exactly against raw views restricted by bucket id, so the window
+    * endpoints never approximate. Per-purchase cost is
+    * O(W/B non-empty buckets + 2·B·rate boundary views) — the
+    * B ≈ √(W/rate) sweet spot turns the hot key's quadratic
+    * Σ k_p ≈ rate²·W into √-scale work; at B = 10 min the skew
+    * fixture's 52.2M pairs become ~5M tiny bucket/boundary rows.
+    *
+    * The streaming aggregate runs in UPDATE mode (append would hold
+    * back the last watermark-delay of buckets and miss tail pairs the
+    * oracle counts); the memory sink therefore sees every revision of
+    * a bucket, standing in for the upsertable store a production
+    * pipeline would target (the `m_stream_upsert` pattern). The final
+    * value per key is recovered by argmax(cnt) — each revision of a
+    * (user, bucket) key strictly increases its view count, so the max
+    * struct is the settled aggregate under any micro-batch split.
+    * Exactness: all sums ride decimal(38,0) (k_p·p_us ≈ 9.5e18
+    * already overflows BIGINT for the hot user), and the 4dp average
+    * uses the identical integer-space HALF-UP emission as
+    * `m_stream_join`, whose oracle this query shares verbatim.
+    */
+  def streamJoinBucketedCounts(s: SparkSession, dir: String): DataFrame = {
+    val B = 600000000L // 10-minute buckets, micros
+    val W = 86400000000L // 1-day attribution window, micros
+    val viewBuckets = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+      .groupBy(col("user_id"), window(col("v_ts"), "600 seconds").as("w"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(unix_micros(col("v_ts")).cast("decimal(38,0)")).as("sv"))
+      .select(col("user_id"),
+        expr(s"unix_micros(w.start) div $B").as("bkt"),
+        col("cnt"), col("sv"))
+    val buckets = runToMemory(s, viewBuckets, "update")
+      .groupBy("user_id", "bkt")
+      .agg(max(struct(col("cnt"), col("sv"))).as("m"))
+      .select(col("user_id"), col("bkt"),
+        col("m.cnt").as("cnt"), col("m.sv").as("sv"))
+    // distinct purchase instants with multiplicity — joining the raw
+    // purchase rows against per-instant aggregates would double-count
+    // duplicated (user, p_us) pairs
+    val pd = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .groupBy("user_id", "p_us")
+      .agg(count(lit(1)).as("mult"))
+      .withColumn("bl", expr(s"(p_us - $W) div $B"))
+      .withColumn("bh", expr(s"p_us div $B"))
+    // interior buckets: strictly between the boundary buckets, hence
+    // provably inside the window — pre-aggregates apply unchanged
+    val interior = pd.join(buckets, Seq("user_id"))
+      .filter(col("bkt") > col("bl") && col("bkt") < col("bh"))
+      .groupBy("user_id", "p_us")
+      .agg(sum("cnt").as("ki"), sum("sv").as("svi"))
+    // boundary buckets: the ≤2 buckets the window endpoints cut
+    // through, resolved exactly against raw views (the bucket-id
+    // equality keeps this join's output linear in bucket occupancy,
+    // never all views)
+    val vb = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+      .withColumn("vbkt", expr(s"v_us div $B"))
+    val boundary = pd.join(vb, Seq("user_id"))
+      .filter((col("vbkt") === col("bl") || col("vbkt") === col("bh")) &&
+        col("v_us") >= col("p_us") - lit(W) && col("v_us") <= col("p_us"))
+      .groupBy("user_id", "p_us")
+      .agg(count(lit(1)).as("kb"),
+        sum(col("v_us").cast("decimal(38,0)")).as("svb"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+    pd.join(interior, Seq("user_id", "p_us"), "left")
+      .join(boundary, Seq("user_id", "p_us"), "left")
+      .select(col("user_id"), col("mult"),
+        (coalesce(col("ki"), lit(0L)) + coalesce(col("kb"), lit(0L)))
+          .as("k"),
+        (coalesce(col("svi"), zero) + coalesce(col("svb"), zero)).as("sv"),
+        col("p_us"))
+      .filter(col("k") > 0) // inner-pair semantics: users enter only via pairs
+      .groupBy("user_id")
+      .agg(sum(col("mult") * col("k")).as("n_pairs"),
+        sum(col("mult").cast("decimal(38,0)") *
+          (col("k").cast("decimal(38,0)") *
+            col("p_us").cast("decimal(38,0)") - col("sv"))).as("sum_us"))
+      .withColumn("avg_lag_sec",
+        expr("CAST((sum_us * 10000 + n_pairs * 500000) DIV " +
+          "(n_pairs * 1000000) AS DOUBLE) / 10000.0"))
+      .drop("sum_us")
+      .orderBy("user_id")
+  }
+
   /** Output row of the streaming as-of join: one per purchase. */
   case class AsofOut(user_id: Long, p_us: Long, v_us: java.lang.Long)
 
@@ -856,6 +964,24 @@ object Streams {
           |ORDER BY win_start_us, event_type""".stripMargin)),
     graft.ops.Q("m_stream_join",
       (s, d) => streamJoinCounts(s, d),
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |)
+          |SELECT v.user_id, count(*) AS n_pairs,
+          |  CAST((sum(p_us - v_us) * 10000 + count(*) * 500000)
+          |    // (count(*) * 1000000) AS DOUBLE) / 10000.0 AS avg_lag_sec
+          |FROM v JOIN p ON p.user_id = v.user_id
+          |  AND p_us >= v_us AND p_us <= v_us + 86400000000
+          |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)),
+    graft.ops.Q("m_stream_join_bucketed",
+      (s, d) => streamJoinBucketedCounts(s, d),
+      // the SAME oracle as m_stream_join — identical per-user rollup,
+      // computed without materializing the quadratic pair set
       Some(
         """WITH v AS (
           |  SELECT user_id, epoch_us(ts) AS v_us FROM events

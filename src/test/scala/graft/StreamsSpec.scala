@@ -48,4 +48,20 @@ class StreamsSpec extends SparkSpec {
     // 11:00/12:00 (still open at watermark 11:50)
     assert(rows == Map("10:00" -> 1L))
   }
+
+  test("bucketed pre-aggregated attribution equals the pair join exactly") {
+    // the decomposed rollup (view-side bucket aggregates + exact
+    // boundary resolution) must be row-for-row identical to the pair
+    // join it replaces — including n_pairs and the integer-space 4dp
+    // average. This is the linear-output twin that survives hot keys
+    // (8.6 s on scaledata/sf1skew where the pair join times out >590 s).
+    val dir = "/root/testdata/sf0.001"
+    val pair = graft.streaming.Streams.streamJoinCounts(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val bucketed = graft.streaming.Streams
+      .streamJoinBucketedCounts(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(pair.nonEmpty)
+    assert(bucketed == pair)
+  }
 }
