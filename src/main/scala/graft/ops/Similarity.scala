@@ -544,6 +544,210 @@ object Similarity {
     (qz, ad)
   }
 
+  /** The IVF+PQ+refine probe pipeline behind m_ann_ivfpq, with the
+    * coarse-pruning breadth exposed: the board query runs nprobe=3
+    * (the uniform fixture's measured ceiling regime); the clustered-
+    * fixture recall pin (IvfPqClusteredRecallSpec) runs nprobe=2 —
+    * production embeddings are clustered, and THAT is the regime
+    * where the coarse stage prunes ~87% of the corpus while keeping
+    * recall high, which the uniform fixture structurally cannot show.
+    */
+  private[graft] def ivfpqTopk(s: SparkSession, d: String,
+                               nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cent, lists) = ivfIndex(s, d)
+    val (rcent, cb, codes) = pqrIndex(s, d)
+    val e = normed(s, d).select("vec_id", "e", "nrm")
+    val qz = quantized(s, d)
+    val probes = ivfNearest(
+        e.filter(annProbes), cent, nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = probes
+          .join(lists.select(col("cell"), col("vid")), Seq("cell"))
+          .filter(col("qid") =!= col("vid"))
+          .select("qid", "cell", "vid")
+        // query-side ADC table: the query re-anchors against the rc
+        // of EACH probed cell (residual frame must match the codes'),
+        // so qd is keyed (qid, cell, s, code) — 20·3·16·64 rows,
+        // broadcast-size regardless of corpus
+        val qd = probes
+          .join(qz.withColumnRenamed("vec_id", "qid"), Seq("qid"))
+          .join(broadcast(rcent), Seq("cell"))
+          .select(col("qid"), col("cell"),
+            posexplode(transform(sequence(lit(0), lit(15)),
+              sIdx => slice(
+                zip_with(col("xi"), col("rc"), (x, c) => x - c),
+                sIdx * 4 + 1, lit(4)))).as(Seq("s", "sv")))
+          .join(broadcast(cb), Seq("s"))
+          .withColumn("dsq", aggregate(
+            zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+          .select(col("qid"), col("cell"), col("s"),
+            col("cid").as("code"), col("dsq"))
+        val ad = cand.join(codes, Seq("vid"))
+          .join(broadcast(qd), Seq("qid", "cell", "s", "code"))
+          .groupBy("qid", "vid").agg(sum("dsq").as("adist"))
+        // refine stage (FAISS IndexIVFPQR): exact integer L2 on the
+        // ADC top-16 shortlist — |probes|·16 rows, broadcast-size.
+        // ADC finds the neighborhood, the refine fixes its ranking;
+        // recall rises to the visited-cell ceiling (PqRecallSpec).
+        val wShort = Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("vid"))
+        val short = ad.withColumn("srk", row_number().over(wShort))
+          .filter(col("srk") <= 16)
+          .select(col("qid"), col("vid"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("d"), col("vid"))
+        short
+          // probe rows only: broadcasting the full quantized corpus
+          // as the query side would ship a corpus-sized table to
+          // every executor for a join that can only match the 20
+          // probe qids
+          .join(broadcast(qz.filter(annProbes)
+            .select(col("vec_id").as("qid"), col("xi").as("qq"))),
+            Seq("qid"))
+          .join(qz.select(col("vec_id").as("vid"), col("xi").as("vv")),
+            Seq("vid"))
+          .withColumn("d", aggregate(
+            zip_with(col("qq"), col("vv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("rank", row_number().over(wTop).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vid"), col("d"))
+          .orderBy("qid", "rank")
+  }
+
+  /** DuckDB oracle of the full IVF+PQ+refine lifecycle at nprobe=3 —
+    * shared by the m_ann_ivfpq registration below. */
+  private val ivfpqOracle: String =
+        """WITH cent0 AS (
+          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          |  WHERE vec_id < 16
+          |), u0 AS (
+          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(ce) AS DOUBLE) AS y
+          |  FROM embeddings e, cent0
+          |), a0 AS (
+          |  SELECT vec_id, cid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
+          |  FROM u0 GROUP BY vec_id, cid
+          |), as0 AS (
+          |  SELECT vec_id, cid AS cell FROM (
+          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1
+          |), m0 AS (
+          |  SELECT cell, pos, round(avg(x), 6) AS m FROM (
+          |    SELECT a.cell, generate_subscripts(e.embedding, 1) AS pos,
+          |           CAST(unnest(e.embedding) AS DOUBLE) AS x
+          |    FROM as0 a JOIN embeddings e ON e.vec_id = a.vec_id)
+          |  GROUP BY cell, pos
+          |), cent1 AS (
+          |  SELECT cell AS cid, list(m ORDER BY pos) AS ce
+          |  FROM m0 GROUP BY cell
+          |), u1 AS (
+          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         unnest(ce) AS y
+          |  FROM embeddings e, cent1
+          |), a1 AS (
+          |  SELECT vec_id, cid,
+          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
+          |  FROM u1 GROUP BY vec_id, cid
+          |), r1 AS (
+          |  SELECT vec_id, cid AS cell, row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a1
+          |), dat AS (SELECT vec_id AS vid, cell FROM r1 WHERE rn = 1),
+          |pq AS (
+          |  SELECT vec_id AS qid, cell FROM r1
+          |  WHERE rn <= 3 AND vec_id % 25 = 0 AND vec_id < 500
+          |), cand AS (
+          |  SELECT qid, vid, cell FROM pq JOIN dat USING (cell)
+          |  WHERE qid <> vid
+          |), up AS MATERIALIZED (
+          |  SELECT vec_id,
+          |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+          |      AS BIGINT) AS xi,
+          |    generate_subscripts(embedding, 1) AS k
+          |  FROM embeddings
+          |), rcent AS MATERIALIZED (
+          |  SELECT d.cell, u.k,
+          |    CAST(floor(CAST(sum(u.xi) AS DOUBLE) / count(*))
+          |      AS BIGINT) AS rc
+          |  FROM dat d JOIN up u ON u.vec_id = d.vid
+          |  GROUP BY 1, 2
+          |), rsv AS MATERIALIZED (
+          |  SELECT d.vid, d.cell, u.k, u.xi - r.rc AS rv
+          |  FROM dat d JOIN up u ON u.vec_id = d.vid
+          |       JOIN rcent r ON r.cell = d.cell AND r.k = u.k
+          |), cb0 AS MATERIALIZED (
+          |  SELECT (k - 1) // 4 AS s, vid AS cid, k, rv
+          |  FROM rsv WHERE vid < 64
+          |), l20 AS MATERIALIZED (
+          |  SELECT a.vid, (a.k - 1) // 4 AS s, c.cid,
+          |    CAST(sum((a.rv - c.rv) * (a.rv - c.rv)) AS BIGINT) AS dsq
+          |  FROM rsv a JOIN cb0 c ON c.k = a.k
+          |  GROUP BY 1, 2, 3
+          |), asg0 AS (
+          |  SELECT vid, s, cid AS code FROM (
+          |    SELECT vid, s, cid,
+          |      row_number() OVER (PARTITION BY vid, s ORDER BY dsq, cid)
+          |        AS rn
+          |    FROM l20) WHERE rn = 1
+          |), cb1 AS MATERIALIZED (
+          |  SELECT a.s, a.code AS cid, r.k,
+          |    CAST(floor(CAST(sum(r.rv) AS DOUBLE) / count(*))
+          |      AS BIGINT) AS rv
+          |  FROM asg0 a JOIN rsv r ON r.vid = a.vid
+          |       AND (r.k - 1) // 4 = a.s
+          |  GROUP BY 1, 2, 3
+          |), l21 AS MATERIALIZED (
+          |  SELECT a.vid, (a.k - 1) // 4 AS s, c.cid,
+          |    CAST(sum((a.rv - c.rv) * (a.rv - c.rv)) AS BIGINT) AS dsq
+          |  FROM rsv a JOIN cb1 c ON c.k = a.k AND c.s = (a.k - 1) // 4
+          |  GROUP BY 1, 2, 3
+          |), codes AS (
+          |  SELECT vid, s, cid AS code FROM (
+          |    SELECT vid, s, cid,
+          |      row_number() OVER (PARTITION BY vid, s ORDER BY dsq, cid)
+          |        AS rn
+          |    FROM l21) WHERE rn = 1
+          |), qres AS (
+          |  SELECT p.qid, p.cell, u.k, u.xi - r.rc AS rv
+          |  FROM pq p JOIN up u ON u.vec_id = p.qid
+          |       JOIN rcent r ON r.cell = p.cell AND r.k = u.k
+          |), qd AS (
+          |  SELECT q.qid, q.cell, c.s, c.cid,
+          |    CAST(sum((q.rv - c.rv) * (q.rv - c.rv)) AS BIGINT) AS dsq
+          |  FROM qres q JOIN cb1 c ON c.k = q.k AND c.s = (q.k - 1) // 4
+          |  GROUP BY 1, 2, 3, 4
+          |), ad AS (
+          |  SELECT p.qid, p.vid, CAST(sum(q.dsq) AS BIGINT) AS adist
+          |  FROM cand p
+          |  JOIN codes c ON c.vid = p.vid
+          |  JOIN qd q ON q.qid = p.qid AND q.cell = p.cell
+          |       AND q.s = c.s AND q.cid = c.code
+          |  GROUP BY 1, 2
+          |), short AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT qid, vid,
+          |      row_number() OVER (PARTITION BY qid ORDER BY adist, vid)
+          |        AS srk
+          |    FROM ad) WHERE srk <= 16
+          |), ex AS (
+          |  SELECT sh.qid, sh.vid,
+          |    CAST(sum((a.xi - b.xi) * (a.xi - b.xi)) AS BIGINT) AS d
+          |  FROM short sh
+          |  JOIN up a ON a.vec_id = sh.qid
+          |  JOIN up b ON b.vec_id = sh.vid AND b.k = a.k
+          |  GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT qid, vid, d,
+          |    row_number() OVER (PARTITION BY qid ORDER BY d, vid)
+          |      AS rank
+          |  FROM ex)
+          |SELECT qid, CAST(rank AS INT) AS rank, vid, d
+          |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+
   val all: Seq[Q] = Seq(
 
     // ----- Banding-recall evaluation of the MinHash/LSH pipeline —
@@ -1946,197 +2150,10 @@ object Similarity {
     // centroids, shortlists via the lists, ranks by exact-integer
     // ADC, then refines. Oracle recomputes the whole lifecycle from
     // raw embeddings.
+
     Q("m_ann_ivfpq",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val (cent, lists) = ivfIndex(s, d)
-        val (rcent, cb, codes) = pqrIndex(s, d)
-        val e = normed(s, d).select("vec_id", "e", "nrm")
-        val qz = quantized(s, d)
-        val probes = ivfNearest(
-            e.filter(annProbes), cent, 3)
-          .select(col("vec_id").as("qid"), col("cell"))
-        val cand = probes
-          .join(lists.select(col("cell"), col("vid")), Seq("cell"))
-          .filter(col("qid") =!= col("vid"))
-          .select("qid", "cell", "vid")
-        // query-side ADC table: the query re-anchors against the rc
-        // of EACH probed cell (residual frame must match the codes'),
-        // so qd is keyed (qid, cell, s, code) — 20·3·16·64 rows,
-        // broadcast-size regardless of corpus
-        val qd = probes
-          .join(qz.withColumnRenamed("vec_id", "qid"), Seq("qid"))
-          .join(broadcast(rcent), Seq("cell"))
-          .select(col("qid"), col("cell"),
-            posexplode(transform(sequence(lit(0), lit(15)),
-              sIdx => slice(
-                zip_with(col("xi"), col("rc"), (x, c) => x - c),
-                sIdx * 4 + 1, lit(4)))).as(Seq("s", "sv")))
-          .join(broadcast(cb), Seq("s"))
-          .withColumn("dsq", aggregate(
-            zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x))
-          .select(col("qid"), col("cell"), col("s"),
-            col("cid").as("code"), col("dsq"))
-        val ad = cand.join(codes, Seq("vid"))
-          .join(broadcast(qd), Seq("qid", "cell", "s", "code"))
-          .groupBy("qid", "vid").agg(sum("dsq").as("adist"))
-        // refine stage (FAISS IndexIVFPQR): exact integer L2 on the
-        // ADC top-16 shortlist — |probes|·16 rows, broadcast-size.
-        // ADC finds the neighborhood, the refine fixes its ranking;
-        // recall rises to the visited-cell ceiling (PqRecallSpec).
-        val wShort = Window.partitionBy(col("qid"))
-          .orderBy(col("adist"), col("vid"))
-        val short = ad.withColumn("srk", row_number().over(wShort))
-          .filter(col("srk") <= 16)
-          .select(col("qid"), col("vid"))
-        val wTop = Window.partitionBy(col("qid"))
-          .orderBy(col("d"), col("vid"))
-        short
-          // probe rows only: broadcasting the full quantized corpus
-          // as the query side would ship a corpus-sized table to
-          // every executor for a join that can only match the 20
-          // probe qids
-          .join(broadcast(qz.filter(annProbes)
-            .select(col("vec_id").as("qid"), col("xi").as("qq"))),
-            Seq("qid"))
-          .join(qz.select(col("vec_id").as("vid"), col("xi").as("vv")),
-            Seq("vid"))
-          .withColumn("d", aggregate(
-            zip_with(col("qq"), col("vv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x))
-          .withColumn("rank", row_number().over(wTop).cast("int"))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("rank"), col("vid"), col("d"))
-          .orderBy("qid", "rank")
-      },
-      Some(
-        """WITH cent0 AS (
-          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-          |  WHERE vec_id < 16
-          |), u0 AS (
-          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
-          |         CAST(unnest(ce) AS DOUBLE) AS y
-          |  FROM embeddings e, cent0
-          |), a0 AS (
-          |  SELECT vec_id, cid,
-          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
-          |  FROM u0 GROUP BY vec_id, cid
-          |), as0 AS (
-          |  SELECT vec_id, cid AS cell FROM (
-          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-          |      ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1
-          |), m0 AS (
-          |  SELECT cell, pos, round(avg(x), 6) AS m FROM (
-          |    SELECT a.cell, generate_subscripts(e.embedding, 1) AS pos,
-          |           CAST(unnest(e.embedding) AS DOUBLE) AS x
-          |    FROM as0 a JOIN embeddings e ON e.vec_id = a.vec_id)
-          |  GROUP BY cell, pos
-          |), cent1 AS (
-          |  SELECT cell AS cid, list(m ORDER BY pos) AS ce
-          |  FROM m0 GROUP BY cell
-          |), u1 AS (
-          |  SELECT e.vec_id, cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
-          |         unnest(ce) AS y
-          |  FROM embeddings e, cent1
-          |), a1 AS (
-          |  SELECT vec_id, cid,
-          |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS ccos
-          |  FROM u1 GROUP BY vec_id, cid
-          |), r1 AS (
-          |  SELECT vec_id, cid AS cell, row_number() OVER (
-          |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a1
-          |), dat AS (SELECT vec_id AS vid, cell FROM r1 WHERE rn = 1),
-          |pq AS (
-          |  SELECT vec_id AS qid, cell FROM r1
-          |  WHERE rn <= 3 AND vec_id % 25 = 0 AND vec_id < 500
-          |), cand AS (
-          |  SELECT qid, vid, cell FROM pq JOIN dat USING (cell)
-          |  WHERE qid <> vid
-          |), up AS MATERIALIZED (
-          |  SELECT vec_id,
-          |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
-          |      AS BIGINT) AS xi,
-          |    generate_subscripts(embedding, 1) AS k
-          |  FROM embeddings
-          |), rcent AS MATERIALIZED (
-          |  SELECT d.cell, u.k,
-          |    CAST(floor(CAST(sum(u.xi) AS DOUBLE) / count(*))
-          |      AS BIGINT) AS rc
-          |  FROM dat d JOIN up u ON u.vec_id = d.vid
-          |  GROUP BY 1, 2
-          |), rsv AS MATERIALIZED (
-          |  SELECT d.vid, d.cell, u.k, u.xi - r.rc AS rv
-          |  FROM dat d JOIN up u ON u.vec_id = d.vid
-          |       JOIN rcent r ON r.cell = d.cell AND r.k = u.k
-          |), cb0 AS MATERIALIZED (
-          |  SELECT (k - 1) // 4 AS s, vid AS cid, k, rv
-          |  FROM rsv WHERE vid < 64
-          |), l20 AS MATERIALIZED (
-          |  SELECT a.vid, (a.k - 1) // 4 AS s, c.cid,
-          |    CAST(sum((a.rv - c.rv) * (a.rv - c.rv)) AS BIGINT) AS dsq
-          |  FROM rsv a JOIN cb0 c ON c.k = a.k
-          |  GROUP BY 1, 2, 3
-          |), asg0 AS (
-          |  SELECT vid, s, cid AS code FROM (
-          |    SELECT vid, s, cid,
-          |      row_number() OVER (PARTITION BY vid, s ORDER BY dsq, cid)
-          |        AS rn
-          |    FROM l20) WHERE rn = 1
-          |), cb1 AS MATERIALIZED (
-          |  SELECT a.s, a.code AS cid, r.k,
-          |    CAST(floor(CAST(sum(r.rv) AS DOUBLE) / count(*))
-          |      AS BIGINT) AS rv
-          |  FROM asg0 a JOIN rsv r ON r.vid = a.vid
-          |       AND (r.k - 1) // 4 = a.s
-          |  GROUP BY 1, 2, 3
-          |), l21 AS MATERIALIZED (
-          |  SELECT a.vid, (a.k - 1) // 4 AS s, c.cid,
-          |    CAST(sum((a.rv - c.rv) * (a.rv - c.rv)) AS BIGINT) AS dsq
-          |  FROM rsv a JOIN cb1 c ON c.k = a.k AND c.s = (a.k - 1) // 4
-          |  GROUP BY 1, 2, 3
-          |), codes AS (
-          |  SELECT vid, s, cid AS code FROM (
-          |    SELECT vid, s, cid,
-          |      row_number() OVER (PARTITION BY vid, s ORDER BY dsq, cid)
-          |        AS rn
-          |    FROM l21) WHERE rn = 1
-          |), qres AS (
-          |  SELECT p.qid, p.cell, u.k, u.xi - r.rc AS rv
-          |  FROM pq p JOIN up u ON u.vec_id = p.qid
-          |       JOIN rcent r ON r.cell = p.cell AND r.k = u.k
-          |), qd AS (
-          |  SELECT q.qid, q.cell, c.s, c.cid,
-          |    CAST(sum((q.rv - c.rv) * (q.rv - c.rv)) AS BIGINT) AS dsq
-          |  FROM qres q JOIN cb1 c ON c.k = q.k AND c.s = (q.k - 1) // 4
-          |  GROUP BY 1, 2, 3, 4
-          |), ad AS (
-          |  SELECT p.qid, p.vid, CAST(sum(q.dsq) AS BIGINT) AS adist
-          |  FROM cand p
-          |  JOIN codes c ON c.vid = p.vid
-          |  JOIN qd q ON q.qid = p.qid AND q.cell = p.cell
-          |       AND q.s = c.s AND q.cid = c.code
-          |  GROUP BY 1, 2
-          |), short AS (
-          |  SELECT qid, vid FROM (
-          |    SELECT qid, vid,
-          |      row_number() OVER (PARTITION BY qid ORDER BY adist, vid)
-          |        AS srk
-          |    FROM ad) WHERE srk <= 16
-          |), ex AS (
-          |  SELECT sh.qid, sh.vid,
-          |    CAST(sum((a.xi - b.xi) * (a.xi - b.xi)) AS BIGINT) AS d
-          |  FROM short sh
-          |  JOIN up a ON a.vec_id = sh.qid
-          |  JOIN up b ON b.vec_id = sh.vid AND b.k = a.k
-          |  GROUP BY 1, 2
-          |), rk AS (
-          |  SELECT qid, vid, d,
-          |    row_number() OVER (PARTITION BY qid ORDER BY d, vid)
-          |      AS rank
-          |  FROM ex)
-          |SELECT qid, CAST(rank AS INT) AS rank, vid, d
-          |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+      (s, d) => ivfpqTopk(s, d, nprobe = 3),
+      Some(ivfpqOracle)),
 
     // ----- distributed k-means (Lloyd 1953/1982), the clustering
     // primitive behind semantic dedup and topic-balanced data mixing.
