@@ -1,0 +1,118 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Fitted per-query scaling exponents across the three measured scales
+  * (sf0.01, sf0.1, sf1) — the generated replacement for PERF.md's
+  * hand-eyeballed "no super-linear plan" claim (round-8 VERDICT item 5).
+  *
+  * For each query, one timed noop-sink run per scale (same discipline
+  * as Bench), then two numbers:
+  *   - `fit`:  least-squares slope of log10(t) on log10(sf) over all
+  *     three points — the overall growth order, biased LOW by fixed
+  *     overhead at sf0.01 (t ≈ c + k·N flattens the small-scale end);
+  *   - `tail`: log10(t_sf1 / t_sf0.1) — the slope of the LAST decade,
+  *     the honest asymptotic signal and the one the flag uses.
+  * A query is flagged super-linear when tail > 1.3 AND t_sf1 ≥ 1 s
+  * (sub-second queries are fixed-overhead noise, not scaling signal).
+  *
+  * Output: /root/repo/scaling_exponents.json — per-query times,
+  * exponents, and the flagged list. Bench folds the flagged list into
+  * bench_out.json so the per-round artifact carries the scaling
+  * verdict. Run via: sbt "runMain graft.ScalingFit [names.csv]".
+  */
+object ScalingFit {
+  def main(args: Array[String]): Unit = {
+    val scales = Seq(
+      ("/root/testdata/sf0.01", 0.01),
+      ("/root/testdata/sf0.1", 0.1),
+      ("/root/repo/scaledata/sf1", 1.0))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.nonEmpty && args(0).nonEmpty) {
+        val wanted = args(0).split(",").toSet
+        val unknown = wanted -- names0
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.mkString(", ")}")
+        names0.filter(wanted)
+      } else names0
+
+    val times = scales.map { case (dir, sf) =>
+      // same warmup as Bench: base tables + one-time landings charge
+      // here, not to whichever query runs first at each scale
+      try {
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings")
+          .foreach(t => Tables.table(spark, dir, t).count())
+        Tables.events(spark, dir).count()
+        Tables.videos(spark, dir).count()
+        Tables.videoEdges(spark, dir).count()
+        ops.Ingest.warmTree(spark, dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[scalingfit] warmup($dir) failed: " +
+          e.getMessage)
+      }
+      val ts = names.map { name =>
+        val t0 = System.nanoTime()
+        val t = try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalingfit] $name@$dir failed: " +
+            e.getMessage)
+          -1.0
+        }
+        name -> t
+      }.toMap
+      System.err.println(s"[scalingfit] scale $sf done: " +
+        f"${ts.values.filter(_ >= 0).sum}%.1f s total")
+      (sf, ts)
+    }
+
+    def slope(pts: Seq[(Double, Double)]): Double = {
+      // least squares over (log10 sf, log10 t)
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val rows = names.map { name =>
+      val ts = scales.map { case (_, sf) =>
+        sf -> times.find(_._1 == sf).get._2(name) }
+      val ok = ts.forall(_._2 > 0)
+      val fit = if (ok)
+        slope(ts.map { case (sf, t) => (math.log10(sf), math.log10(t)) })
+        else Double.NaN
+      val tail = if (ok) math.log10(ts.last._2 / ts(1)._2) else Double.NaN
+      (name, ts, fit, tail)
+    }
+    val flagged = rows.collect {
+      case (name, ts, _, tail)
+        if !tail.isNaN && tail > 1.3 && ts.last._2 >= 1.0 => name
+    }
+    def f4(d: Double): String =
+      if (d.isNaN) "null" else f"$d%.4f"
+    val body = rows.map { case (name, ts, fit, tail) =>
+      val tj = ts.map { case (sf, t) => s""""sf$sf":${f4(t)}""" }
+        .mkString(",")
+      s""""$name":{$tj,"fit":${f4(fit)},"tail":${f4(tail)}}"""
+    }.mkString(",")
+    val json = s"""{"flagged_tail_gt_1.3":[${
+      flagged.map("\"" + _ + "\"").mkString(",")}],"queries":{$body}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/scaling_exponents.json"),
+      json + "\n")
+    println(s"[scalingfit] flagged: ${flagged.mkString(", ")} " +
+      s"(${flagged.size} of ${names.size})")
+    spark.stop()
+  }
+}

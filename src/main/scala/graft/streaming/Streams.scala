@@ -161,8 +161,9 @@ object Streams {
     * StreamSplitInvariantSpec drives it through MemoryStream with
     * seed-random micro-batch splits to pin that results do not depend
     * on batch boundaries for in-order input. */
-  private[graft] def tumblingAgg(src: DataFrame): DataFrame =
-    src.withWatermark("ts", "1 hour")
+  private[graft] def tumblingAgg(src: DataFrame,
+                                 lag: String = "1 hour"): DataFrame =
+    src.withWatermark("ts", lag)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double")
@@ -181,8 +182,9 @@ object Streams {
     * keys by (window, -) pairs. Same operator as the batch
     * `m_window_sliding`, so the oracle is shared verbatim.
     */
-  private[graft] def slidingAgg(src: DataFrame): DataFrame =
-    src.withWatermark("ts", "1 hour")
+  private[graft] def slidingAgg(src: DataFrame,
+                                lag: String = "1 hour"): DataFrame =
+    src.withWatermark("ts", lag)
       .groupBy(window(col("ts"), "1 day", "12 hours"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double")
@@ -207,9 +209,10 @@ object Streams {
     * `dropDuplicatesWithinWatermark` so state is EVICTED as the watermark
     * advances instead of growing forever.
     */
-  private[graft] def dedupAgg(src: DataFrame): DataFrame =
+  private[graft] def dedupAgg(src: DataFrame,
+                              lag: String = "1 hour"): DataFrame =
     src.select(col("event_id"), col("event_type"), col("ts"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", lag)
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -99,9 +99,9 @@ class StreamSplitInvariantSpec extends SparkSpec {
   }
 
   private val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
-    "tumbling" -> Streams.tumblingAgg,
-    "sliding" -> Streams.slidingAgg,
-    "dedup" -> Streams.dedupAgg)
+    "tumbling" -> (Streams.tumblingAgg(_)),
+    "sliding" -> (Streams.slidingAgg(_)),
+    "dedup" -> (Streams.dedupAgg(_)))
 
   test("tumbling/sliding/dedup results are invariant under random " +
     "micro-batch splits of in-order input") {
@@ -163,8 +163,9 @@ class StreamSplitInvariantSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val batchDF = events.toDF("ts", "event_id", "event_type", "value")
-    for ((name, agg) <- Seq("tumbling" -> (Streams.tumblingAgg _),
-      "sliding" -> (Streams.slidingAgg _))) {
+    for ((name, agg) <- Seq(
+      "tumbling" -> ((d: DataFrame) => Streams.tumblingAgg(d)),
+      "sliding" -> ((d: DataFrame) => Streams.slidingAgg(d)))) {
       // withWatermark is a no-op on a batch Dataset, so the identical
       // transformation runs in both modes
       val batch = agg(batchDF).collect().map(_.toString).sorted.toSeq
