@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   *               generation (quadratic without a cap);
   *   - lineitem: ~20% of lines (pmod(l_orderkey, 5) = 0) point at ONE
   *               part — part-side equi-joins and partkey aggregates
-  *               get a single hot build/probe key.
+  *               get a single hot build/probe key. This SAME injection
+  *               hubs the related-video graph (videoEdges =
+  *               v·l_orderkey → v·l_partkey distinct): the hot part
+  *               becomes one vertex with in-degree 294,556 — 5.8% of
+  *               all 5.09 M distinct edges, vs a uniform max of 53 —
+  *               the round-9 graph-family skew audit's power-law hub
+  *               (PERF.md: no super-linear response in any of the
+  *               top-5 graph queries).
   *
   * All other tables (and all other columns) are byte-identical to sf1,
   * so a uniform-vs-skew bench delta isolates the skew response.
