@@ -584,6 +584,19 @@ object Streams {
     * value per key is recovered by argmax(cnt) — each revision of a
     * (user, bucket) key strictly increases its view count, so the max
     * struct is the settled aggregate under any micro-batch split.
+    *
+    * Why not chain the join INSIDE the stream? Spark 4.1 does accept
+    * windowed-agg → stream-stream interval join (probed round 9), but
+    * the chained form is structurally inexact: the bucket side reaches
+    * the join only on settlement (watermark ≥ bucket end), while the
+    * purchase side's join state is evicted on its own watermark bound
+    * — a purchase whose boundary bucket settles a batch later than
+    * the purchase's eviction loses the match, so batch-boundary
+    * placement (not data) decides counts. A slack on the join bound
+    * only moves the race. Guard-banded semantics (the
+    * `m_stream_append` discipline) could pin a chained variant, but
+    * then it answers a different query than `m_stream_join`; the
+    * update-mode aggregate + exact rollup keeps the SAME oracle.
     * Exactness: all sums ride decimal(38,0) (k_p·p_us ≈ 9.5e18
     * already overflows BIGINT for the hot user), and the 4dp average
     * uses the identical integer-space HALF-UP emission as
