@@ -563,58 +563,58 @@ object Similarity {
         e.filter(annProbes), cent, nprobe)
       .select(col("vec_id").as("qid"), col("cell"))
     val cand = probes
-          .join(lists.select(col("cell"), col("vid")), Seq("cell"))
-          .filter(col("qid") =!= col("vid"))
-          .select("qid", "cell", "vid")
-        // query-side ADC table: the query re-anchors against the rc
-        // of EACH probed cell (residual frame must match the codes'),
-        // so qd is keyed (qid, cell, s, code) — 20·3·16·64 rows,
-        // broadcast-size regardless of corpus
-        val qd = probes
-          .join(qz.withColumnRenamed("vec_id", "qid"), Seq("qid"))
-          .join(broadcast(rcent), Seq("cell"))
-          .select(col("qid"), col("cell"),
-            posexplode(transform(sequence(lit(0), lit(15)),
-              sIdx => slice(
-                zip_with(col("xi"), col("rc"), (x, c) => x - c),
-                sIdx * 4 + 1, lit(4)))).as(Seq("s", "sv")))
-          .join(broadcast(cb), Seq("s"))
-          .withColumn("dsq", aggregate(
-            zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x))
-          .select(col("qid"), col("cell"), col("s"),
-            col("cid").as("code"), col("dsq"))
-        val ad = cand.join(codes, Seq("vid"))
-          .join(broadcast(qd), Seq("qid", "cell", "s", "code"))
-          .groupBy("qid", "vid").agg(sum("dsq").as("adist"))
-        // refine stage (FAISS IndexIVFPQR): exact integer L2 on the
-        // ADC top-16 shortlist — |probes|·16 rows, broadcast-size.
-        // ADC finds the neighborhood, the refine fixes its ranking;
-        // recall rises to the visited-cell ceiling (PqRecallSpec).
-        val wShort = Window.partitionBy(col("qid"))
-          .orderBy(col("adist"), col("vid"))
-        val short = ad.withColumn("srk", row_number().over(wShort))
-          .filter(col("srk") <= 16)
-          .select(col("qid"), col("vid"))
-        val wTop = Window.partitionBy(col("qid"))
-          .orderBy(col("d"), col("vid"))
-        short
-          // probe rows only: broadcasting the full quantized corpus
-          // as the query side would ship a corpus-sized table to
-          // every executor for a join that can only match the 20
-          // probe qids
-          .join(broadcast(qz.filter(annProbes)
-            .select(col("vec_id").as("qid"), col("xi").as("qq"))),
-            Seq("qid"))
-          .join(qz.select(col("vec_id").as("vid"), col("xi").as("vv")),
-            Seq("vid"))
-          .withColumn("d", aggregate(
-            zip_with(col("qq"), col("vv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x))
-          .withColumn("rank", row_number().over(wTop).cast("int"))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("rank"), col("vid"), col("d"))
-          .orderBy("qid", "rank")
+      .join(lists.select(col("cell"), col("vid")), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "cell", "vid")
+    // query-side ADC table: the query re-anchors against the rc
+    // of EACH probed cell (residual frame must match the codes'),
+    // so qd is keyed (qid, cell, s, code) — 20·nprobe·16·64 rows,
+    // broadcast-size regardless of corpus
+    val qd = probes
+      .join(qz.withColumnRenamed("vec_id", "qid"), Seq("qid"))
+      .join(broadcast(rcent), Seq("cell"))
+      .select(col("qid"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          sIdx => slice(
+            zip_with(col("xi"), col("rc"), (x, c) => x - c),
+            sIdx * 4 + 1, lit(4)))).as(Seq("s", "sv")))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("dsq", aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("qid"), col("cell"), col("s"),
+        col("cid").as("code"), col("dsq"))
+    val ad = cand.join(codes, Seq("vid"))
+      .join(broadcast(qd), Seq("qid", "cell", "s", "code"))
+      .groupBy("qid", "vid").agg(sum("dsq").as("adist"))
+    // refine stage (FAISS IndexIVFPQR): exact integer L2 on the
+    // ADC top-16 shortlist — |probes|·16 rows, broadcast-size.
+    // ADC finds the neighborhood, the refine fixes its ranking;
+    // recall rises to the visited-cell ceiling (PqRecallSpec).
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("vid"))
+    val short = ad.withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= 16)
+      .select(col("qid"), col("vid"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("d"), col("vid"))
+    short
+      // probe rows only: broadcasting the full quantized corpus
+      // as the query side would ship a corpus-sized table to
+      // every executor for a join that can only match the 20
+      // probe qids
+      .join(broadcast(qz.filter(annProbes)
+        .select(col("vec_id").as("qid"), col("xi").as("qq"))),
+        Seq("qid"))
+      .join(qz.select(col("vec_id").as("vid"), col("xi").as("vv")),
+        Seq("vid"))
+      .withColumn("d", aggregate(
+        zip_with(col("qq"), col("vv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(wTop).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vid"), col("d"))
+      .orderBy("qid", "rank")
   }
 
   /** DuckDB oracle of the full IVF+PQ+refine lifecycle at nprobe=3 —
