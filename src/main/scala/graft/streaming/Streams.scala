@@ -602,62 +602,91 @@ object Streams {
     * uses the identical integer-space HALF-UP emission as
     * `m_stream_join`, whose oracle this query shares verbatim.
     */
-  def streamJoinBucketedCounts(s: SparkSession, dir: String): DataFrame = {
-    val B = 600000000L // 10-minute buckets, micros
-    val W = 86400000000L // 1-day attribution window, micros
-    val viewBuckets = eventsStream(s, dir)
-      .filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", "1 hour")
-      .groupBy(col("user_id"), window(col("v_ts"), "600 seconds").as("w"))
+  private val bktB = 600000000L // 10-minute buckets, micros
+  private val bktW = 86400000000L // 1-day attribution window, micros
+
+  /** Bucketed evidence aggregates for the decomposed join family:
+    * per-(user, 10-minute bucket) count + Σ event micros of `evType`
+    * events, computed as a watermark-evicted STREAMING aggregation
+    * (state and output linear in event count however hot the key) in
+    * update mode — append would hold back the last watermark-delay of
+    * buckets and miss tail rows the oracles count. The memory sink
+    * sees every revision (standing in for an upsertable store, the
+    * m_stream_upsert pattern); the settled value per key is recovered
+    * by argmax(cnt), valid because every revision strictly increases
+    * the bucket's count. */
+  private def evidenceBuckets(s: SparkSession, dir: String,
+                              evType: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .filter(col("event_type") === evType)
+      .select(col("user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+      .groupBy(col("user_id"), window(col("e_ts"), "600 seconds").as("w"))
       .agg(count(lit(1)).as("cnt"),
-        sum(unix_micros(col("v_ts")).cast("decimal(38,0)")).as("sv"))
+        sum(unix_micros(col("e_ts")).cast("decimal(38,0)")).as("sv"))
       .select(col("user_id"),
-        expr(s"unix_micros(w.start) div $B").as("bkt"),
+        expr(s"unix_micros(w.start) div $bktB").as("bkt"),
         col("cnt"), col("sv"))
-    val buckets = runToMemory(s, viewBuckets, "update")
+    runToMemory(s, agg, "update")
       .groupBy("user_id", "bkt")
       .agg(max(struct(col("cnt"), col("sv"))).as("m"))
       .select(col("user_id"), col("bkt"),
         col("m.cnt").as("cnt"), col("m.sv").as("sv"))
-    // distinct purchase instants with multiplicity — joining the raw
-    // purchase rows against per-instant aggregates would double-count
-    // duplicated (user, p_us) pairs
+  }
+
+  /** Exact per-probe-instant window evidence from bucket aggregates:
+    * for each distinct (user, probe instant) of `probeType` (with
+    * duplicate multiplicity `mult`), the count `k` and Σ micros `sv`
+    * of `evType` events in the 1-day window — backward [p−1d, p] for
+    * attribution probes, forward [v, v+1d] for match-exists probes.
+    * Interior buckets (strictly between the two boundary bucket ids)
+    * are provably inside the window, so their pre-aggregates apply
+    * unchanged; the ≤2 boundary buckets are resolved exactly against
+    * raw evidence rows restricted by bucket-id equality, so the join
+    * output stays linear in bucket occupancy and the window endpoints
+    * never approximate. All sums ride decimal(38,0) (k·p_us overflows
+    * BIGINT for a hot user). */
+  private def windowedEvidence(s: SparkSession, dir: String,
+      probeType: String, buckets: DataFrame, evType: String,
+      forward: Boolean): DataFrame = {
     val pd = graft.Tables.events(s, dir)
-      .filter(col("event_type") === "purchase")
+      .filter(col("event_type") === probeType)
       .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
       .groupBy("user_id", "p_us")
       .agg(count(lit(1)).as("mult"))
-      .withColumn("bl", expr(s"(p_us - $W) div $B"))
-      .withColumn("bh", expr(s"p_us div $B"))
-    // interior buckets: strictly between the boundary buckets, hence
-    // provably inside the window — pre-aggregates apply unchanged
+      .withColumn("lo",
+        if (forward) col("p_us") else col("p_us") - lit(bktW))
+      .withColumn("hi",
+        if (forward) col("p_us") + lit(bktW) else col("p_us"))
+      .withColumn("bl", expr(s"lo div $bktB"))
+      .withColumn("bh", expr(s"hi div $bktB"))
     val interior = pd.join(buckets, Seq("user_id"))
       .filter(col("bkt") > col("bl") && col("bkt") < col("bh"))
       .groupBy("user_id", "p_us")
       .agg(sum("cnt").as("ki"), sum("sv").as("svi"))
-    // boundary buckets: the ≤2 buckets the window endpoints cut
-    // through, resolved exactly against raw views (the bucket-id
-    // equality keeps this join's output linear in bucket occupancy,
-    // never all views)
-    val vb = graft.Tables.events(s, dir)
-      .filter(col("event_type") === "view")
-      .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
-      .withColumn("vbkt", expr(s"v_us div $B"))
-    val boundary = pd.join(vb, Seq("user_id"))
-      .filter((col("vbkt") === col("bl") || col("vbkt") === col("bh")) &&
-        col("v_us") >= col("p_us") - lit(W) && col("v_us") <= col("p_us"))
+    val ev = graft.Tables.events(s, dir)
+      .filter(col("event_type") === evType)
+      .select(col("user_id"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("ebkt", expr(s"e_us div $bktB"))
+    val boundary = pd.join(ev, Seq("user_id"))
+      .filter((col("ebkt") === col("bl") || col("ebkt") === col("bh")) &&
+        col("e_us") >= col("lo") && col("e_us") <= col("hi"))
       .groupBy("user_id", "p_us")
       .agg(count(lit(1)).as("kb"),
-        sum(col("v_us").cast("decimal(38,0)")).as("svb"))
+        sum(col("e_us").cast("decimal(38,0)")).as("svb"))
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
     pd.join(interior, Seq("user_id", "p_us"), "left")
       .join(boundary, Seq("user_id", "p_us"), "left")
-      .select(col("user_id"), col("mult"),
+      .select(col("user_id"), col("p_us"), col("mult"),
         (coalesce(col("ki"), lit(0L)) + coalesce(col("kb"), lit(0L)))
           .as("k"),
-        (coalesce(col("svi"), zero) + coalesce(col("svb"), zero)).as("sv"),
-        col("p_us"))
+        (coalesce(col("svi"), zero) + coalesce(col("svb"), zero))
+          .as("sv"))
+  }
+
+  def streamJoinBucketedCounts(s: SparkSession, dir: String): DataFrame =
+    windowedEvidence(s, dir, "purchase",
+        evidenceBuckets(s, dir, "view"), "view", forward = false)
       .filter(col("k") > 0) // inner-pair semantics: users enter only via pairs
       .groupBy("user_id")
       .agg(sum(col("mult") * col("k")).as("n_pairs"),
@@ -668,6 +697,67 @@ object Streams {
         expr("CAST((sum_us * 10000 + n_pairs * 500000) DIV " +
           "(n_pairs * 1000000) AS DOUBLE) / 10000.0"))
       .drop("sum_us")
+      .orderBy("user_id")
+
+  /** Decomposed twin of `m_stream_left_join` — same oracle. The left
+    * join's rollup also decomposes: `n_matched` is the PAIR count
+    * (Σ mult·k over forward windows from each view), and an orphan is
+    * a view whose forward window holds zero purchases (k = 0),
+    * counted only once provably settled (the same wm guard band as
+    * the trio). Purchases are bucket-aggregated on the stream side;
+    * views probe forward [v, v+1d]. Output linear in buckets — the
+    * hot-key pair blowup never materializes. */
+  def streamLeftJoinBucketedCounts(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val wm = graft.Tables.events(s, dir)
+      .agg((max(unix_micros(col("ts"))) - 3600000000L).as("wm_us"))
+    windowedEvidence(s, dir, "view",
+        evidenceBuckets(s, dir, "purchase"), "purchase", forward = true)
+      .crossJoin(broadcast(wm))
+      .filter(col("k") > 0 ||
+        col("p_us") + lit(bktW) + 7200000000L < col("wm_us"))
+      .groupBy("user_id")
+      .agg(sum(when(col("k") > 0, col("mult") * col("k"))
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("k") === 0, col("mult")).otherwise(0L))
+          .as("n_orphans"))
+      .orderBy("user_id")
+  }
+
+  /** Decomposed twin of `m_stream_full_join` — same oracle. Both
+    * orphan classes at once: matched pairs + purchase orphans from
+    * the purchase-probe backward windows (view evidence), view
+    * orphans from the view-probe forward windows (purchase evidence),
+    * each side settled by its own wm guard band exactly as the trio's
+    * discipline prescribes, then combined per user with a full outer
+    * join (a user appears iff any class is non-empty — the oracle's
+    * row-retention rule). */
+  def streamFullJoinBucketedCounts(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val wm = graft.Tables.events(s, dir)
+      .agg((max(unix_micros(col("ts"))) - 3600000000L).as("wm_us"))
+    val pSide = windowedEvidence(s, dir, "purchase",
+        evidenceBuckets(s, dir, "view"), "view", forward = false)
+      .crossJoin(broadcast(wm))
+      .filter(col("k") > 0 || col("p_us") + 7200000000L < col("wm_us"))
+      .groupBy("user_id")
+      .agg(sum(when(col("k") > 0, col("mult") * col("k"))
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("k") === 0, col("mult")).otherwise(0L))
+          .as("n_purchase_orphans"))
+    val vSide = windowedEvidence(s, dir, "view",
+        evidenceBuckets(s, dir, "purchase"), "purchase", forward = true)
+      .crossJoin(broadcast(wm))
+      .filter(col("k") === 0 &&
+        col("p_us") + lit(bktW) + 7200000000L < col("wm_us"))
+      .groupBy("user_id")
+      .agg(sum("mult").as("n_view_orphans"))
+    pSide.join(vSide, Seq("user_id"), "full")
+      .select(col("user_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_view_orphans"), lit(0L)).as("n_view_orphans"),
+        coalesce(col("n_purchase_orphans"), lit(0L))
+          .as("n_purchase_orphans"))
       .orderBy("user_id")
   }
 
@@ -1062,6 +1152,68 @@ object Streams {
           |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)),
     graft.ops.Q("m_stream_full_join",
       (s, d) => streamFullJoinCounts(s, d),
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |), wm AS (
+          |  SELECT max(epoch_us(ts)) - 3600000000 AS wm_us FROM events
+          |), j AS (
+          |  SELECT coalesce(v.user_id, p.user_id) AS uid,
+          |    v.v_us, p.p_us
+          |  FROM v FULL JOIN p ON p.user_id = v.user_id
+          |    AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 86400000000
+          |), f AS (
+          |  SELECT uid, v_us, p_us FROM j CROSS JOIN wm
+          |  WHERE (v_us IS NOT NULL AND p_us IS NOT NULL)
+          |     OR (p_us IS NULL
+          |         AND v_us + 86400000000 + 7200000000 < wm.wm_us)
+          |     OR (v_us IS NULL AND p_us + 7200000000 < wm.wm_us)
+          |)
+          |SELECT uid AS user_id,
+          |  CAST(sum(CASE WHEN v_us IS NOT NULL AND p_us IS NOT NULL
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          |  CAST(sum(CASE WHEN p_us IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_view_orphans,
+          |  CAST(sum(CASE WHEN v_us IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_purchase_orphans
+          |FROM f GROUP BY uid ORDER BY user_id""".stripMargin)),
+    graft.ops.Q("m_stream_left_join_bucketed",
+      (s, d) => streamLeftJoinBucketedCounts(s, d),
+      // the SAME oracle as m_stream_left_join — matched pairs + settled
+      // orphans, computed from bucketed purchase aggregates
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, epoch_us(ts) AS v_us FROM events
+          |  WHERE event_type = 'view'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |), wm AS (
+          |  SELECT max(epoch_us(ts)) - 3600000000 AS wm_us FROM events
+          |), j AS (
+          |  SELECT v.user_id, v.v_us, p.p_us
+          |  FROM v LEFT JOIN p ON p.user_id = v.user_id
+          |    AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 86400000000
+          |), f AS (
+          |  SELECT user_id, p_us IS NOT NULL AS matched
+          |  FROM j CROSS JOIN wm
+          |  WHERE p_us IS NOT NULL
+          |     OR v_us + 86400000000 + 7200000000 < wm.wm_us
+          |)
+          |SELECT user_id,
+          |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_matched,
+          |  CAST(sum(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT)
+          |    AS n_orphans
+          |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    graft.ops.Q("m_stream_full_join_bucketed",
+      (s, d) => streamFullJoinBucketedCounts(s, d),
+      // the SAME oracle as m_stream_full_join — pairs + both settled
+      // orphan classes, from bucketed aggregates of BOTH sides
       Some(
         """WITH v AS (
           |  SELECT user_id, epoch_us(ts) AS v_us FROM events

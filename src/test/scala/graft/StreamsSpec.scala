@@ -64,4 +64,20 @@ class StreamsSpec extends SparkSpec {
     assert(pair.nonEmpty)
     assert(bucketed == pair)
   }
+
+  test("bucketed left/full twins equal their pair joins exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val left = graft.streaming.Streams.streamLeftJoinCounts(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val leftB = graft.streaming.Streams
+      .streamLeftJoinBucketedCounts(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(left.nonEmpty && leftB == left)
+    val full = graft.streaming.Streams.streamFullJoinCounts(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val fullB = graft.streaming.Streams
+      .streamFullJoinBucketedCounts(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty && fullB == full)
+  }
 }
