@@ -95,17 +95,36 @@ object ScalingFit {
       val tail = if (ok) math.log10(ts.last._2 / ts(1)._2) else Double.NaN
       (name, ts, fit, tail)
     }
-    val flagged = rows.collect {
-      case (name, ts, _, tail)
-        if !tail.isNaN && tail > 1.3 && ts.last._2 >= 1.0 => name
-    }
     def f4(d: Double): String =
       if (d.isNaN) "null" else f"$d%.4f"
-    val body = rows.map { case (name, ts, fit, tail) =>
+    // A SELECTIVE run (names arg) merges into the existing file
+    // instead of clobbering the full board's record — new queries get
+    // exponents without a 20-minute full re-measure.
+    val outPath = java.nio.file.Paths.get(
+      "/root/repo/scaling_exponents.json")
+    val prior: Map[String, String] =
+      if (args.nonEmpty && args(0).nonEmpty &&
+          java.nio.file.Files.exists(outPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(outPath),
+          "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*(\{[^{}]*\})""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } else Map.empty
+    val fresh = rows.map { case (name, ts, fit, tail) =>
       val tj = ts.map { case (sf, t) => s""""sf$sf":${f4(t)}""" }
         .mkString(",")
-      s""""$name":{$tj,"fit":${f4(fit)},"tail":${f4(tail)}}"""
-    }.mkString(",")
+      name -> s"""{$tj,"fit":${f4(fit)},"tail":${f4(tail)}}"""
+    }.toMap
+    val merged = (prior ++ fresh).toSeq.sortBy(_._1)
+    def tailOf(obj: String): Double =
+      """"tail"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(obj)
+        .map(_.group(1).toDouble).getOrElse(Double.NaN)
+    def t1Of(obj: String): Double =
+      """"sf1\.0"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(obj)
+        .map(_.group(1).toDouble).getOrElse(Double.NaN)
+    val flagged = merged.collect { case (n, o)
+      if !tailOf(o).isNaN && tailOf(o) > 1.3 && t1Of(o) >= 1.0 => n }
+    val body = merged.map { case (n, o) => s""""$n":$o""" }.mkString(",")
     val json = s"""{"flagged_tail_gt_1.3":[${
       flagged.map("\"" + _ + "\"").mkString(",")}],"queries":{$body}}"""
     java.nio.file.Files.writeString(
