@@ -96,7 +96,9 @@ object ScalingFit {
       (name, ts, fit, tail)
     }
     def f4(d: Double): String =
-      if (d.isNaN) "null" else f"$d%.4f"
+      if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f",
+        java.lang.Double.valueOf(d))
     // A SELECTIVE run (names arg) merges into the existing file
     // instead of clobbering the full board's record — new queries get
     // exponents without a 20-minute full re-measure.

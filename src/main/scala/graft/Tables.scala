@@ -401,12 +401,23 @@ object Tables {
                   val priv = new org.apache.hadoop.fs.Path(
                     loc + s".build_lock.rel.$token")
                   if (fs.rename(lock, priv)) {
-                    val in = fs.open(priv)
-                    val c = try scala.io.Source
-                      .fromInputStream(in, "UTF-8").mkString
-                    finally in.close()
-                    if (c == token) fs.delete(priv, true)
-                    else if (!fs.rename(priv, lock)) fs.delete(priv, true)
+                    // once the rename lands, priv must not outlive this
+                    // block — a transient read failure deletes it too
+                    // (worst case: a successor redundantly rebuilds,
+                    // which the fenced publish keeps safe) rather than
+                    // stranding a stray lock file beside the landing
+                    try {
+                      val in = fs.open(priv)
+                      val c = try scala.io.Source
+                        .fromInputStream(in, "UTF-8").mkString
+                      finally in.close()
+                      if (c != token && fs.rename(priv, lock)) ()
+                      else fs.delete(priv, true)
+                    } catch {
+                      case _: Exception =>
+                        try fs.delete(priv, true)
+                        catch { case _: Exception => }
+                    }
                   }
                 } catch { case _: Exception => }
               }

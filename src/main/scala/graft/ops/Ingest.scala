@@ -116,13 +116,25 @@ object Ingest {
     // scan with driver-side listing). Local schemes list on the
     // driver; remote schemes keep Spark's distributed default.
     val scheme = new org.apache.hadoop.fs.Path(root).toUri.getScheme
-    if (scheme == null || scheme == "file")
-      s.conf.set(
-        "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
-    s.read
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.txt")
-      .text(root)
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    // set-and-RESTORE: the file listing happens eagerly inside
+    // text(root) (InMemoryFileIndex construction — measured: the same
+    // 1 s scan with the conf restored before the action), so scoping
+    // the override here keeps it from leaking to other reads in the
+    // session, whose listing behavior should not depend on whether a3
+    // ran first
+    val prev = s.conf.getOption(key)
+    if (scheme == null || scheme == "file") s.conf.set(key, "10000")
+    val scanned =
+      try s.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .text(root)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    scanned
       .select(col("value").as("line"),
         input_file_name().as("file"))
       .filter(!element_at(split(col("file"), "/"), -1).startsWith("log"))
@@ -225,11 +237,6 @@ object Ingest {
       |FROM lineitem WHERE l_orderkey % 10 = 0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Land a REAL on-disk TSV tree once per (session, fixture):
-    * hive-style `dirname=YYMMDD/` directories of `.txt` text files
-    * holding [[tsvLines]]'s lines, PLUS two decoys the A3 scan must
-    * skip — a `log`-prefixed .txt and a non-.txt file. Returns the
-    * tree root. */
   /** Pre-land the A3 TSV tree — called from Bench's warmup so the
     * one-time landing (cross-session reusable via the manifest
     * catalog) is charged to warmup_sec and a3_scan_tree's bench number
@@ -240,6 +247,11 @@ object Ingest {
     val _ = tsvTreeRoot(s, d)
   }
 
+  /** Land a REAL on-disk TSV tree once per (session, fixture):
+    * hive-style `dirname=YYMMDD/` directories of `.txt` text files
+    * holding [[tsvLines]]'s lines, PLUS two decoys the A3 scan must
+    * skip — a `log`-prefixed .txt and a non-.txt file. Returns the
+    * tree root. */
   private def tsvTreeRoot(s: SparkSession, d: String): String =
     Tables.landedDirWith(s, "graft_tree", d) { path =>
       // repartition on the partition key first: otherwise every one of

@@ -2480,8 +2480,19 @@ object Similarity {
   private val corpusSizeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
   private def corpusSize(s: SparkSession, d: String): Long =
-    corpusSizeCache.computeIfAbsent((s, d),
-      _ => java.lang.Long.valueOf(quantized(s, d).count())).longValue()
+    corpusSizeCache.computeIfAbsent((s, d), { _ =>
+      // evict with the session's context (same discipline as
+      // Tables.sessionScoped) — keys strongly retain the SparkSession,
+      // so a long-lived JVM cycling sessions must not pin them forever
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit =
+            corpusSizeCache.keySet.removeIf(_._1 eq s)
+        })
+      java.lang.Long.valueOf(quantized(s, d).count())
+    }).longValue()
 
   /** vec_id + floor-quantized (1e3) integer coordinates — the exact
     * arithmetic domain shared by m_kmeans/m_semdedup. */
