@@ -621,6 +621,27 @@ object Streams {
     * the bucket's count. */
   private def evidenceBuckets(s: SparkSession, dir: String,
                               evType: String): DataFrame = {
+    // Session-scoped: the settled bucket table IS the production
+    // artifact here — an upsertable store that every attribution
+    // consumer probes (the whole point of decomposing the join family
+    // onto it). Three board queries consume the two evidence tables
+    // (view: inner + full twins; purchase: left + full twins), so the
+    // streaming aggregation runs once per (session, fixture, type) and
+    // the settled result is checkpointed — the same amortization rule
+    // as Graph's session-cached SCC/edge tables. The checkpoint also
+    // freezes the argmax-settled snapshot so reuse never re-reads the
+    // memory sink.
+    val m = graft.Tables.sessionScoped(s)
+    val key = s"evidenceBuckets|$dir|$evType"
+    val existing = m.get(key)
+    if (existing != null) return existing
+    val built = evidenceBucketsUncached(s, dir, evType).localCheckpoint()
+    val prev = m.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
+
+  private def evidenceBucketsUncached(s: SparkSession, dir: String,
+                                      evType: String): DataFrame = {
     val agg = eventsStream(s, dir)
       .filter(col("event_type") === evType)
       .select(col("user_id"), col("ts").as("e_ts"))
