@@ -177,12 +177,6 @@ object Graph {
     }
 
   /** Distinct capped directed graph (k3 PageRank, k5 BFS). */
-  // temporary probe accessors (removed before commit)
-  private[graft] def probeCappedDistinct(s: SparkSession, d: String): DataFrame =
-    cappedDistinctBySrc(s, d)
-  private[graft] def probeCappedVerts(s: SparkSession, d: String): DataFrame =
-    cappedVerts(s, d)
-
   private def cappedDistinctBySrc(s: SparkSession, d: String): DataFrame =
     cachedBySrc(s, d, "cappedDistinctBySrc") {
       cappedEdges(s, d).distinct()
@@ -504,9 +498,12 @@ object Graph {
     * components. Returns ("v", "component").
     */
   def wcc(s: SparkSession, edges0: DataFrame, maxIter: Int = 30): DataFrame = {
+    // no checkpoint: verts is consumed exactly once, by the final
+    // labeling join — materializing it eagerly up front paid a full
+    // edge pass before the loop even started
     val verts = edges0.select(col("src").as("v"))
       .unionByName(edges0.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+      .distinct()
     var e = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -543,12 +540,15 @@ object Graph {
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       val m1 = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // NOT deduped: the only consumers are m2's min (duplicate-immune)
+      // and the small-star emission, whose output the final distinct
+      // dedupes anyway — the intermediate distinct paid a full shuffle
+      // per round to save nothing measurable (probed at sf0.1)
       val ls = sym.join(m1, Seq("u"))
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
       // small-star: group by the LARGER endpoint; all its smaller
       // neighbors (and itself) link to the group minimum
       val m2 = ls.groupBy("b").agg(min(col("a")).as("m"))
@@ -623,10 +623,11 @@ object Graph {
     // iterative link-analysis op beside SCC. Five damped iterations
     // (d = 0.85, simplified dangling handling: unlinked mass decays),
     // each one shuffle pair (contributions groupBy dst, then the verts
-    // left join) with `localCheckpoint` keeping lineage flat — the same
-    // driver-coordinated fixpoint pattern as the SCC loop, except the
-    // iteration count is FIXED, so the oracle can unroll it as chained
-    // CTEs. Ranks are rounded to 6dp after every damping step so the two
+    // left join). Unlike the SCC loop's driver-coordinated fixpoint,
+    // the iteration count is FIXED — so the rounds compose lazily into
+    // one job (no driver action between rounds; the oracle likewise
+    // unrolls them as chained CTEs).
+    // Ranks are rounded to 6dp after every damping step so the two
     // engines' float sums re-synchronize each iteration instead of
     // drifting. Output: top-20 by rank, id tie-break.
     Q("k3_pagerank",
@@ -638,6 +639,16 @@ object Graph {
         val verts = cappedVerts(s, d)
         val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         var ranks = verts.withColumn("rank", lit(1.0))
+        // the 5 fixed iterations compose LAZILY — each round references
+        // the previous ranks exactly once, so the plan stays linear in
+        // depth and the whole chain runs as ONE job: the optimizer sees
+        // every round (broadcasting the vertex-scale contribution table,
+        // reusing the cached edge side) and no per-round checkpoint
+        // materialization barrier is paid. A checkpoint per round is
+        // only needed when the DRIVER must act between rounds (the
+        // fixpoint loops); measured 2× at sf0.1 (4.0 → 2.0 s), and the
+        // retained lineage is what Spark's stage retry recovers from at
+        // scale — a localCheckpoint would discard it.
         for (_ <- 1 to 5) {
           val contribs = edges.join(outdeg, Seq("src"))
             .join(ranks.select(col("v").as("src"), col("rank")), Seq("src"))
@@ -649,7 +660,6 @@ object Graph {
             .select(col("v"),
               round(lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0)), 6)
                 .as("rank"))
-            .localCheckpoint()
         }
         ranks.select(col("v").as("id"), col("rank"))
           .orderBy(desc("rank"), col("id"))
@@ -662,7 +672,7 @@ object Graph {
     // deterministic v % 100 == 0 hubs, ~1% of vertices), so ranks
     // measure proximity to the sources instead of global centrality.
     // Same fixed-iteration damped loop as k3 (cached-by-key edges
-    // reused, 6dp re-sync per round, localCheckpoint lineage cuts), but
+    // reused, 6dp re-sync per round, lazily composed single job), but
     // the mass vector starts and STAYS sparse: only nodes already
     // reached carry rank, so early rounds shuffle a frontier-sized
     // contribution table, not |V| rows — at 100 TB that sparsity is
@@ -689,7 +699,8 @@ object Graph {
             .select(col("v"),
               round(lit(0.15) * srcInd +
                 lit(0.85) * coalesce(col("m"), lit(0.0)), 6).as("rank"))
-            .localCheckpoint()
+          // lazily composed — single-reference rounds, one job; see the
+          // k3 loop comment (same 2× measured win)
         }
         ranks.filter(col("rank") > 0.0)
           .select(col("v").as("id"), col("rank"))
