@@ -1775,9 +1775,22 @@ object Graph {
             s"reachability did not converge within $i rounds")
           reached
         }
-        val outR = reach(fwd)
-        val inR = reach(rev)
-        val undR = reach(sym)
+        // the three seeded fixpoints are INDEPENDENT (each reads only
+        // its own cached edge table and the checkpointed core), and
+        // each round is a driver-coordinated action — run sequentially
+        // the cluster idles through 3× the per-round latency tail, so
+        // drive them as concurrent jobs (Spark's scheduler interleaves
+        // their stages; results are deterministic either way)
+        val (outR, inR, undR) = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.DurationInt
+          val fo = Future(reach(fwd))
+          val fi = Future(reach(rev))
+          val fu = Future(reach(sym))
+          (Await.result(fo, 30.minutes), Await.result(fi, 30.minutes),
+            Await.result(fu, 30.minutes))
+        }
         val verts = cappedVerts(s, d)
         val inS = inR.join(core, Seq("v"), "left_anti")
         val outS = outR.join(core, Seq("v"), "left_anti")
