@@ -612,10 +612,14 @@ object Graph {
     * component structure the full graph lacks (it is one giant blob).
     */
   private def thinEdges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .filter(col("l_linenumber") === 1)
-      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
-      .distinct()
+    // session-cached like every other loop-invariant edge table: k9 and
+    // k10 each re-derived it (lineitem scan + distinct) per call
+    cachedBySrc(s, d, "thinEdgesBySrc") {
+      Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+    }
 
   val all: Seq[Q] = Seq(
 
