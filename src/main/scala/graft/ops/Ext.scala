@@ -419,6 +419,69 @@ object Ext {
           |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
           |FROM events""".stripMargin)),
 
+    // ----- VARIANT semi-structured columns (Spark 4's open-format
+    // binary JSON — the 100-TB answer to heterogeneous metadata:
+    // parse ONCE into a shreddable columnar value, then every
+    // downstream path extraction is a binary probe, not a JSON
+    // re-parse; get_json_object re-tokenizes the string per call).
+    // The fixture's props column is single-shape, so the query
+    // manufactures the production shape: per-type payloads (purchase
+    // → amount + item array, view → duration, other → tag only),
+    // parsed with parse_json, extracted with variant_get (typed
+    // paths, array indexing) and try_variant_get (absent paths →
+    // NULL, never an error). CORRECTNESS IS A ROUND TRIP: the oracle
+    // computes the same aggregates straight from the source columns —
+    // whatever went INTO the JSON must come back out of the VARIANT,
+    // so any parse/extract/shape bug breaks the hash. floor() on
+    // bitwise-identical doubles is tie-free across engines (the
+    // m_embed_quantize rule).
+    Q("m_variant",
+      (s, d) => Tables.events(s, d)
+        // coalesce: fixture schemas are driver-owned and CAN grow nulls
+        // between rounds (NOTES) — a NULL value must not silently turn
+        // a payload row into a NULL variant on one engine only
+        .select(col("event_type"), col("user_id"),
+          expr("""parse_json(CASE event_type
+            WHEN 'purchase' THEN concat('{"t":"p","amt":',
+              CAST(floor(coalesce(value, 0.0) * 100.0) AS BIGINT),
+              ',"items":[', user_id % 5, ',', user_id % 7, ']}')
+            WHEN 'view' THEN concat('{"t":"v","dur":',
+              CAST(floor(coalesce(value, 0.0)) AS BIGINT), '}')
+            ELSE '{"t":"o"}' END)""").as("v"))
+        .select(
+          expr("variant_get(v, '$.t', 'string')").as("t"),
+          expr("try_variant_get(v, '$.amt', 'bigint')").as("amt"),
+          expr("try_variant_get(v, '$.items[0]', 'bigint')").as("it0"),
+          expr("try_variant_get(v, '$.items[1]', 'bigint')").as("it1"),
+          expr("try_variant_get(v, '$.dur', 'bigint')").as("dur"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"),
+          sum("amt").as("sum_amt"),
+          sum("it0").as("sum_it0"),
+          sum("it1").as("sum_it1"),
+          sum("dur").as("sum_dur"),
+          count("amt").as("n_amt"))
+        .orderBy("t"),
+      Some(
+        """SELECT CASE event_type WHEN 'purchase' THEN 'p'
+          |         WHEN 'view' THEN 'v' ELSE 'o' END AS t,
+          |  count(*) AS n,
+          |  CAST(sum(CASE WHEN event_type = 'purchase'
+          |    THEN CAST(floor(coalesce(value, 0.0) * 100.0) AS BIGINT) END)
+          |    AS BIGINT)
+          |    AS sum_amt,
+          |  CAST(sum(CASE WHEN event_type = 'purchase'
+          |    THEN user_id % 5 END) AS BIGINT) AS sum_it0,
+          |  CAST(sum(CASE WHEN event_type = 'purchase'
+          |    THEN user_id % 7 END) AS BIGINT) AS sum_it1,
+          |  CAST(sum(CASE WHEN event_type = 'view'
+          |    THEN CAST(floor(coalesce(value, 0.0)) AS BIGINT) END) AS BIGINT)
+          |    AS sum_dur,
+          |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+          |    AS BIGINT) AS n_amt
+          |FROM events
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- as-of join (operator Spark lacks; composed scalably): for
     // each 'error' event, the most recent 'click' AT OR BEFORE it by the
     // same user. NOT a range join (quadratic): union both sides, one
