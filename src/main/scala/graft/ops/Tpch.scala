@@ -433,6 +433,37 @@ object Tpch {
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)),
 
+    // ----- SQL PIPE syntax (Spark 4's |> operator chain, SPARK-49555
+    // — the FROM-first linear form of the same logical plan): each
+    // |> stage maps 1:1 onto a relational operator (WHERE → Filter,
+    // EXTEND → Project-with-new-column, AGGREGATE ... GROUP BY →
+    // Aggregate, post-AGGREGATE WHERE → the HAVING shape, ORDER BY →
+    // Sort), so the plan is EXACTLY what the nested-SQL twin builds —
+    // pipe is parser surface, not semantics, and the hash must match
+    // a plain-SQL DuckDB oracle. Money rides DECIMAL(18,2) then casts
+    // to DOUBLE (the file-header rule); counts are BIGINT on both.
+    Q("m_sql_pipe",
+      (s, d) => {
+        views(s, d, "lineitem")
+        s.sql(
+          """FROM lineitem
+            ||> WHERE l_quantity > 10
+            ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+            ||> AGGREGATE CAST(sum(price) AS DOUBLE) AS rev,
+            |     CAST(count(*) AS BIGINT) AS n
+            |   GROUP BY l_returnflag
+            ||> WHERE n > 100
+            ||> ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS rev,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem WHERE l_quantity > 10
+          |GROUP BY l_returnflag HAVING count(*) > 100
+          |ORDER BY l_returnflag""".stripMargin)),
+
     // ----- SQL UNPIVOT syntax — the inverse rotation (long-form
     // melt), again as parser surface over the same semantics the
     // stack()-based `m_unpivot_profile` computes; oracle = UNION ALL.
