@@ -274,7 +274,57 @@ object Ingest {
       decoy("notes.md", "must be skipped by the *.txt glob\n")
     }
 
+  /** Land a fixed-width rendering of lineitem once per (session,
+    * fixture): 4 shards of 35-byte records — orderkey(12)
+    * linenumber(2) returnflag(1) qty(8) cents(12) — the layout the
+    * a10 source reads back. Values integer-exact (floored; floor of a
+    * bitwise-identical double is tie-free across engines). */
+  private def fixedWidthRoot(s: SparkSession, d: String): String =
+    Tables.landedDirWith(s, "graft_fixedwidth", d) { path =>
+      Tables.lineitem(s, d)
+        .select(format_string("%12d%2d%1s%8d%12d",
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          floor(col("l_quantity")).cast("long"),
+          floor(col("l_extendedprice") * 100.0).cast("long")).as("value"))
+        .repartition(4)
+        .write.text(path)
+    }
+
+  private val fwFields =
+    "l_orderkey:0:12:long,l_linenumber:12:2:long," +
+      "l_returnflag:14:1:string,qty:15:8:long,cents:23:12:long"
+
   val all: Seq[Q] = Seq(
+
+    // ----- A10: fixed-width-record source — the custom DataSource V2
+    // ([[graft.sources.FixedWidthSource]]: byte-range splits with the
+    // LineRecordReader ownership rule, column pruning pushed into the
+    // reader). The table is landed once per (session, fixture) as a
+    // fixed-width rendering of lineitem, read back through the DSv2
+    // path with a 3-of-5-column projection (the reader never parses
+    // the other two), and rolled up; the oracle recomputes the same
+    // aggregates straight from lineitem — a round-trip differential
+    // over the entire write→scan→prune→parse pipeline.
+    Q("a10_fixedwidth",
+      (s, d) => s.read
+        .format("graft.sources.FixedWidthSource")
+        .option("fields", fwFields)
+        .option("path", fixedWidthRoot(s, d))
+        .load()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("qty").as("sum_qty"),
+          sum("cents").as("sum_cents"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+          |    AS sum_qty,
+          |  CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+          |    AS BIGINT) AS sum_cents
+          |FROM lineitem
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ----- A3: recursive directory scan as an ORACLE-CHECKED query —
     // the tree is landed on disk from the deterministic line synthesis

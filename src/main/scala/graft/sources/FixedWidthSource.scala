@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fixed-width-record batch source — a full DataSource V2
+  * implementation (TableProvider → Table → ScanBuilder → Scan → Batch →
+  * PartitionReader), the "another source format" slot in the original
+  * package layout that ingest had so far covered with CSV options.
+  * Fixed-width text is the classic mainframe/log-shard layout the
+  * reference's TSV family stands beside (report writer: `i11`,
+  * reference `format_output.py`); reading it back is a first-class
+  * source concern, not a substring-parse afterthought.
+  *
+  * Scale design, explicitly:
+  *
+  *  - COLUMN PRUNING IS PUSHED ([[SupportsPushDownRequiredColumns]]):
+  *    the reader materializes ONLY the byte slices of requested
+  *    columns — a 2-column projection over a 40-column record never
+  *    converts, trims, or boxes the other 38. (Filter pushdown is
+  *    deliberately not implemented: a row-level filter cannot skip IO
+  *    in a line-oriented format — the line must be scanned for its
+  *    newline regardless — and Catalyst's post-scan filter is
+  *    codegen'd; the honest win is pruning, which cuts parse work,
+  *    not bytes read.)
+  *  - SPLITS ARE BYTE RANGES, NOT FILES: each file is carved into
+  *    `maxSplitBytes` chunks with Hadoop's LineRecordReader ownership
+  *    convention — a split that does not start at byte 0 discards
+  *    everything up to its first newline, and every split keeps
+  *    reading while the CURRENT line starts at or before its end
+  *    boundary. Under that pair of rules every line is read exactly
+  *    once whatever the chunking (FixedWidthSourceSpec drives 64-byte
+  *    splits against a single-split read), so parallelism is
+  *    data-sized, not file-count-sized — one 10 GB shard becomes ~600
+  *    partitions instead of one straggler task.
+  *  - The record layout rides the `fields` option
+  *    (`name:start:len:type,…` — types `long` | `string`), so the
+  *    schema is explicit and the source is reusable for any layout;
+  *    numeric fields parse with a sign-aware ASCII fast path (no
+  *    String allocation on the hot path).
+  */
+class FixedWidthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixedWidth.schemaOf(FixedWidth.parseFields(options.get("fields")))
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FixedWidthTable(properties.get("path"),
+      properties.get("fields"),
+      Option(properties.get("maxsplitbytes")).map(_.toLong)
+        .getOrElse(4L * 1024 * 1024))
+}
+
+private[sources] object FixedWidth {
+  final case class FwField(name: String, start: Int, len: Int,
+                           dt: DataType)
+
+  def parseFields(spec: String): Seq[FwField] = {
+    require(spec != null && spec.nonEmpty,
+      "FixedWidthSource needs a 'fields' option: name:start:len:type,…")
+    spec.split(",").toSeq.map { f =>
+      val parts = f.trim.split(":")
+      require(parts.length == 4, s"bad field spec '$f'")
+      val dt = parts(3) match {
+        case "long"   => LongType
+        case "string" => StringType
+        case other => throw new IllegalArgumentException(
+          s"unsupported fixed-width type '$other' (long|string)")
+      }
+      FwField(parts(0), parts(1).toInt, parts(2).toInt, dt)
+    }
+  }
+
+  def schemaOf(fields: Seq[FwField]): StructType =
+    StructType(fields.map(f => StructField(f.name, f.dt, nullable = true)))
+}
+
+private[sources] class FixedWidthTable(path: String, fieldSpec: String,
+    maxSplitBytes: Long) extends Table with SupportsRead {
+  import FixedWidth._
+  private val fields = parseFields(fieldSpec)
+
+  override def name(): String = s"fixedwidth($path)"
+  override def schema(): StructType = schemaOf(fields)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new FixedWidthScanBuilder(path, fields, maxSplitBytes)
+}
+
+private[sources] class FixedWidthScanBuilder(path: String,
+    fields: Seq[FixedWidth.FwField], maxSplitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = FixedWidth.schemaOf(fields)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new FixedWidthScan(path, fields, required, maxSplitBytes)
+}
+
+private[sources] case class FwSplit(file: String, start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class FixedWidthScan(path: String,
+    fields: Seq[FixedWidth.FwField], required: StructType,
+    maxSplitBytes: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FixedWidthScan(${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName)
+    files.flatMap { st =>
+      val size = st.getLen
+      // carve [k·B, min((k+1)·B, size)) chunks; ownership of boundary
+      // lines follows the LineRecordReader convention in the reader
+      (0L until math.max(1L, (size + maxSplitBytes - 1) / maxSplitBytes))
+        .map { k =>
+          FwSplit(st.getPath.toString, k * maxSplitBytes,
+            math.min((k + 1) * maxSplitBytes, size))
+        }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fieldArr = fields.toArray
+    val names = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] =
+        new FixedWidthReader(partition.asInstanceOf[FwSplit],
+          fieldArr, names)
+    }
+  }
+}
+
+/** Executor-side reader for one byte-range split. Line ownership
+  * (Hadoop LineRecordReader convention, so chunking never loses or
+  * duplicates a record):
+  *   - a split starting past byte 0 discards bytes up to and
+  *     including its first newline (that line belongs to the
+  *     previous split);
+  *   - a line is read iff its first byte position ≤ the split's end
+  *     boundary — the last line may overrun the boundary, and the
+  *     next split's discard rule skips exactly it.
+  */
+private[sources] class FixedWidthReader(split: FwSplit,
+    fields: Array[FixedWidth.FwField], requiredNames: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val p = new Path(split.file)
+    val fs = p.getFileSystem(new Configuration())
+    val stream = fs.open(p)
+    stream.seek(split.start)
+    stream
+  }
+  private val buf = new java.io.BufferedInputStream(in, 64 * 1024)
+  private var pos: Long = split.start
+  private val reqFields: Array[FixedWidth.FwField] =
+    requiredNames.map(n => fields.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unknown column $n")))
+
+  if (split.start != 0L) skipToNewline()
+
+  private var line: Array[Byte] = _
+  private var lineLen: Int = 0
+
+  private def skipToNewline(): Unit = {
+    var b = buf.read()
+    while (b != -1 && b != '\n') { pos += 1; b = buf.read() }
+    if (b != -1) pos += 1
+  }
+
+  /** Reads the next line into `line`/`lineLen`; false at EOF. */
+  private def readLine(): Boolean = {
+    val out = new java.io.ByteArrayOutputStream(96)
+    var b = buf.read()
+    if (b == -1) return false
+    while (b != -1 && b != '\n') { out.write(b); pos += 1; b = buf.read() }
+    if (b != -1) pos += 1
+    line = out.toByteArray
+    lineLen = line.length
+    if (lineLen > 0 && line(lineLen - 1) == '\r') lineLen -= 1
+    true
+  }
+
+  override def next(): Boolean =
+    pos <= split.end && readLine()
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](reqFields.length)
+    var i = 0
+    while (i < reqFields.length) {
+      val f = reqFields(i)
+      vals(i) =
+        if (f.start >= lineLen) null
+        else {
+          val hi = math.min(f.start + f.len, lineLen)
+          // trim ASCII padding in place
+          var a = f.start
+          var z = hi
+          while (a < z && line(a) == ' ') a += 1
+          while (z > a && line(z - 1) == ' ') z -= 1
+          if (a == z) null
+          else f.dt match {
+            case LongType =>
+              // sign-aware ASCII parse, no String allocation
+              var neg = false
+              var j = a
+              if (line(j) == '-') { neg = true; j += 1 }
+              var v = 0L
+              while (j < z) { v = v * 10 + (line(j) - '0'); j += 1 }
+              if (neg) -v else v
+            case StringType =>
+              UTF8String.fromBytes(line, a, z - a)
+            case other => throw new IllegalStateException(other.toString)
+          }
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = buf.close()
+}
