@@ -281,13 +281,20 @@ object Ingest {
     * bitwise-identical double is tie-free across engines). */
   private def fixedWidthRoot(s: SparkSession, d: String): String =
     Tables.landedDirWith(s, "graft_fixedwidth", d) { path =>
+      // written through the DSv2 SINK half of the source (task-temp +
+      // publish-on-commit protocol), so a10 round-trips the engine's
+      // own write AND read paths
       Tables.lineitem(s, d)
-        .select(format_string("%12d%2d%1s%8d%12d",
-          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          floor(col("l_quantity")).cast("long"),
-          floor(col("l_extendedprice") * 100.0).cast("long")).as("value"))
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("cents"))
         .repartition(4)
-        .write.text(path)
+        .write.format("graft.sources.FixedWidthSource")
+        .option("fields", fwFields)
+        .mode("overwrite")
+        .save(path)
     }
 
   private val fwFields =

@@ -13,6 +13,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,18 +94,24 @@ private[sources] object FixedWidth {
 }
 
 private[sources] class FixedWidthTable(path: String, fieldSpec: String,
-    maxSplitBytes: Long) extends Table with SupportsRead {
+    maxSplitBytes: Long)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import FixedWidth._
   private val fields = parseFields(fieldSpec)
 
   override def name(): String = s"fixedwidth($path)"
   override def schema(): StructType = schemaOf(fields)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new FixedWidthScanBuilder(path, fields, maxSplitBytes)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FixedWidthWriteBuilder(path, fields, info.schema())
 }
 
 private[sources] class FixedWidthScanBuilder(path: String,
@@ -250,4 +259,146 @@ private[sources] class FixedWidthReader(split: FwSplit,
   }
 
   override def close(): Unit = buf.close()
+}
+
+// ---------------------------------------------------------------------
+// Write path — the other half of the DSv2 stack, with the two-phase
+// task/job commit protocol that makes distributed text output safe
+// under task retries and speculative execution:
+//
+//   - every task writes to a HIDDEN temp file
+//     `_temp/part-<partition>-<task>.txt` (the read path's listing
+//     skips `_`-prefixed names, so half-written data is invisible even
+//     mid-job);
+//   - task commit returns the temp name as its WriterCommitMessage;
+//     task abort deletes it;
+//   - job commit publishes ONLY the files named in commit messages
+//     (rename into the table root) — a speculative duplicate's file is
+//     simply never published — then drops the temp dir; job abort
+//     drops the temp dir wholesale.
+//
+// TRUNCATE (mode("overwrite")) is recorded at build time and applied
+// inside job commit, after the new files are staged and before they
+// are published — the table never transits through an empty state
+// visible to a concurrent reader listing the directory.
+// ---------------------------------------------------------------------
+
+private[sources] class FixedWidthWriteBuilder(path: String,
+    fields: Seq[FixedWidth.FwField], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    require(schema.length == fields.length &&
+      schema.fields.zip(fields).forall { case (sf, f) =>
+        sf.name == f.name && sf.dataType == f.dt },
+      s"write schema ${schema.simpleString} does not match the " +
+        s"fields layout ${FixedWidth.schemaOf(fields).simpleString}")
+    new Write {
+      override def toBatch: BatchWrite =
+        new FixedWidthBatchWrite(path, fields, doTruncate)
+    }
+  }
+}
+
+private[sources] case class FwCommit(tempFile: String)
+    extends WriterCommitMessage
+
+private[sources] class FixedWidthBatchWrite(path: String,
+    fields: Seq[FixedWidth.FwField], truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    // stage the temp dir up front so tasks never race on mkdir
+    val p = new Path(path, "_temp")
+    p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf()).mkdirs(p)
+    val fieldArr = fields.toArray
+    val root = path
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : DataWriter[InternalRow] =
+        new FixedWidthDataWriter(root, fieldArr, partitionId, taskId)
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (truncate)
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          fs.delete(st.getPath, false)
+      }
+    messages.foreach { case FwCommit(tmp) =>
+      val src = new Path(tmp)
+      fs.rename(src, new Path(root, src.getName.stripPrefix("_")))
+    }
+    fs.delete(new Path(root, "_temp"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(new Path(root, "_temp"), true)
+  }
+}
+
+/** Executor-side writer: right-aligns every value into its byte slot
+  * (the reader trims the padding back off), NULL renders as all
+  * blanks, and a value wider than its slot fails the task loudly —
+  * silent truncation would corrupt the adjacent column, the classic
+  * fixed-width data bug. */
+private[sources] class FixedWidthDataWriter(root: String,
+    fields: Array[FixedWidth.FwField], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tempPath =
+    new Path(root, f"_temp/_part-$partitionId%05d-$taskId.txt")
+  private val out = {
+    val fs = tempPath.getFileSystem(new Configuration())
+    new java.io.BufferedOutputStream(fs.create(tempPath, true), 64 * 1024)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      val s =
+        if (row.isNullAt(i)) ""
+        else f.dt match {
+          case LongType   => java.lang.Long.toString(row.getLong(i))
+          case StringType => row.getUTF8String(i).toString
+          case other => throw new IllegalStateException(other.toString)
+        }
+      require(s.length <= f.len,
+        s"value '$s' overflows fixed-width slot ${f.name}:${f.len}")
+      var pad = f.len - s.length
+      while (pad > 0) { sb.append(' '); pad -= 1 }
+      sb.append(s)
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes("UTF-8"))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FwCommit(tempPath.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    val fs = tempPath.getFileSystem(new Configuration())
+    fs.delete(tempPath, false)
+  }
+
+  override def close(): Unit = ()
 }

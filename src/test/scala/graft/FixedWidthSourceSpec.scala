@@ -77,4 +77,44 @@ class FixedWidthSourceSpec extends SparkSpec {
       .createTempDirectory("fw_spec_empty").toString
     assert(read(dir).count() == 0L)
   }
+
+  test("DSv2 sink round trip, overwrite replaces, no temp leftovers") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("fw_spec_write").toString
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("id", "tag", "v").repartition(3)
+        .write.format("graft.sources.FixedWidthSource")
+        .option("fields", fields).mode("overwrite").save(dir)
+
+    val first = Seq((1L, "ab", 10L), (-2L, "cd", -999L), (7L, "x", 0L))
+    write(first)
+    val got1 = read(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(got1.toSeq == first.sorted)
+
+    // overwrite fully replaces and publishes atomically
+    val second = Seq((42L, "zz", 5L))
+    write(second)
+    val got2 = read(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got2.toSeq == second)
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("_temp"))
+    assert(leftovers.isEmpty, s"temp dir survived commit: ${leftovers.toSeq}")
+  }
+
+  test("DSv2 sink rejects values wider than their slot") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("fw_spec_overflow").toString
+    val ex = intercept[Exception] {
+      Seq((1234567L, "ab", 1L)).toDF("id", "tag", "v") // id needs 7 > 6
+        .write.format("graft.sources.FixedWidthSource")
+        .option("fields", fields).mode("overwrite").save(dir)
+    }
+    assert(ex.getMessage != null)
+  }
 }
