@@ -279,7 +279,7 @@ object Ingest {
     * linenumber(2) returnflag(1) qty(8) cents(12) — the layout the
     * a10 source reads back. Values integer-exact (floored; floor of a
     * bitwise-identical double is tie-free across engines). */
-  private def fixedWidthRoot(s: SparkSession, d: String): String =
+  private[graft] def fixedWidthRoot(s: SparkSession, d: String): String =
     Tables.landedDirWith(s, "graft_fixedwidth", d) { path =>
       // written through the DSv2 SINK half of the source (task-temp +
       // publish-on-commit protocol), so a10 round-trips the engine's
@@ -297,7 +297,7 @@ object Ingest {
         .save(path)
     }
 
-  private val fwFields =
+  private[graft] val fwFields =
     "l_orderkey:0:12:long,l_linenumber:12:2:long," +
       "l_returnflag:14:1:string,qty:15:8:long,cents:23:12:long"
 

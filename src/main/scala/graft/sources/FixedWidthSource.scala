@@ -66,7 +66,9 @@ class FixedWidthSource extends TableProvider {
     new FixedWidthTable(properties.get("path"),
       properties.get("fields"),
       Option(properties.get("maxsplitbytes")).map(_.toLong)
-        .getOrElse(4L * 1024 * 1024))
+        .getOrElse(4L * 1024 * 1024),
+      Option(properties.get("filespertrigger")).map(_.toInt)
+        .getOrElse(0))
 }
 
 private[sources] object FixedWidth {
@@ -94,7 +96,7 @@ private[sources] object FixedWidth {
 }
 
 private[sources] class FixedWidthTable(path: String, fieldSpec: String,
-    maxSplitBytes: Long)
+    maxSplitBytes: Long, filesPerTrigger: Int)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import FixedWidth._
@@ -104,18 +106,28 @@ private[sources] class FixedWidthTable(path: String, fieldSpec: String,
   override def schema(): StructType = schemaOf(fields)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
-    new FixedWidthScanBuilder(path, fields, maxSplitBytes)
+      : ScanBuilder = {
+    // options arrive HERE on both the batch and streaming read paths;
+    // table properties carry them only for batch load() — parse scan
+    // knobs from the per-scan options, falling back to table-level
+    val msb = Option(options.get("maxsplitbytes")).map(_.toLong)
+      .getOrElse(maxSplitBytes)
+    val fpt = Option(options.get("filespertrigger")).map(_.toInt)
+      .getOrElse(filesPerTrigger)
+    new FixedWidthScanBuilder(path, fields, msb, fpt)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FixedWidthWriteBuilder(path, fields, info.schema())
 }
 
 private[sources] class FixedWidthScanBuilder(path: String,
-    fields: Seq[FixedWidth.FwField], maxSplitBytes: Long)
+    fields: Seq[FixedWidth.FwField], maxSplitBytes: Long,
+    filesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = FixedWidth.schemaOf(fields)
 
@@ -123,7 +135,18 @@ private[sources] class FixedWidthScanBuilder(path: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new FixedWidthScan(path, fields, required, maxSplitBytes)
+    new FixedWidthScan(path, fields, required, maxSplitBytes,
+      filesPerTrigger)
+}
+
+/** Streaming offset: count of files already emitted, over the sorted
+  * file listing snapshotted at stream start. (A production source
+  * re-lists per latestOffset and tracks seen files the way
+  * FileStreamSource does; the snapshot keeps the fixture source
+  * deterministic and is documented as such.) */
+private[sources] case class FwOffset(filesDone: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"filesDone":$filesDone}"""
 }
 
 private[sources] case class FwSplit(file: String, start: Long, end: Long)
@@ -131,7 +154,8 @@ private[sources] case class FwSplit(file: String, start: Long, end: Long)
 
 private[sources] class FixedWidthScan(path: String,
     fields: Seq[FixedWidth.FwField], required: StructType,
-    maxSplitBytes: Long) extends Scan with Batch {
+    maxSplitBytes: Long, filesPerTrigger: Int = 0)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -168,6 +192,91 @@ private[sources] class FixedWidthScan(path: String,
           fieldArr, names)
     }
   }
+
+  // ----- streaming read: the same byte-range readers, admitted
+  // file-at-a-time (or `filespertrigger` at a time) per micro-batch —
+  // a shard directory replayed as a stream, the backfill path of a
+  // production file feed. Offsets are positions in the sorted listing
+  // snapshot; Trigger.AvailableNow drains the snapshot and stops.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FixedWidthMicroBatchStream(path, fields, required, maxSplitBytes,
+      filesPerTrigger)
+}
+
+private[sources] class FixedWidthMicroBatchStream(path: String,
+    fields: Seq[FixedWidth.FwField], required: StructType,
+    maxSplitBytes: Long, filesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset,
+    ReadLimit, ReadMaxFiles}
+
+  private val conf = SparkSession.active.sessionState.newHadoopConf()
+  private val files: Array[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName)
+      .map(st => (st.getPath.toString, st.getLen))
+  }
+
+  override def initialOffset(): SOffset = FwOffset(0)
+  override def latestOffset(): SOffset = FwOffset(files.length)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (filesPerTrigger > 0) ReadLimit.maxFiles(filesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: SOffset,
+      limit: ReadLimit): SOffset = {
+    val done = startOffset.asInstanceOf[FwOffset].filesDone
+    limit match {
+      case m: ReadMaxFiles =>
+        FwOffset(math.min(files.length, done + m.maxFiles()))
+      case _ => FwOffset(files.length)
+    }
+  }
+
+  override def deserializeOffset(json: String): SOffset =
+    FwOffset(""""filesDone"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(json)))
+
+  override def planInputPartitions(start: SOffset,
+      end: SOffset): Array[InputPartition] = {
+    val a = start.asInstanceOf[FwOffset].filesDone
+    val b = end.asInstanceOf[FwOffset].filesDone
+    files.slice(a, b).flatMap { case (f, size) =>
+      (0L until math.max(1L, (size + maxSplitBytes - 1) / maxSplitBytes))
+        .map { k =>
+          FwSplit(f, k * maxSplitBytes,
+            math.min((k + 1) * maxSplitBytes, size))
+        }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fieldArr = fields.toArray
+    val names = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] =
+        new FixedWidthReader(partition.asInstanceOf[FwSplit],
+          fieldArr, names)
+    }
+  }
+
+  // the sorted listing is already a construction-time snapshot, so
+  // "prepare" needs no extra fencing: latestOffset() is constant from
+  // the first batch on, exactly what AvailableNow drains to
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Executor-side reader for one byte-range split. Line ownership

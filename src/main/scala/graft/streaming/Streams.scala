@@ -1063,6 +1063,42 @@ object Streams {
 
   /** Queries surfaced through SparkEntry (oracles are the batch twins). */
   val all: Seq[graft.ops.Q] = Seq(
+
+    // ----- custom DSv2 MicroBatchStream: the fixed-width shard
+    // directory ([[graft.ops.Ingest.fixedWidthRoot]]) replayed as a
+    // stream — filespertrigger=1 forces one micro-batch per shard
+    // through the SupportsAdmissionControl path, so the run proves
+    // offsets, per-batch planning, and Trigger.AvailableNow drain on
+    // the engine's OWN source (graft.sources.FixedWidthSource), not a
+    // built-in. Complete-mode aggregate: the settled result must
+    // equal the batch rollup whatever the batch boundaries — the
+    // oracle is a10_fixedwidth's, verbatim.
+    graft.ops.Q("m_stream_fixedwidth",
+      (s, d) => {
+        val root = graft.ops.Ingest.fixedWidthRoot(s, d)
+        val src = s.readStream
+          .format("graft.sources.FixedWidthSource")
+          .option("fields", graft.ops.Ingest.fwFields)
+          .option("filespertrigger", "1")
+          .option("path", root)
+          .load()
+        val agg = src.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("qty").as("sum_qty"),
+            sum("cents").as("sum_cents"))
+        runToMemory(s, agg, "complete")
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+          |    AS sum_qty,
+          |  CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+          |    AS BIGINT) AS sum_cents
+          |FROM lineitem
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     graft.ops.Q("m_stream_tumbling",
       (s, d) => tumblingCounts(s, d),
       Some(

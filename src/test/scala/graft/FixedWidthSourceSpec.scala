@@ -105,6 +105,35 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"temp dir survived commit: ${leftovers.toSeq}")
   }
 
+  test("MicroBatchStream drains file-at-a-time under AvailableNow") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("fw_spec_stream").toString
+    for (f <- 1 to 3) {
+      val lines = (1 to 10).map(i => f"${f * 100L + i}%6d${"t"}%4s${i.toLong}%8d")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part-$f%03d.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val src = spark.readStream
+      .format("graft.sources.FixedWidthSource")
+      .option("fields", fields)
+      .option("filespertrigger", "1")
+      .option("path", dir)
+      .load()
+    val sink = s"fw_stream_${System.nanoTime()}"
+    val q = src.groupBy().sum("v")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 3,
+      s"expected 3 one-file micro-batches, saw $batches")
+    val got = spark.table(sink).collect().head.getLong(0)
+    assert(got == 3 * (1 to 10).sum.toLong)
+  }
+
   test("DSv2 sink rejects values wider than their slot") {
     val s = spark
     import s.implicits._
