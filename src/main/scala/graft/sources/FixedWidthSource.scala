@@ -155,12 +155,40 @@ private[sources] case class FwSplit(file: String, start: Long, end: Long)
 private[sources] class FixedWidthScan(path: String,
     fields: Seq[FixedWidth.FwField], required: StructType,
     maxSplitBytes: Long, filesPerTrigger: Int = 0)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"FixedWidthScan(${required.fieldNames.mkString(",")})"
+
+  /** Size stats from the file listing — WITHOUT this a DSv2 relation
+    * reports the conservative default (spark.sql.defaultSizeInBytes =
+    * Long.Max-ish), so a tiny fixed-width dimension would NEVER be
+    * auto-broadcast in a join; with it, join-side selection sees the
+    * real bytes. Rows are estimated from the first file's line width
+    * (fixed-width records: bytes/width is exact per file layout). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val sizes =
+      try fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getLen)
+      catch { case _: Exception => Array.empty[Long] }
+    val total = sizes.sum
+    val width = fields.map(f => f.start + f.len).max + 1 // + newline
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(total / width)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()

@@ -134,6 +134,87 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(got == 3 * (1 to 10).sum.toLong)
   }
 
+  test("scan reports real size statistics (broadcast-eligible)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("fw_spec_stats").toString
+    val rows = (1L to 50L).map(i => (i, s"t$i", i * 2))
+    rows.toDF("id", "tag", "v")
+      .write.format("graft.sources.FixedWidthSource")
+      .option("fields", fields).mode("overwrite").save(dir)
+    val df = read(dir)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).map(_.length).sum
+    assert(stats.sizeInBytes.toLong == onDisk,
+      s"reported ${stats.sizeInBytes}, files total $onDisk")
+    assert(stats.rowCount.exists(_.toLong == 50L),
+      s"rowCount ${stats.rowCount}")
+    // and the practical consequence: joined against a big side, the
+    // tiny fixed-width table is chosen as the broadcast build side
+    val big = spark.range(10000).selectExpr("id", "id * 3 AS x")
+    val joined = big.join(df, "id")
+    val bhj = joined.queryExecution.executedPlan.toString
+    assert(bhj.contains("BroadcastHashJoin") ||
+      bhj.contains("BroadcastExchange"),
+      s"tiny DSv2 table not broadcast:\n$bhj")
+  }
+
+  test("reader survives randomized layouts, values, and chunkings") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 12) {
+      // random layout of 1-5 long/string fields with random widths
+      val nf = 1 + rnd.nextInt(5)
+      var off = 0
+      val fs = (0 until nf).map { i =>
+        val w = 3 + rnd.nextInt(12)
+        val t = if (rnd.nextBoolean()) "long" else "string"
+        val f = (s"c$i", off, w, t); off += w; f
+      }
+      val spec = fs.map { case (n, st, w, t) => s"$n:$st:$w:$t" }
+        .mkString(",")
+      val nRows = 1 + rnd.nextInt(60)
+      val rows = (0 until nRows).map { _ =>
+        fs.map { case (_, _, w, t) =>
+          if (t == "long") {
+            val bound = math.pow(10, w - 1).toLong - 1
+            (rnd.nextLong() % bound).toString
+          } else {
+            val len = rnd.nextInt(w)
+            (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar)
+              .mkString
+          }
+        }
+      }
+      val lines = rows.map(vals =>
+        vals.zip(fs).map { case (v, (_, _, w, _)) =>
+          (" " * (w - v.length)) + v
+        }.mkString)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"fw_fuzz_$trial").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-000.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val split = 1L + rnd.nextInt(200)
+      val got = spark.read.format("graft.sources.FixedWidthSource")
+        .option("fields", spec)
+        .option("maxsplitbytes", split.toString)
+        .option("path", dir).load()
+        .collect().map(r => (0 until nf).map(i =>
+          if (r.isNullAt(i)) null else r.get(i).toString).mkString("|"))
+        .sorted
+      val want = rows.map(_.zip(fs).map { case (v, (_, _, _, t)) =>
+        val tv = v.trim
+        if (tv.isEmpty) null
+        else if (t == "long") tv.toLong.toString else tv
+      }.mkString("|")).sorted
+      assert(got.toSeq == want.toSeq,
+        s"trial $trial (split=$split, spec=$spec) diverged")
+    }
+  }
+
   test("DSv2 sink rejects values wider than their slot") {
     val s = spark
     import s.implicits._
