@@ -444,7 +444,8 @@ object Ext {
           expr("""parse_json(CASE event_type
             WHEN 'purchase' THEN concat('{"t":"p","amt":',
               CAST(floor(coalesce(value, 0.0) * 100.0) AS BIGINT),
-              ',"items":[', user_id % 5, ',', user_id % 7, ']}')
+              ',"items":[', coalesce(user_id, 0) % 5, ',',
+              coalesce(user_id, 0) % 7, ']}')
             WHEN 'view' THEN concat('{"t":"v","dur":',
               CAST(floor(coalesce(value, 0.0)) AS BIGINT), '}')
             ELSE '{"t":"o"}' END)""").as("v"))
@@ -471,9 +472,9 @@ object Ext {
           |    AS BIGINT)
           |    AS sum_amt,
           |  CAST(sum(CASE WHEN event_type = 'purchase'
-          |    THEN user_id % 5 END) AS BIGINT) AS sum_it0,
+          |    THEN coalesce(user_id, 0) % 5 END) AS BIGINT) AS sum_it0,
           |  CAST(sum(CASE WHEN event_type = 'purchase'
-          |    THEN user_id % 7 END) AS BIGINT) AS sum_it1,
+          |    THEN coalesce(user_id, 0) % 7 END) AS BIGINT) AS sum_it1,
           |  CAST(sum(CASE WHEN event_type = 'view'
           |    THEN CAST(floor(coalesce(value, 0.0)) AS BIGINT) END) AS BIGINT)
           |    AS sum_dur,

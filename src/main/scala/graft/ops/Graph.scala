@@ -2200,7 +2200,7 @@ object Graph {
     * same 372 k-edge tail runs in 0.4 s, collect included). Exact
     * k-core is unique, and the peel is order-independent, so the
     * hybrid is bit-identical to the pure-distributed loop —
-    * KCoreHybridSpec pins that equality. This is the standard
+    * GraphHybridSpec pins that equality. This is the standard
     * hybrid-finish shape for contraction loops (the same reason
     * Kiveris et al. §6 finish components locally once the contracted
     * graph fits on one machine).

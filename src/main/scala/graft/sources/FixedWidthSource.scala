@@ -93,6 +93,60 @@ private[sources] object FixedWidth {
 
   def schemaOf(fields: Seq[FwField]): StructType =
     StructType(fields.map(f => StructField(f.name, f.dt, nullable = true)))
+
+  /** Data files of a table root: visible regular files only (the
+    * `_`/`.` prefixes hide temp dirs, markers, and half-written task
+    * output) — the ONE definition every path shares (batch listing,
+    * stream snapshot, statistics, truncate). */
+  def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName)
+
+  /** One reader factory shared by the batch and streaming paths:
+    * ships the session Hadoop conf to executors alongside the layout. */
+  def readerFactory(fields: Seq[FwField],
+      required: StructType): PartitionReaderFactory = {
+    val fieldArr = fields.toArray
+    val names = required.fieldNames
+    val sconf = new SerializableConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] =
+        new FixedWidthReader(partition.asInstanceOf[FwSplit],
+          fieldArr, names, sconf)
+    }
+  }
+
+  /** Carve one file into [k·B, min((k+1)·B, size)) byte ranges;
+    * boundary-line ownership is the reader's LineRecordReader rule. */
+  def carve(file: String, size: Long, maxSplitBytes: Long): Seq[FwSplit] =
+    (0L until math.max(1L, (size + maxSplitBytes - 1) / maxSplitBytes))
+      .map { k =>
+        FwSplit(file, k * maxSplitBytes,
+          math.min((k + 1) * maxSplitBytes, size))
+      }
+}
+
+/** Hadoop Configuration shipped to executors via its Writable form —
+  * the planner and the task side must resolve filesystems from the
+  * SAME session conf (spark.hadoop.* credentials, fs implementations);
+  * a bare `new Configuration()` on the executor would plan fine on the
+  * driver and then fail (or resolve a different FS) at open time. */
+private[sources] class SerializableConf(
+    @transient var conf: Configuration) extends java.io.Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
 }
 
 private[sources] class FixedWidthTable(path: String, fieldSpec: String,
@@ -175,10 +229,7 @@ private[sources] class FixedWidthScan(path: String,
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val sizes =
-      try fs.listStatus(p).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.map(_.getLen)
+      try FixedWidth.listDataFiles(fs, p).map(_.getLen)
       catch { case _: Exception => Array.empty[Long] }
     val total = sizes.sum
     val width = fields.map(f => f.start + f.len).max + 1 // + newline
@@ -194,32 +245,13 @@ private[sources] class FixedWidthScan(path: String,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = fs.listStatus(p).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.sortBy(_.getPath.getName)
-    files.flatMap { st =>
-      val size = st.getLen
-      // carve [k·B, min((k+1)·B, size)) chunks; ownership of boundary
-      // lines follows the LineRecordReader convention in the reader
-      (0L until math.max(1L, (size + maxSplitBytes - 1) / maxSplitBytes))
-        .map { k =>
-          FwSplit(st.getPath.toString, k * maxSplitBytes,
-            math.min((k + 1) * maxSplitBytes, size))
-        }
-    }.toArray
+    FixedWidth.listDataFiles(fs, p).flatMap(st =>
+      FixedWidth.carve(st.getPath.toString, st.getLen, maxSplitBytes))
+      .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fieldArr = fields.toArray
-    val names = required.fieldNames
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition)
-          : PartitionReader[InternalRow] =
-        new FixedWidthReader(partition.asInstanceOf[FwSplit],
-          fieldArr, names)
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    FixedWidth.readerFactory(fields, required)
 
   // ----- streaming read: the same byte-range readers, admitted
   // file-at-a-time (or `filespertrigger` at a time) per micro-batch —
@@ -245,10 +277,7 @@ private[sources] class FixedWidthMicroBatchStream(path: String,
   private val files: Array[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.sortBy(_.getPath.getName)
+    FixedWidth.listDataFiles(fs, p)
       .map(st => (st.getPath.toString, st.getLen))
   }
 
@@ -279,24 +308,12 @@ private[sources] class FixedWidthMicroBatchStream(path: String,
     val a = start.asInstanceOf[FwOffset].filesDone
     val b = end.asInstanceOf[FwOffset].filesDone
     files.slice(a, b).flatMap { case (f, size) =>
-      (0L until math.max(1L, (size + maxSplitBytes - 1) / maxSplitBytes))
-        .map { k =>
-          FwSplit(f, k * maxSplitBytes,
-            math.min((k + 1) * maxSplitBytes, size))
-        }
-    }
+      FixedWidth.carve(f, size, maxSplitBytes)
+    }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fieldArr = fields.toArray
-    val names = required.fieldNames
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition)
-          : PartitionReader[InternalRow] =
-        new FixedWidthReader(partition.asInstanceOf[FwSplit],
-          fieldArr, names)
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    FixedWidth.readerFactory(fields, required)
 
   // the sorted listing is already a construction-time snapshot, so
   // "prepare" needs no extra fencing: latestOffset() is constant from
@@ -318,12 +335,13 @@ private[sources] class FixedWidthMicroBatchStream(path: String,
   *     next split's discard rule skips exactly it.
   */
 private[sources] class FixedWidthReader(split: FwSplit,
-    fields: Array[FixedWidth.FwField], requiredNames: Array[String])
+    fields: Array[FixedWidth.FwField], requiredNames: Array[String],
+    sconf: SerializableConf)
     extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(split.file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(sconf.conf)
     val stream = fs.open(p)
     stream.seek(split.start)
     stream
@@ -358,8 +376,14 @@ private[sources] class FixedWidthReader(split: FwSplit,
     true
   }
 
-  override def next(): Boolean =
-    pos <= split.end && readLine()
+  override def next(): Boolean = {
+    // skip blank separator lines (common in hand-maintained feeds) —
+    // an empty line is not a record, and emitting an all-NULL row for
+    // it would inflate count(*) by one phantom per blank
+    var ok = pos <= split.end && readLine()
+    while (ok && lineLen == 0) ok = pos <= split.end && readLine()
+    ok
+  }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](reqFields.length)
@@ -378,12 +402,25 @@ private[sources] class FixedWidthReader(split: FwSplit,
           if (a == z) null
           else f.dt match {
             case LongType =>
-              // sign-aware ASCII parse, no String allocation
+              // sign-aware ASCII parse, no String allocation; a
+              // non-digit byte fails LOUDLY — silently folding it in
+              // (v*10 + garbage) would return a wrong aggregate and
+              // hide layout mistakes, the same corruption class the
+              // sink's overflow check exists for
               var neg = false
               var j = a
               if (line(j) == '-') { neg = true; j += 1 }
               var v = 0L
-              while (j < z) { v = v * 10 + (line(j) - '0'); j += 1 }
+              if (j == z) throw new NumberFormatException(
+                s"bare sign in ${f.name} at ${split.file}:$pos")
+              while (j < z) {
+                val c = line(j) - '0'
+                if (c < 0 || c > 9) throw new NumberFormatException(
+                  s"non-digit byte in ${f.name}: '" +
+                    new String(line, a, z - a, "UTF-8") +
+                    s"' at ${split.file}:$pos")
+                v = v * 10 + c; j += 1
+              }
               if (neg) -v else v
             case StringType =>
               UTF8String.fromBytes(line, a, z - a)
@@ -455,10 +492,13 @@ private[sources] class FixedWidthBatchWrite(path: String,
       SparkSession.active.sessionState.newHadoopConf()).mkdirs(p)
     val fieldArr = fields.toArray
     val root = path
+    val sconf = new SerializableConf(
+      SparkSession.active.sessionState.newHadoopConf())
     new DataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : DataWriter[InternalRow] =
-        new FixedWidthDataWriter(root, fieldArr, partitionId, taskId)
+        new FixedWidthDataWriter(root, fieldArr, partitionId, taskId,
+          sconf)
     }
   }
 
@@ -467,14 +507,18 @@ private[sources] class FixedWidthBatchWrite(path: String,
     val fs = root.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
     if (truncate)
-      fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-          fs.delete(st.getPath, false)
-      }
+      FixedWidth.listDataFiles(fs, root)
+        .foreach(st => fs.delete(st.getPath, false))
     messages.foreach { case FwCommit(tmp) =>
       val src = new Path(tmp)
-      fs.rename(src, new Path(root, src.getName.stripPrefix("_")))
+      val dst = new Path(root, src.getName.stripPrefix("_"))
+      // rename returns FALSE (not an exception) on HDFS when the
+      // destination exists — ignoring it would silently drop a task's
+      // rows from a "successful" job, and a landing would then stamp a
+      // valid manifest over the incomplete table
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"commit failed to publish $src -> $dst")
     }
     fs.delete(new Path(root, "_temp"), true)
   }
@@ -493,37 +537,49 @@ private[sources] class FixedWidthBatchWrite(path: String,
   * silent truncation would corrupt the adjacent column, the classic
   * fixed-width data bug. */
 private[sources] class FixedWidthDataWriter(root: String,
-    fields: Array[FixedWidth.FwField], partitionId: Int, taskId: Long)
+    fields: Array[FixedWidth.FwField], partitionId: Int, taskId: Long,
+    sconf: SerializableConf)
     extends DataWriter[InternalRow] {
 
-  private val tempPath =
-    new Path(root, f"_temp/_part-$partitionId%05d-$taskId.txt")
+  // uuid in the name: task ids restart from 0 across applications, so
+  // an append-mode job on a pre-populated table must never collide
+  // with (or silently fail to rename over) an existing shard
+  private val tempPath = new Path(root,
+    f"_temp/_part-$partitionId%05d-$taskId-" +
+      java.util.UUID.randomUUID.toString.take(8) + ".txt")
   private val out = {
-    val fs = tempPath.getFileSystem(new Configuration())
+    val fs = tempPath.getFileSystem(sconf.conf)
     new java.io.BufferedOutputStream(fs.create(tempPath, true), 64 * 1024)
   }
 
   override def write(row: InternalRow): Unit = {
-    val sb = new java.lang.StringBuilder(64)
+    // the layout is BYTE-positional (the reader slices byte offsets),
+    // so validation and padding count UTF-8 BYTES, not Java chars — a
+    // char-counted multi-byte string would pass the width check yet
+    // shift every subsequent column's bytes, exactly the adjacent-
+    // column corruption this writer exists to prevent
+    val bb = new java.io.ByteArrayOutputStream(64)
     var i = 0
     while (i < fields.length) {
       val f = fields(i)
-      val s =
-        if (row.isNullAt(i)) ""
+      val bytes: Array[Byte] =
+        if (row.isNullAt(i)) Array.emptyByteArray
         else f.dt match {
-          case LongType   => java.lang.Long.toString(row.getLong(i))
-          case StringType => row.getUTF8String(i).toString
+          case LongType =>
+            java.lang.Long.toString(row.getLong(i)).getBytes("UTF-8")
+          case StringType => row.getUTF8String(i).getBytes
           case other => throw new IllegalStateException(other.toString)
         }
-      require(s.length <= f.len,
-        s"value '$s' overflows fixed-width slot ${f.name}:${f.len}")
-      var pad = f.len - s.length
-      while (pad > 0) { sb.append(' '); pad -= 1 }
-      sb.append(s)
+      require(bytes.length <= f.len,
+        s"value of ${bytes.length} bytes overflows fixed-width slot " +
+          s"${f.name}:${f.len}")
+      var pad = f.len - bytes.length
+      while (pad > 0) { bb.write(' '); pad -= 1 }
+      bb.write(bytes, 0, bytes.length)
       i += 1
     }
-    sb.append('\n')
-    out.write(sb.toString.getBytes("UTF-8"))
+    bb.write('\n')
+    out.write(bb.toByteArray)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -533,7 +589,7 @@ private[sources] class FixedWidthDataWriter(root: String,
 
   override def abort(): Unit = {
     out.close()
-    val fs = tempPath.getFileSystem(new Configuration())
+    val fs = tempPath.getFileSystem(sconf.conf)
     fs.delete(tempPath, false)
   }
 

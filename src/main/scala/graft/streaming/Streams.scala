@@ -635,10 +635,23 @@ object Streams {
     val key = s"evidenceBuckets|$dir|$evType"
     val existing = m.get(key)
     if (existing != null) return existing
-    val built = evidenceBucketsUncached(s, dir, evType).localCheckpoint()
-    val prev = m.putIfAbsent(key, built)
-    if (prev != null) prev else built
+    // builds are SERIALIZED (unlike the cheap cachedBySrc duplicates a
+    // putIfAbsent race tolerates): a duplicate build here runs a whole
+    // streaming query and localCheckpoints a result nobody releases —
+    // the landLock discipline, scoped to this cache
+    evidenceLock.synchronized {
+      val again = m.get(key)
+      if (again != null) again
+      else {
+        val built =
+          evidenceBucketsUncached(s, dir, evType).localCheckpoint()
+        m.put(key, built)
+        built
+      }
+    }
   }
+
+  private val evidenceLock = new Object
 
   private def evidenceBucketsUncached(s: SparkSession, dir: String,
                                       evType: String): DataFrame = {

@@ -227,4 +227,43 @@ class FixedWidthSourceSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("layout is byte-positional: multi-byte strings round-trip, " +
+      "byte overflow rejected") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("fw_spec_utf8").toString
+    // "éé" = 2 chars / 4 UTF-8 bytes: fills tag:4 exactly, and the
+    // following column must still start at byte 10
+    Seq((5L, "éé", 77L)).toDF("id", "tag", "v")
+      .write.format("graft.sources.FixedWidthSource")
+      .option("fields", fields).mode("overwrite").save(dir)
+    val got = read(dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((5L, "éé", 77L)))
+    // "ééa" = 3 chars (would pass a char-counted check) / 5 bytes
+    val ex = intercept[Exception] {
+      Seq((5L, "ééa", 77L)).toDF("id", "tag", "v")
+        .write.format("graft.sources.FixedWidthSource")
+        .option("fields", fields).mode("overwrite").save(dir)
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("reader fails loudly on a non-digit byte in a long slot") {
+    val dir = writeFixture(Seq("    1a  ab      10"))
+    val ex = intercept[Exception] { read(dir).collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[NumberFormatException]),
+      s"expected NumberFormatException in cause chain, got $ex")
+  }
+
+  test("blank lines are separators, not phantom all-NULL records") {
+    val lines = Seq(f"${1L}%6d${"ab"}%4s${10L}%8d", "",
+      f"${2L}%6d${"cd"}%4s${20L}%8d", "")
+    val dir = writeFixture(lines)
+    assert(read(dir).count() == 2L)
+  }
 }
