@@ -2215,6 +2215,13 @@ object Graph {
   private def kcore(s: SparkSession, d: String, k: Int,
                     maxIter: Int = 100, steps: Int = 3,
                     localTail: Long = kcoreLocalTailEdges): DataFrame = {
+    // PRECONDITION shared by BOTH peel paths: the edge set must be
+    // SYMMETRIC (every (u,v) paired with (v,u)) and EDGE-DISTINCT.
+    // The distributed loop counts degree as count(*) over src rows
+    // while the local tail builds adjacency from src keys and dedups
+    // neighbours via a HashSet — the two agree bit-for-bit only under
+    // that invariant (symEdgesBySrc guarantees it today; a directed or
+    // duplicated edge list would silently diverge between the paths).
     var sub = symEdgesBySrc(s, d)
     var iter = 0
     var done = false

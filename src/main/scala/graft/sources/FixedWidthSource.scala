@@ -193,14 +193,29 @@ private[sources] class FixedWidthScanBuilder(path: String,
       filesPerTrigger)
 }
 
-/** Streaming offset: count of files already emitted, over the sorted
-  * file listing snapshotted at stream start. (A production source
-  * re-lists per latestOffset and tracks seen files the way
-  * FileStreamSource does; the snapshot keeps the fixture source
-  * deterministic and is documented as such.) */
-private[sources] case class FwOffset(filesDone: Int)
+/** Streaming offset: the NAME of the last file already emitted (""
+  * before the first), over the name-sorted listing. Name-based (not
+  * positional) so a checkpoint restart with newly-landed files maps
+  * correctly: everything ≤ the high-water name is done regardless of
+  * how the re-sorted listing shifted indices — a positional count
+  * would re-read or skip files. (A production source additionally
+  * re-lists per latestOffset the way FileStreamSource does; this one
+  * snapshots the listing per stream start for fixture determinism.) */
+private[sources] case class FwOffset(hwm: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"filesDone":$filesDone}"""
+  override def json(): String =
+    s"""{"hwm":"${FwOffset.esc(hwm)}"}"""
+}
+
+private[sources] object FwOffset {
+  def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  def parse(json: String): FwOffset =
+    """"hwm"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => FwOffset(unesc(m.group(1))))
+      .getOrElse(throw new IllegalArgumentException(json))
 }
 
 private[sources] case class FwSplit(file: String, start: Long, end: Long)
@@ -228,16 +243,22 @@ private[sources] class FixedWidthScan(path: String,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val sizes =
-      try FixedWidth.listDataFiles(fs, p).map(_.getLen)
-      catch { case _: Exception => Array.empty[Long] }
-    val total = sizes.sum
+    // a FAILED listing must report UNKNOWN, not 0: zero bytes would
+    // make an arbitrarily large but transiently unlistable table
+    // broadcast-eligible — the opposite of a conservative default.
+    // OptionalLong.empty() makes Spark fall back to
+    // spark.sql.defaultSizeInBytes (Long.Max-ish, never broadcast).
+    val sizes: Option[Array[Long]] =
+      try Some(FixedWidth.listDataFiles(fs, p).map(_.getLen))
+      catch { case _: Exception => None }
     val width = fields.map(f => f.start + f.len).max + 1 // + newline
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(total)
+        sizes.map(ss => java.util.OptionalLong.of(ss.sum))
+          .getOrElse(java.util.OptionalLong.empty())
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(total / width)
+        sizes.map(ss => java.util.OptionalLong.of(ss.sum / width))
+          .getOrElse(java.util.OptionalLong.empty())
     }
   }
 
@@ -274,15 +295,19 @@ private[sources] class FixedWidthMicroBatchStream(path: String,
     ReadLimit, ReadMaxFiles}
 
   private val conf = SparkSession.active.sessionState.newHadoopConf()
-  private val files: Array[(String, Long)] = {
+  // (name, fullPath, len), name-sorted by listDataFiles; `name` is
+  // the offset coordinate so a restart against a GROWN listing still
+  // resolves (files ≤ hwm done, > hwm pending) with no index shift
+  private val files: Array[(String, String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     FixedWidth.listDataFiles(fs, p)
-      .map(st => (st.getPath.toString, st.getLen))
+      .map(st => (st.getPath.getName, st.getPath.toString, st.getLen))
   }
 
-  override def initialOffset(): SOffset = FwOffset(0)
-  override def latestOffset(): SOffset = FwOffset(files.length)
+  override def initialOffset(): SOffset = FwOffset("")
+  override def latestOffset(): SOffset =
+    FwOffset(files.lastOption.map(_._1).getOrElse(""))
 
   override def getDefaultReadLimit: ReadLimit =
     if (filesPerTrigger > 0) ReadLimit.maxFiles(filesPerTrigger)
@@ -290,26 +315,26 @@ private[sources] class FixedWidthMicroBatchStream(path: String,
 
   override def latestOffset(startOffset: SOffset,
       limit: ReadLimit): SOffset = {
-    val done = startOffset.asInstanceOf[FwOffset].filesDone
-    limit match {
-      case m: ReadMaxFiles =>
-        FwOffset(math.min(files.length, done + m.maxFiles()))
-      case _ => FwOffset(files.length)
+    val hwm = startOffset.asInstanceOf[FwOffset].hwm
+    val pending = files.filter(_._1 > hwm)
+    val take = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
     }
+    FwOffset(take.lastOption.map(_._1).getOrElse(hwm))
   }
 
   override def deserializeOffset(json: String): SOffset =
-    FwOffset(""""filesDone"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalArgumentException(json)))
+    FwOffset.parse(json)
 
   override def planInputPartitions(start: SOffset,
       end: SOffset): Array[InputPartition] = {
-    val a = start.asInstanceOf[FwOffset].filesDone
-    val b = end.asInstanceOf[FwOffset].filesDone
-    files.slice(a, b).flatMap { case (f, size) =>
-      FixedWidth.carve(f, size, maxSplitBytes)
-    }.toArray
+    val a = start.asInstanceOf[FwOffset].hwm
+    val b = end.asInstanceOf[FwOffset].hwm
+    files.filter(f => f._1 > a && f._1 <= b)
+      .flatMap { case (_, f, size) =>
+        FixedWidth.carve(f, size, maxSplitBytes)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -452,9 +477,14 @@ private[sources] class FixedWidthReader(split: FwSplit,
 //     drops the temp dir wholesale.
 //
 // TRUNCATE (mode("overwrite")) is recorded at build time and applied
-// inside job commit, after the new files are staged and before they
-// are published — the table never transits through an empty state
-// visible to a concurrent reader listing the directory.
+// inside job commit AFTER the new files are published: the old
+// listing is snapshotted first, the new UUID-named files are renamed
+// in (collision-free vs any previous generation), and only then are
+// the stale files deleted. A concurrent reader listing mid-commit can
+// see old+new rows briefly (directory listings are not transactional
+// — the landedDirWith manifest fence in Tables.scala is the
+// real isolation mechanism), but never an empty or truncated table;
+// a crash between publish and delete leaves a superset, never a loss.
 // ---------------------------------------------------------------------
 
 private[sources] class FixedWidthWriteBuilder(path: String,
@@ -506,10 +536,16 @@ private[sources] class FixedWidthBatchWrite(path: String,
     val root = new Path(path)
     val fs = root.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
-    if (truncate)
-      FixedWidth.listDataFiles(fs, root)
-        .foreach(st => fs.delete(st.getPath, false))
-    messages.foreach { case FwCommit(tmp) =>
+    // snapshot the PRE-commit generation first, publish the new files,
+    // and only then delete the stale ones — the reverse order would
+    // expose an empty/partial table to a concurrent lister and a crash
+    // between delete and rename would truncate it. New names carry a
+    // per-task UUID, so they cannot collide with (or be mistaken for)
+    // a stale-generation file in the snapshot.
+    val stale: Array[Path] =
+      if (truncate) FixedWidth.listDataFiles(fs, root).map(_.getPath)
+      else Array.empty
+    val published = messages.map { case FwCommit(tmp) =>
       val src = new Path(tmp)
       val dst = new Path(root, src.getName.stripPrefix("_"))
       // rename returns FALSE (not an exception) on HDFS when the
@@ -519,7 +555,9 @@ private[sources] class FixedWidthBatchWrite(path: String,
       if (!fs.rename(src, dst))
         throw new java.io.IOException(
           s"commit failed to publish $src -> $dst")
-    }
+      dst
+    }.toSet
+    stale.filterNot(published).foreach(p => fs.delete(p, false))
     fs.delete(new Path(root, "_temp"), true)
   }
 
@@ -567,7 +605,23 @@ private[sources] class FixedWidthDataWriter(root: String,
         else f.dt match {
           case LongType =>
             java.lang.Long.toString(row.getLong(i)).getBytes("UTF-8")
-          case StringType => row.getUTF8String(i).getBytes
+          case StringType =>
+            val b = row.getUTF8String(i).getBytes
+            // blank-padding is the NULL encoding and the reader trims
+            // the padding back off, so "" and leading/trailing blanks
+            // cannot round-trip ("" reads back NULL, "  x " reads back
+            // "x"). Reject them loudly — same policy as slot overflow;
+            // silent value corruption is the bug this sink exists to
+            // prevent.
+            require(b.length > 0,
+              s"empty string in slot ${f.name} is not representable " +
+                "in a blank-padded layout (reads back as NULL); " +
+                "write NULL explicitly or a sentinel value")
+            require(b(0) != ' ' && b(b.length - 1) != ' ',
+              s"string with leading/trailing blanks in slot ${f.name} " +
+                "does not round-trip a blank-padded layout (padding " +
+                "is trimmed on read)")
+            b
           case other => throw new IllegalStateException(other.toString)
         }
       require(bytes.length <= f.len,

@@ -251,6 +251,70 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("sink rejects strings that cannot round-trip blank padding") {
+    val s = spark
+    import s.implicits._
+    // "" reads back as NULL, "  x " reads back as "x" — both must be
+    // rejected loudly (same policy as slot overflow), not silently
+    // corrupted through the round trip
+    for (bad <- Seq("", " x", "x ", "  x ")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("fw_spec_badstr").toString
+      val ex = intercept[Exception] {
+        Seq((1L, bad, 1L)).toDF("id", "tag", "v")
+          .write.format("graft.sources.FixedWidthSource")
+          .option("fields", fields).mode("overwrite").save(dir)
+      }
+      assert(ex.getMessage != null, s"bad=$bad")
+    }
+  }
+
+  test("streaming offsets are name-based: checkpoint restart with a " +
+      "newly-landed file reads exactly the new file") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("fw_spec_restart").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("fw_spec_restart_ckpt").toString
+    def land(name: String, base: Long): Unit = {
+      val lines = (1 to 10).map(i =>
+        f"${base + i}%6d${"t"}%4s${i.toLong}%8d")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val out = java.nio.file.Files
+      .createTempDirectory("fw_spec_restart_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.FixedWidthSource")
+        .option("fields", fields)
+        .option("filespertrigger", "1")
+        .option("path", dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land("part-001.txt", 100); land("part-002.txt", 200)
+    drain()
+    assert(spark.read.parquet(out).count() == 20L)
+    // a new file lands AFTER the first drain; the restarted query
+    // resumes from the checkpointed high-water NAME — a positional
+    // offset over the re-sorted (grown) listing would re-read or skip
+    // a file here. 30 rows total = exactly the new file was appended.
+    land("part-003.txt", 300)
+    drain()
+    val got = spark.read.parquet(out).collect()
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq ==
+      ((101L to 110L) ++ (201L to 210L) ++ (301L to 310L)).toSeq,
+      s"restart re-read or skipped files: ${got.length} rows")
+  }
+
   test("reader fails loudly on a non-digit byte in a long slot") {
     val dir = writeFixture(Seq("    1a  ab      10"))
     val ex = intercept[Exception] { read(dir).collect() }
