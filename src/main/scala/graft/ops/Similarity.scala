@@ -1757,18 +1757,34 @@ object Similarity {
           |SELECT qid, rank, vid, cos FROM rk WHERE rank <= 3
           |ORDER BY qid, rank""".stripMargin)),
 
-    // ----- embedding-cosine near-dup: label-bucketed pair generation with
-    // a bounded probe set (vec_id % 10 = 0); emits pairs above 0.25.
+    // ----- embedding-cosine near-dup: a BOUNDED PROBE BATCH verified
+    // exactly against its label partition. The probe stride is
+    // data-dependent — greatest(10, N/200) on BOTH engines (the
+    // m_semdedup convention) — so the batch stays ~200 probes at any
+    // corpus size: identical output at the gate scales (N ≤ 2000 ⇒
+    // stride 10, the historical form) while candidates and output stay
+    // LINEAR in N (fixed probes × label partition), not quadratic.
+    // Why not gate pairs by k-means cell / LSH bucket instead (the
+    // m_semdedup scheme)? MEASURED on this fixture: within-label
+    // cosines are N(0, 1/√64) — label is uncorrelated with direction —
+    // and only 102/442 of the cos ≥ 0.25 pairs at sf0.1 share a
+    // 10-cell k-means cell (recall 0.23). Cell-gating is the right
+    // shape when near-dups are genuinely clustered (m_semdedup's
+    // contract); for an EXACT threshold scan over unclustered vectors
+    // the only scale-safe lever is the probe workload itself.
+    // Execution shape: the probe batch (~200 rows) is BROADCAST, so
+    // the corpus is scanned exactly once, map-only — no shuffle of the
+    // big side at any scale; the only wide op is the final sort.
     Q("m_embed_neardup",
       (s, d) => {
+        val stride = math.max(10L, corpusSize(s, d) / 200L)
         val e = normed(s, d)
-        val probes = e.filter(col("vec_id") % 10 === 0)
+        val probes = e.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("v1"), col("label"), col("e").as("e1"),
             col("nrm").as("n1"))
-        probes.join(
-            e.select(col("vec_id").as("v2"), col("label"), col("e").as("e2"),
-              col("nrm").as("n2")),
-            Seq("label"))
+        e.select(col("vec_id").as("v2"), col("label"), col("e").as("e2"),
+            col("nrm").as("n2"))
+          .join(broadcast(probes), Seq("label"))
           .filter(col("v1") < col("v2"))
           .withColumn("cos",
             round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
@@ -1782,7 +1798,8 @@ object Similarity {
           |         a.embedding AS qe, b.embedding AS ee
           |  FROM embeddings a JOIN embeddings b
           |    ON a.label = b.label AND a.vec_id < b.vec_id
-          |  WHERE a.vec_id % 10 = 0
+          |  WHERE a.vec_id % greatest(10,
+          |    (SELECT count(*) FROM embeddings) // 200) = 0
           |), u AS (
           |  SELECT label, v1, v2, CAST(unnest(qe) AS DOUBLE) AS x,
           |         CAST(unnest(ee) AS DOUBLE) AS y FROM p
