@@ -1341,17 +1341,33 @@ object Similarity {
     // pipeline thresholds on.
     Q("m_simhash_hamming",
       (s, d) => {
-        val sig = simhashSigs(s, d)
-        val bands = sig.select(col("doc_id"), col("simhash"),
+        // DEGREE VIA SIGNATURE MULTIPLICITY, never doc pairs. Duplicate
+        // content hashes to IDENTICAL signatures (the sf1 replication
+        // fixture has one signature on 274 docs; a 100-TB crawl is
+        // worse), so expanding doc-level pairs is quadratic in the
+        // multiplicity — ~5M pairs at sf1 for an output of 50k degree
+        // counts. Instead: group to DISTINCT signatures with counts,
+        // then per doc with signature s
+        //   n_near(s) = (cnt(s) - 1)                 [hd = 0, no pairs]
+        //             + Σ_{hd(s,s')=1} cnt(s')       [hd = 1 mass]
+        // The hd=1 search runs the pigeonhole bands over distinct
+        // signatures only (18k vs 50k rows at sf1, buckets collapse),
+        // and a hd=1 pair differs inside exactly ONE band, so it
+        // surfaces in exactly one bucket — no dedup pass at all.
+        // Checkpointed: signatures feed the distinct-group AND the
+        // final degree join.
+        val sig = simhashSigs(s, d).localCheckpoint()
+        val cnt = sig.groupBy("simhash").agg(count(lit(1)).as("cnt"))
+        val bands = cnt.select(col("simhash"), col("cnt"),
           explode(array(
             struct(lit(0).as("band"),
               shiftright(col("simhash"), simhashBits / 2).as("k")),
             struct(lit(1).as("band"),
               col("simhash").bitwiseAND((1L << (simhashBits / 2)) - 1)
                 .as("k")))).as("bk"))
-          .select(col("doc_id"), col("simhash"),
+          .select(col("simhash"), col("cnt"),
             col("bk.band").as("band"), col("bk.k").as("k"))
-        val pairStruct = struct(col("doc_id"), col("simhash"))
+        val pairStruct = struct(col("simhash"), col("cnt"))
         val buckets = bands.groupBy("band", "k")
           .agg(array_sort(collect_set(pairStruct)).as("ms"))
           .filter(size(col("ms")) >= 2)
@@ -1359,22 +1375,23 @@ object Similarity {
             sequence(lit(1), size(col("ms")) - 1),
             i => transform(slice(col("ms"), i + 1, size(col("ms")) - i),
               x => struct(
-                element_at(col("ms"), i).getField("doc_id").as("d1"),
                 element_at(col("ms"), i).getField("simhash").as("h1"),
-                x.getField("doc_id").as("d2"),
-                x.getField("simhash").as("h2")))))).as("p"))
-          .select(col("p.d1").as("d1"), col("p.h1").as("h1"),
-            col("p.d2").as("d2"), col("p.h2").as("h2"))
-          .distinct()
-        val near = cand
-          .filter(expr("bit_count(h1 ^ h2)") <= 1)
-          .select(col("d1"), col("d2"))
-        val deg = near.select(col("d1").as("doc_id"))
-          .unionAll(near.select(col("d2").as("doc_id")))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-        sig.select("doc_id").join(deg, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_near"), lit(0L)).as("n_near"))
+                element_at(col("ms"), i).getField("cnt").as("c1"),
+                x.getField("simhash").as("h2"),
+                x.getField("cnt").as("c2")))))).as("p"))
+          .select(col("p.h1").as("h1"), col("p.c1").as("c1"),
+            col("p.h2").as("h2"), col("p.c2").as("c2"))
+        val near1 = cand.filter(expr("bit_count(h1 ^ h2)") === 1)
+        val mass = near1.select(col("h1").as("simhash"), col("c2").as("m"))
+          .unionAll(
+            near1.select(col("h2").as("simhash"), col("c1").as("m")))
+          .groupBy("simhash").agg(sum(col("m")).as("m1"))
+        val degPerSig = cnt.join(mass, Seq("simhash"), "left")
+          .select(col("simhash"),
+            (col("cnt") - 1 + coalesce(col("m1"), lit(0L)))
+              .as("n_near"))
+        sig.join(degPerSig, Seq("simhash"))
+          .select(col("doc_id"), col("n_near"))
           .orderBy("doc_id")
       },
       Some(
