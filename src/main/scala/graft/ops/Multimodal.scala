@@ -109,7 +109,21 @@ object Multimodal {
     * genuinely zlib-compressed and the decode stage's independent JDK
     * parser must inflate them to get the pixels back.
     */
-  def encodePartitions(docs: DataFrame): DataFrame = {
+  /** The codec stages are CPU-bound per ROW, but Spark sizes scan
+    * partitions by BYTES (maxPartitionBytes bin-packing) — a corpus of
+    * small text rows packs into very few partitions and the whole
+    * encode→decode chain then runs on a handful of cores (measured:
+    * sf1's 5.7 MB documents table became ONE partition = one thread =
+    * 24 s of serialized codec work). Hash-repartitioning on doc_id to
+    * the cluster's parallelism before the codec stage costs one tiny
+    * shuffle and decouples codec parallelism from input byte size —
+    * the standard move before any expensive per-row transform. */
+  private def codecSpread(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
+  def encodePartitions(docs0: DataFrame): DataFrame = {
+    val docs = codecSpread(docs0)
     val enc = org.apache.spark.sql.Encoders.row(pngSchema)
     docs.select("doc_id", "text").mapPartitions { it =>
       val deflater = new java.util.zip.Deflater(
@@ -149,7 +163,12 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+        // the factory default is a FILE-backed cache stream — one temp
+        // file created+deleted per blob, which turns the decode stage
+        // into a kernel-syscall storm (measured 90%+ system CPU across
+        // 21 cores at sf1). The blob is already fully in memory.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         reader.setInput(iis)
         val img = reader.read(0)
@@ -194,7 +213,12 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+        // the factory default is a FILE-backed cache stream — one temp
+        // file created+deleted per blob, which turns the decode stage
+        // into a kernel-syscall storm (measured 90%+ system CPU across
+        // 21 cores at sf1). The blob is already fully in memory.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         reader.setInput(iis)
         val img = reader.read(0)
@@ -433,7 +457,8 @@ object Multimodal {
     * renders 8 zero samples. Spec-conformant RIFF: fmt chunk then data
     * chunk, all sizes little-endian.
     */
-  def encodeWavPartitions(docs: DataFrame): DataFrame = {
+  def encodeWavPartitions(docs0: DataFrame): DataFrame = {
+    val docs = codecSpread(docs0) // see encodePartitions: CPU-bound
     val enc = org.apache.spark.sql.Encoders.row(wavSchema)
     docs.select("doc_id", "text").mapPartitions { it =>
       it.map { r =>
@@ -482,11 +507,55 @@ object Multimodal {
   def decodeWavPartitions(blobs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(audioSchema)
     blobs.select("doc_id", "wav").mapPartitions { it =>
+      // resolve THE succeeding AudioFileReader provider once per
+      // partition (the PNG path's ImageReader discipline) and reuse it
+      // for every blob. Two per-blob traps measured on 32 threads:
+      // the AudioSystem facade re-runs a synchronized SPI scan per
+      // call, and even a raw provider-list walk stalls — the list
+      // leads with SoftMidiAudioFileReader, whose rejection probe
+      // routes through the GLOBALLY SYNCHRONIZED
+      // JDK13Services.getProviders (thread dump: 31/32 executor
+      // threads BLOCKED on that monitor, CPU idle, 13 s wall for 50k
+      // sub-KB blobs). Probing the provider order once per partition
+      // and pinning the winner makes the per-blob path lock-free.
+      val readers = {
+        val it2 = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator()
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[javax.sound.sampled.spi.AudioFileReader]
+        while (it2.hasNext) buf += it2.next()
+        buf.toArray
+      }
+      var chosen: javax.sound.sampled.spi.AudioFileReader = null
+      def open(bytes: Array[Byte])
+          : javax.sound.sampled.AudioInputStream = {
+        if (chosen != null)
+          // a homogeneous blob column decodes with one provider; if a
+          // later blob genuinely isn't WAV, fail loudly below rather
+          // than silently re-probing as a different format
+          return chosen.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+        var i = 0
+        while (i < readers.length) {
+          try {
+            val ais = readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            chosen = readers(i)
+            return ais
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          }
+          i += 1
+        }
+        // loud-failure policy: an unparseable blob is data corruption
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          s"no provider of ${readers.length} recognises the blob")
+      }
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = open(bytes)
         val fmt = ais.getFormat
         require(fmt.getChannels == 1 &&
           fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
