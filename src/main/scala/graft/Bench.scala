@@ -95,6 +95,25 @@ object Bench {
       name -> (if (runs.exists(_ < 0)) -1.0
         else runs.sorted.apply((nRuns - 1) / 2))
     }
+    // Per-query coefficient of variation across the interleaved runs
+    // (round-9 verdict ask): round-over-round total deltas on this host
+    // are dominated by kernel-burst smear larger than most real
+    // regressions, so the artifact now carries each query's OWN
+    // measured dispersion — a cross-round delta is attributable only
+    // when it exceeds what the query's samples already swing by.
+    val covs: Map[String, Double] =
+      if (nRuns < 2) Map.empty
+      else names.flatMap { name =>
+        val runs = samples.map(_(name)).filter(_ >= 0)
+        if (runs.size < 2) None
+        else {
+          val mean = runs.sum / runs.size
+          val sd = math.sqrt(
+            runs.map(x => (x - mean) * (x - mean)).sum / (runs.size - 1))
+          if (mean <= 0) None
+          else Some(name -> math.rint(sd / mean * 1000) / 1000)
+        }
+      }.toMap
     val statName = if (nRuns % 2 == 1) "median" else "median_lower"
     // Regression envelopes (round 8): bench_envelope.json holds each
     // query's historical QUIET-WINDOW median at sf0.1. A query > 3x
@@ -132,6 +151,20 @@ object Bench {
       case (k, v) if v >= 0 && envelope.get(k).exists(e => v > 3 * e) =>
         "\"" + k + "\""
     }.mkString("[", ",", "]")
+    // Variance-aware regression list: a query is delta-flagged when its
+    // median exceeds the envelope by more than 3x its OWN measured CoV
+    // (and by an absolute 0.3 s floor, so sub-second queries don't flag
+    // on scheduler jitter). Unlike `flagged` (the coarse 3x-envelope
+    // burst detector), this is the list a regression claim should cite:
+    // it scales the tolerance to how noisy that query measurably is.
+    val deltaFlagged = results.collect {
+      case (k, v) if v >= 0 && envelope.contains(k) &&
+          covs.contains(k) && {
+            val e = envelope(k)
+            v - e > 0.3 && (v - e) / e > 3 * math.max(covs(k), 0.02)
+          } =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -150,7 +183,10 @@ object Bench {
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("[]")
       s""","scaling_flagged":$fl"""
     } catch { case _: Throwable => "" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flagged":$flagged$scaling,"warmup_sec":$warmup,"runs_per_query":$nRuns,"stat":"$statName","sf":"$sfDir"}"""
+    val covJson = covs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flagged":$flagged,"delta_flagged":$deltaFlagged,"cov":$covJson$scaling,"warmup_sec":$warmup,"runs_per_query":$nRuns,"stat":"$statName","sf":"$sfDir"}"""
     // stdout for the driver's capture AND a file for when the captured
     // tail truncates (VERDICT r3: "parsed": null on a long stdout line)
     println(json)
