@@ -2,15 +2,31 @@ package graft
 import graft.ops.Fuzz
 import graft.ops.Fuzz._
 object FuzzInventory {
+  /** Expression-level tags — today just the VARIANT round trip, which
+    * lives inside expressions rather than plan nodes. */
+  def exOps(e: Ex): Set[String] = e match {
+    case VarE(a) => exOps(a) + "variant"
+    case AMod(a, _) => exOps(a)
+    case Bin(_, a, b) => exOps(a) ++ exOps(b)
+    case NullIfE(a, b) => exOps(a) ++ exOps(b)
+    case CoalE(a, b) => exOps(a) ++ exOps(b)
+    case IfE(p, t, el) => prOps(p) ++ exOps(t) ++ exOps(el)
+    case UpperE(a) => exOps(a)
+    case SubstrE(a, _, _) => exOps(a)
+    case ConcatE(a, b) => exOps(a) ++ exOps(b)
+    case LenE(a) => exOps(a)
+    case CastD(a) => exOps(a)
+    case _ => Set.empty
+  }
   def prOps(p: Pr): Set[String] = p match {
-    case _: Cmp => Set("cmp")
-    case _: IsNull => Set("isnull")
+    case Cmp(_,a,b) => exOps(a)++exOps(b)+"cmp"
+    case IsNull(a,_) => exOps(a)+"isnull"
     case AndP(a,b) => prOps(a)++prOps(b)+"and"
     case OrP(a,b) => prOps(a)++prOps(b)+"or"
     case NotP(a) => prOps(a)+"not"
-    case _: NsEq => Set("nseq")
-    case _: InP => Set("in")
-    case _: LikeP => Set("like")
+    case NsEq(a,b,_) => exOps(a)++exOps(b)+"nseq"
+    case InP(a,_) => exOps(a)+"in"
+    case LikeP(a,_) => exOps(a)+"like"
   }
   private def agName(a: Ag): String = a match {
     case _: AvgL => "avg"; case _: SumL => "sum"
@@ -19,9 +35,10 @@ object FuzzInventory {
   }
   def ops(p: Pl): Set[String] = p match {
     case _: Scan => Set("scan")
-    case Proj(in,_) => ops(in)+"proj"
+    case Proj(in,outs) =>
+      ops(in)+"proj"++outs.flatMap(o => exOps(o._2)).toSet
     case Filt(in,pr) => ops(in)+"filt"++prOps(pr)
-    case FiltSub(in,_,_,sub) => ops(in)++ops(sub)+"filtsub"
+    case FiltSub(in,a,_,sub) => ops(in)++ops(sub)++exOps(a)+"filtsub"
     case Agg(in,_,aggs) => ops(in)+"agg"++aggs.map(x=>agName(x._2)).toSet
     case Roll(in,_,aggs,cube,gid) =>
       ops(in)+(if (cube) "cube" else "rollup")++
@@ -30,7 +47,7 @@ object FuzzInventory {
     case Jn(l,r,_,_,jt) => ops(l)++ops(r)+("join_"+jt)
     case Dist(in) => ops(in)+"distinct"
     case Wnd(in,_,f,_,_,_,_) => ops(in)+("wnd_"+f)
-    case Expl(in,_,_,_) => ops(in)+"explode"
+    case Expl(in,_,a,b) => ops(in)++exOps(a)++exOps(b)+"explode"
     case Lim(in,_) => ops(in)+"limit"
     case UnionA(l,r) => ops(l)++ops(r)+"union"
     case SetOp(l,r,o) => ops(l)++ops(r)+("set_"+o)

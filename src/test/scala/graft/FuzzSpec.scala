@@ -54,4 +54,41 @@ class FuzzSpec extends SparkSpec {
     assert(fs.isEmpty,
       s"${fs.size}/$checked fuzzed plans diverged:\n${fs.mkString("\n")}")
   }
+
+  test("pipe-rendered linear plans match the reference interpreter") {
+    // the |> surface is parser-level: every linear chain the generator
+    // emits must produce the SAME multiset through spark.sql(pipe) as
+    // through the DataFrame rendering and the interpreter
+    Fuzz.pipeViews(spark, sf)
+    val failures = Seq.newBuilder[String]
+    var rendered = 0
+    var nonEmpty = 0
+    (1 to cases).foreach { seed =>
+      val plan = Fuzz.gen(seed.toLong)
+      Fuzz.toPipe(plan).foreach { pipe =>
+        rendered += 1
+        val want = Fuzz.canon(plan.schema, Fuzz.interp(plan, base))
+        val got = Fuzz.canon(plan.schema,
+          spark.sql(pipe).collect()
+            .map(r => r.toSeq.toVector: Fuzz.Row).toSeq)
+        if (want.nonEmpty) nonEmpty += 1
+        if (got != want) {
+          val diff =
+            (got.diff(want).take(3).map("spark-only: " + _) ++
+              want.diff(got).take(3).map("interp-only: " + _))
+              .mkString("\n  ")
+          failures += s"""seed=$seed rows(spark)=${got.size} rows(interp)=${want.size}
+                         |  $diff
+                         |  pipe:
+                         |${pipe}""".stripMargin
+        }
+      }
+    }
+    val fs = failures.result()
+    info(s"$rendered/$cases plans pipe-renderable, $nonEmpty non-empty")
+    assert(rendered >= cases / 20,
+      s"pipe coverage too thin: $rendered/$cases linear chains")
+    assert(fs.isEmpty,
+      s"${fs.size}/$rendered pipe plans diverged:\n${fs.mkString("\n")}")
+  }
 }
