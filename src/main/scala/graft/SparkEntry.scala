@@ -1,6 +1,7 @@
 package graft
 import graft.ops.{Ext, Fuzz, Graph, Inference, Ingest, Mining, Multimodal,
-  Q, Relational, Similarity, Stats, Storage, Text, Tpch, Typed, Windows}
+  Q, Relational, Similarity, Sql4, Stats, Storage, Text, Tpch, Typed,
+  Windows}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +16,7 @@ object SparkEntry {
     Relational.all ++ Windows.all ++ Stats.all ++ Graph.all ++ Text.all ++
       Ext.all ++ Tpch.all ++ Similarity.all ++ Ingest.all ++
       Multimodal.all ++ Storage.all ++ Mining.all ++ Inference.all ++
-      Typed.all ++ Fuzz.all ++
+      Typed.all ++ Sql4.all ++ Fuzz.all ++
       graft.streaming.Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

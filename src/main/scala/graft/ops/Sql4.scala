@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-4 SQL-surface wave: the session-level SQL features a reference
+  * user migrating to this engine would reach for that no prior board
+  * query exercises — SQL UDFs (CREATE FUNCTION ... RETURN), session
+  * variables (DECLARE / SET VAR), dynamic SQL (EXECUTE IMMEDIATE ...
+  * USING), parameterized identifiers (IDENTIFIER(:tbl) with the
+  * `sql(text, args)` API), string collations (UTF8_LCASE), and ordered
+  * string aggregation (listagg WITHIN GROUP).
+  *
+  * All six are thin declarative layers over plans Catalyst already
+  * optimizes — a SQL UDF inlines into the expression tree (it is NOT a
+  * black-box function call: the grouped aggregate below still gets
+  * whole-stage codegen and partial aggregation), EXECUTE IMMEDIATE
+  * re-parses into the same plan the inlined text would get, and a
+  * collated group-by hashes the collation key exactly like any other
+  * grouping expression. Scale cost is therefore identical to the
+  * equivalent plain query; the value is API fidelity.
+  *
+  * Cross-engine exactness follows the SURVEY §5 conventions: money/value
+  * sums via DECIMAL(18,2)→DOUBLE, thresholds built from exact doubles
+  * (max/4 — IEEE division by a power of two is exact), bucket edges via
+  * floor (never round), integer counts.
+  */
+object Sql4 {
+
+  private def eventsView(s: SparkSession, d: String): Unit =
+    Tables.events(s, d).createOrReplaceTempView("events")
+
+  val all: Seq[Q] = Seq(
+
+    // ----- SQL UDFs, nested: g_blabel calls g_bucket; both inline into
+    // the aggregate's expression tree (EXPLAIN shows floor(value/50)
+    // directly under the HashAggregate — zero call overhead, codegen
+    // intact, partial aggregation preserved). The bucket edge uses
+    // floor of an IEEE-exact division; a value landing exactly on an
+    // edge (multiples of 50 exist in the fixture) divides exactly in
+    // both engines, so the label can never flip.
+    Q("m_sql_udf",
+      (s, d) => {
+        eventsView(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_bucket(v DOUBLE)
+                |RETURNS INT RETURN CAST(floor(v / 50.0D) AS INT)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_blabel(v DOUBLE)
+                |RETURNS STRING
+                |RETURN concat('b', CAST(g_bucket(v) AS STRING))""".stripMargin)
+        s.sql("""SELECT g_blabel(value) AS bucket, count(*) AS n,
+                |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                |    AS sum_value
+                |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some(
+        """SELECT concat('b', CAST(CAST(floor(value / 50.0) AS INT)
+          |    AS VARCHAR)) AS bucket,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- Session variable driving a filter: DECLARE + SET VAR from a
+    // scalar subquery, then referenced like a column-free constant. The
+    // threshold max(value)/4 is exact (max is order-independent;
+    // division by 4 is an exponent shift), so the > comparison can
+    // never straddle an ulp between engines. The variable is resolved
+    // at plan time to a literal — the filter is pushed into the scan
+    // exactly as a hand-written constant would be.
+    Q("m_sql_variable",
+      (s, d) => {
+        eventsView(s, d)
+        s.sql("DECLARE OR REPLACE VARIABLE g_thresh DOUBLE")
+        s.sql("SET VAR g_thresh = (SELECT max(value) / 4 FROM events)")
+        s.sql("""SELECT event_type, count(*) AS n
+                |FROM events WHERE value > g_thresh
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some(
+        """SELECT event_type, count(*) AS n
+          |FROM events
+          |WHERE value > (SELECT max(value) / 4 FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- Dynamic SQL: EXECUTE IMMEDIATE over a sql-string with NAMED
+    // parameter markers bound by USING. The inner text re-parses and
+    // re-optimizes into the same pushed-filter aggregate the literal
+    // query gets; parameters are bound as literals (no injection
+    // surface, no plan-cache keying on the string).
+    Q("m_exec_immediate",
+      (s, d) => {
+        eventsView(s, d)
+        s.sql(
+          """EXECUTE IMMEDIATE
+            |  'SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+            |   FROM events WHERE event_type = :t AND value >= :v
+            |   GROUP BY event_type, user_id % 10
+            |   ORDER BY cohort'
+            |USING 'click' AS t, 100.0D AS v""".stripMargin)
+      },
+      Some(
+        """SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+          |FROM events WHERE event_type = 'click' AND value >= 100.0
+          |GROUP BY event_type, user_id % 10
+          |ORDER BY cohort""".stripMargin)),
+
+    // ----- IDENTIFIER clause + the parameterized `sql(text, args)` API:
+    // the table name arrives as a bound parameter (the templated-ETL
+    // pattern — one query text fanned across a table list at 100 TB),
+    // resolved at analysis time so everything downstream (pruning,
+    // pushdown, partial agg) is identical to the literal-name plan.
+    Q("m_identifier",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag AS flag, count(*) AS n,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS qty
+            |FROM IDENTIFIER(:tbl) GROUP BY 1 ORDER BY 1""".stripMargin,
+          Map("tbl" -> "lineitem"))
+      },
+      Some(
+        """SELECT l_returnflag AS flag, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- Collated grouping: UTF8_LCASE merges case-variant keys in
+    // the HASH AGGREGATE itself (the collation key is what's hashed and
+    // shuffled — one keyed exchange, same shape as any group-by), not
+    // via a lower() projection. The fixture has no case variance, so we
+    // manufacture it deterministically (even event_ids upper-cased);
+    // the emitted key is lower()ed because a case-insensitive group's
+    // representative is whichever variant a partition saw first —
+    // nondeterministic by contract.
+    Q("m_collation",
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("mixed",
+          when(col("event_id") % 2 === 0, upper(col("event_type")))
+            .otherwise(col("event_type")))
+        e.groupBy(expr("collate(mixed, 'UTF8_LCASE')").as("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
+          .select(lower(col("k")).cast("string").as("etype"),
+            col("n"), col("sum_value"))
+          .orderBy("etype")
+      },
+      Some(
+        """SELECT lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+          |    ELSE event_type END) AS etype,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- listagg WITHIN GROUP (ORDER BY): ordered string aggregation
+    // over a dimension-bounded group (nations per region, ≤ 25 rows) —
+    // the report-building surface. For unbounded groups the board's
+    // f2_collect_agg convention (array_sort ∘ collect_list, size-capped)
+    // applies; listagg shares its scale contract: group payload must be
+    // bounded, and here it is by the dimension's own cardinality.
+    Q("m_listagg",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.region(s, d).createOrReplaceTempView("region")
+        s.sql(
+          """SELECT r_name,
+            |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+            |    AS members,
+            |  count(*) AS n
+            |FROM nation JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      },
+      Some(
+        """SELECT r_name,
+          |  string_agg(n_name, ',' ORDER BY n_name) AS members,
+          |  count(*) AS n
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin)))
+}

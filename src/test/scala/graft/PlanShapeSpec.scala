@@ -79,7 +79,11 @@ class PlanShapeSpec extends SparkSpec {
     // alignment — all keyed or broadcast-capsule
     "m_dedup_recall", "m_conversion_lag", "m_attribution",
     "m_conformal", "m_skyline", "m_typed_agg", "m_eb_shrinkage",
-    "m_hill_tail", "m_calibration", "m_gdpr_delete")
+    "m_hill_tail", "m_calibration", "m_gdpr_delete",
+    // round 10 SQL-surface wave: the UDF/variable/dynamic-SQL layers
+    // must plan exactly like their inlined twins (keyed or join-free)
+    "m_sql_udf", "m_sql_variable", "m_exec_immediate", "m_identifier",
+    "m_collation", "m_listagg")
 
   test("m_spearman picks up ranks via broadcast joins, never a shuffle") {
     // The 100-TB contract of the frequency-table rank design: the
