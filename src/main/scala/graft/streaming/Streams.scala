@@ -270,6 +270,112 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** transformWithState output row: one per (user, event_type). */
+  case class TwsOut(user_id: Long, event_type: String, n: Long,
+                    sum_value: Double)
+
+  /** StatefulProcessor for [[twsTypeCounts]] — the Spark-4 arbitrary-
+    * state API (the successor to mapGroupsWithState): typed state
+    * PRIMITIVES instead of one opaque blob. Per user, a MapState keyed
+    * by event_type holds (count, exact 4dp-scaled sum) and a ValueState
+    * holds the user's total row count; each batch updates both and
+    * re-emits the user's current per-type totals (update semantics).
+    * Unlike mapGroupsWithState's single-value state, the MapState is
+    * point-addressable in the store — a user with 10k types updates 1
+    * entry per row, not a 10k-entry blob per batch — which is the
+    * 100-TB reason this API exists. Requires the RocksDB state store
+    * provider (the only one with multi-column-family support).
+    */
+  private class TwsTypeCounts
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), TwsOut] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var perType: MapState[String, (Long, Long)] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      perType = getHandle.getMapState[String, (Long, Long)](
+        "perType", E.STRING, E.tuple(E.scalaLong, E.scalaLong),
+        TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "total", E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsOut] = {
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { case (_, t, vSc) =>
+        val (c, sSc) =
+          if (perType.containsKey(t)) perType.getValue(t) else (0L, 0L)
+        perType.updateValue(t, (c + 1L, sSc + vSc))
+        n += 1L
+      }
+      total.update(n)
+      perType.iterator().map { case (t, (c, sSc)) =>
+        TwsOut(user, t, c, sSc / 10000.0) }
+    }
+  }
+
+  /** Per-user per-type running counts via `transformWithState`. The
+    * value is pre-scaled to an exact 4dp long BEFORE grouping so the
+    * state update is integer arithmetic (order-independent — the same
+    * DECIMAL discipline as every windowed aggregation here). The final
+    * read-back takes each key's row with the max (n, sum) — counts are
+    * monotone, so that is the final state regardless of how many
+    * micro-batches AvailableNow split the input into (the memory sink
+    * appends one row per key per updating batch).
+    */
+  /** The transform itself, source-agnostic (MemoryStream specs feed
+    * explicit batches through it): input rows are (user_id, event_type,
+    * 4dp-scaled value). */
+  private[graft] def twsTransform(
+      typed: org.apache.spark.sql.Dataset[(Long, String, Long)])
+      : org.apache.spark.sql.Dataset[TwsOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import typed.sparkSession.implicits._
+    typed.groupByKey(_._1)
+      .transformWithState(new TwsTypeCounts, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Final-state read-back from the update-mode sink: counts are
+    * monotone per key, so the lexicographic max of (n, sum_value) is
+    * the last emitted row regardless of micro-batch count. */
+  private[graft] def twsReadBack(table: DataFrame): DataFrame =
+    table
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("n"), col("sum_value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.n").as("n"), col("m.sum_value").as("sum_value"))
+      .orderBy("user_id", "event_type")
+
+  def twsTypeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+      .map { case (u, t, v) => (u, t, scaled4(v)) }
+    val out = twsTransform(typed)
+    // transformWithState is RocksDB-only (multi-column-family state);
+    // scope the provider to this query and restore the session default
+    // (the HDFS-backed snapshot provider measured faster at fixture
+    // scale for the single-blob operators — runToMemory's note)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val table =
+      try runToMemory(s, out.toDF(), "update")
+      finally prev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None    => s.conf.unset(provKey)
+      }
+    twsReadBack(table)
+  }
+
   /** Per-user session outputs for the flatMapGroupsWithState sessionizer. */
   case class SessOut(user_id: Long, sess_start_us: Long, n: Long,
                      sum_value: Double)
@@ -1408,5 +1514,13 @@ object Streams {
         """SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
           |       max(epoch_us(ts)) AS last_ts_us
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    graft.ops.Q("m_stream_tws",
+      (s, d) => twsTypeCounts(s, d),
+      Some(
+        """SELECT user_id, event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_value
+          |FROM events GROUP BY user_id, event_type
+          |ORDER BY user_id, event_type""".stripMargin)),
   )
 }

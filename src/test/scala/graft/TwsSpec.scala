@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Multi-batch semantics of the transformWithState query
+  * (`m_stream_tws`) that the single-batch AvailableNow run and its
+  * batch oracle cannot show: the MapState/ValueState accumulation plus
+  * the max-(n,sum) read-back must land on the same final table no
+  * matter how the input is split into micro-batches — including a
+  * user whose rows span batches (state carried across batches) and a
+  * batch that re-emits a user's stale types (update semantics append
+  * one row per key per updating batch; the read-back collapses them).
+  */
+class TwsSpec extends SparkSpec {
+
+  // (user_id, event_type, 4dp-scaled value)
+  private type In = (Long, String, Long)
+  private val rows: Seq[In] = Seq(
+    (1L, "view", 105000L),
+    (1L, "click", 202500L),
+    (2L, "view", 50000L),
+    (1L, "view", 999900L),
+    (2L, "click", 77500L),
+    (3L, "signup", 10000L),
+    (1L, "click", 12500L))
+
+  private def runSplit(split: Seq[Seq[In]]): Set[(Long, String, Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[In]
+      val sink = "tws_spec_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = Streams.twsTransform(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update())
+        .start()
+      // one explicit micro-batch per split element: each addData +
+      // processAllAvailable drains exactly that slice as its own batch
+      split.foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      Streams.twsReadBack(s.table(sink)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    } finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None    => s.conf.unset(provKey)
+    }
+  }
+
+  test("read-back is invariant under micro-batch splits") {
+    val expected = Set(
+      (1L, "view", 2L, 110.49),
+      (1L, "click", 2L, 21.5),
+      (2L, "view", 1L, 5.0),
+      (2L, "click", 1L, 7.75),
+      (3L, "signup", 1L, 1.0))
+    val whole = runSplit(Seq(rows))
+    assert(whole == expected, s"single-batch result wrong: $whole")
+    // user 1 spans all three batches; batch 2 re-touches user 1's
+    // "view" after "click" already exists (stale-type re-emission)
+    val splitA = Seq(rows.take(3), rows.slice(3, 5), rows.drop(5))
+    val splitB = Seq(rows.take(1), rows.slice(1, 6), rows.drop(6))
+    assert(runSplit(splitA) == expected)
+    assert(runSplit(splitB) == expected)
+  }
+
+  test("m_stream_tws runs a transformWithState operator") {
+    val df = SparkEntry.queries("m_stream_tws")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    // the state-sizing hook records the operator the run actually used
+    val ops = Streams.lastStateMetrics.get().map(_._1)
+    assert(ops.exists(_.toLowerCase.contains("transformwithstate")),
+      s"expected a transformWithState state operator, got: $ops")
+  }
+}
