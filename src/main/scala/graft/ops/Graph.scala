@@ -1115,6 +1115,68 @@ object Graph {
            |FROM e8 GROUP BY src ORDER BY vertex""".stripMargin
       }),
 
+    // ----- K25 [EXT]: k-truss — the triangle-cohesion analogue of the
+    // k-core: the maximal subgraph where every EDGE closes >= k-2
+    // triangles (Cohen 2008). Where the k-core peels on degree (cheap,
+    // admits bipartite-ish noise), the truss peels on triangle support
+    // — the community-detection / spam-subgraph primitive that
+    // survives degree spam. Each round is the k4 triangle plan (two
+    // equi-joins over the canonical a<b edge list) + one explode to
+    // charge each triangle to its 3 edges + one (a,b)-keyed support
+    // count + a semi join — all keyed shuffles, no windows; the
+    // surviving set is localCheckpoint'ed per round (bounded lineage,
+    // one action per round, the kcore loop discipline). Support only
+    // shrinks, so |E| unchanged <=> fixpoint. At 100 TB the wedge join
+    // takes the k4b degree orientation (O(m^1.5) total regardless of
+    // skew — same semantics, proven by k4b hash-matching k4); the
+    // id-oriented form here keeps the plan textually identical to the
+    // oracle's unrolled stages. The oracle unrolls 4 MATERIALIZED
+    // stages — past the measured fixpoint (2 rounds at sf0.01 AND
+    // sf0.1; post-fixpoint stages are no-ops).
+    Q("k25_ktruss",
+      (s, d) => {
+        val und = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") =!= col("l_partkey"))
+          .select(least(col("l_orderkey"), col("l_partkey")).as("a"),
+            greatest(col("l_orderkey"), col("l_partkey")).as("b"))
+          .distinct()
+        ktrussEdges(und, k = 3)
+          .select(explode(array(col("a"), col("b"))).as("vertex"))
+          .groupBy("vertex")
+          .agg(count(lit(1)).as("deg"))
+          .orderBy("vertex")
+      },
+      Some {
+        val stages = (1 to 4).map { i =>
+          val (p, c) = (s"e${i - 1}", s"e$i")
+          s"""t$i AS MATERIALIZED (
+             |  SELECT t1.a AS a, t1.b AS b, t2.b AS c
+             |  FROM $p t1
+             |  JOIN $p t2 ON t2.a = t1.b
+             |  JOIN $p t3 ON t3.a = t1.a AND t3.b = t2.b
+             |), s$i AS MATERIALIZED (
+             |  SELECT ea, eb, count(*) AS sup FROM (
+             |    SELECT a AS ea, b AS eb FROM t$i
+             |    UNION ALL SELECT b, c FROM t$i
+             |    UNION ALL SELECT a, c FROM t$i)
+             |  GROUP BY ea, eb
+             |), $c AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM $p e
+             |  JOIN s$i s ON e.a = s.ea AND e.b = s.eb
+             |  WHERE s.sup >= 1
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+           |         greatest(l_orderkey, l_partkey) AS b
+           |  FROM lineitem WHERE l_orderkey <> l_partkey
+           |), $stages
+           |SELECT vertex, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT a AS vertex FROM e4
+           |  UNION ALL SELECT b FROM e4)
+           |GROUP BY vertex ORDER BY vertex""".stripMargin
+      }),
+
     // ----- K8: community detection by synchronous label propagation
     // (Raghavan et al. 2007) — every vertex adopts its neighbourhood's
     // modal label each round, ties broken (count DESC, label ASC) so
@@ -2208,6 +2270,45 @@ object Graph {
   private val kcoreLocalTailEdges = 500000L
 
   /** Pure-distributed twin for the hybrid-equality spec. */
+  /** k-truss peel over a canonical undirected edge list ("a" < "b",
+    * distinct): iteratively keep only edges closing >= k-2 triangles
+    * within the surviving set, to the fixpoint. Precondition matches
+    * [[triangleCounts]]' input contract (canonical, self-loop-free,
+    * distinct); returns the surviving edge set. See `k25_ktruss` for
+    * the plan-shape and scale discussion. Exposed for KtrussSpec's toy
+    * graphs.
+    */
+  private[graft] def ktrussEdges(und0: DataFrame, k: Int,
+                                 maxIter: Int = 8): DataFrame = {
+    var cur = und0.localCheckpoint()
+    var prevN = cur.count()
+    var done = false
+    var i = 0
+    while (i < maxIter && !done) {
+      val wedges = cur
+        .join(cur.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      val tri = wedges
+        .join(cur.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      val sup = tri.select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("e"))
+        .select(col("e.x").as("a"), col("e.y").as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+      val nxt = cur.join(sup, Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      val n = nxt.count()
+      // support only shrinks as edges leave, so an unchanged count is
+      // an unchanged set — the fixpoint
+      if (n == prevN) done = true else { cur = nxt; prevN = n }
+      i += 1
+    }
+    require(done, s"k-truss peel did not converge within $maxIter rounds")
+    cur
+  }
+
   private[graft] def kcoreForTest(s: SparkSession, d: String, k: Int,
                                   localTail: Long): DataFrame =
     kcore(s, d, k, localTail = localTail)
