@@ -60,6 +60,32 @@ object Sql4 {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- SQL TABLE UDF: CREATE FUNCTION ... RETURNS TABLE — the
+    // parameterized-view surface (one curated extraction reused across
+    // a pipeline with different thresholds). The body inlines as a
+    // subquery at each call site, so the outer aggregate plans exactly
+    // as if the filter were written inline: pushed scan predicate,
+    // partial aggregation, no lateral per-row evaluation.
+    Q("m_sql_table_udf",
+      (s, d) => {
+        eventsView(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_hot(th DOUBLE)
+                |RETURNS TABLE (user_id BIGINT, event_type STRING,
+                |               value DOUBLE)
+                |RETURN SELECT user_id, event_type, value
+                |       FROM events WHERE value >= th""".stripMargin)
+        s.sql("""SELECT event_type, count(*) AS n,
+                |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                |    AS sum_value
+                |FROM g_hot(400.0D)
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events WHERE value >= 400.0
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ----- Session variable driving a filter: DECLARE + SET VAR from a
     // scalar subquery, then referenced like a column-free constant. The
     // threshold max(value)/4 is exact (max is order-independent;

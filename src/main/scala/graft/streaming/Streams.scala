@@ -376,6 +376,51 @@ object Streams {
     twsReadBack(table)
   }
 
+  /** Run a checkpointed stateful aggregation, then read its state back
+    * through the Spark-4 STATE STORE READER (`format("statestore")`) —
+    * the ops surface for inspecting a production stream's state without
+    * stopping it (skew triage: which keys bloat the store; correctness
+    * triage: what a key's buffer actually holds). The stream itself
+    * sinks to noop — the RESULT here is the reader's view of the
+    * checkpoint: per-user (count, exact 4dp-scaled sum) aggregation
+    * buffers, which must equal the batch GROUP BY — the round-trip
+    * proves state encoding, the reader's buffer decoding, and the
+    * driver-side schema mapping agree. Each call lands a fresh
+    * checkpoint (UUID dir): the landing is the measured cost, like the
+    * other once-per-run streaming queries.
+    */
+  def stateReaderCounts(s: SparkSession, dir: String): DataFrame = {
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_state_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = eventsStream(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        // exact 4dp scaling BEFORE the sum (decimal quantize, never
+        // double*10000 — truncation flips the last digit), so the
+        // state buffer holds an order-independent integer
+        sum((col("value").cast("decimal(18,4)") * 10000)
+          .cast("long")).as("sum_sc"))
+    val batchParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+      val q = agg.writeStream
+        .format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchParts)
+    // the reader names buffer fields by aggregate FUNCTION, not alias
+    // ("count", "sum") — part of what this query pins
+    s.read.format("statestore").load(ckpt)
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n"),
+        (col("value.sum") / 10000.0).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Per-user session outputs for the flatMapGroupsWithState sessionizer. */
   case class SessOut(user_id: Long, sess_start_us: Long, n: Long,
                      sum_value: Double)
@@ -1513,6 +1558,13 @@ object Streams {
       Some(
         """SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
           |       max(epoch_us(ts)) AS last_ts_us
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    graft.ops.Q("m_stream_state_reader",
+      (s, d) => stateReaderCounts(s, d),
+      Some(
+        """SELECT user_id, count(*) AS n,
+          |  CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+          |    AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     graft.ops.Q("m_stream_tws",
       (s, d) => twsTypeCounts(s, d),

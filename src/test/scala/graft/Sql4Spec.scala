@@ -61,6 +61,18 @@ class Sql4Spec extends SparkSpec {
     }
   }
 
+  test("table UDF body inlines — the threshold reaches the scan") {
+    val df = SparkEntry.queries("m_sql_table_udf")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the RETURNS TABLE body must plan as the inlined filter-aggregate:
+    // the value >= 400 predicate pushed into the parquet scan, no
+    // lateral/nested evaluation node
+    assert(plan.contains("400"),
+      s"table UDF threshold missing from the physical plan:\n$plan")
+    assert(!plan.contains("LateralJoin") && !plan.contains("Invoke"),
+      s"table UDF planned as a per-row call:\n$plan")
+  }
+
   test("EXECUTE IMMEDIATE binds named parameters as literals") {
     val df = SparkEntry.queries("m_exec_immediate")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
