@@ -200,6 +200,12 @@ object Ingest {
           .option("header", "true")
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
           .csv(path)
+        // XML moved into Spark core in 4.0 — same text-format discipline
+        // as CSV (explicit schema + pinned timestampFormat on both ends)
+        case "xml" => slice.write.mode("overwrite")
+          .option("rowTag", "line")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .format("xml").save(path)
       }
       m.putIfAbsent(key, s.emptyDataFrame) // presence marker only
     }
@@ -210,6 +216,11 @@ object Ingest {
         .option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path)
+      case "xml" => s.read
+        .schema(Tables.lineitem(s, d).schema)
+        .option("rowTag", "line")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .format("xml").load(path)
     }
   }
 
@@ -393,6 +404,15 @@ object Ingest {
     // ----- A8: ORC write → read → digest vs the parquet original
     Q("a8_orc_roundtrip",
       (s, d) => digest(roundTrip(s, d, "orc")),
+      Some(digestOracle)),
+
+    // ----- A11 [EXT]: XML write → schema'd read → digest — the XML
+    // data source moved into Spark core in 4.0; same explicit-schema +
+    // pinned-timestampFormat discipline as A9's CSV leg, same digest
+    // oracle: one flipped bit in any money/quantity/timestamp flips a
+    // hash.
+    Q("a11_xml_roundtrip",
+      (s, d) => digest(roundTrip(s, d, "xml")),
       Some(digestOracle)),
 
     // ----- A9: CSV (header + pinned timestamp format) write → read with

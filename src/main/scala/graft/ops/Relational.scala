@@ -461,6 +461,31 @@ object Relational {
           |  ',"rating":' || CAST(rating AS VARCHAR) || '}' AS doc
           |FROM videos ORDER BY id""".stripMargin))),
 
+    // ----- I12 [EXT]: XML scalar functions (to_xml / from_xml, core in
+    // Spark 4) — the nested-export/parse round trip i10 does for JSON.
+    // The oracle checks the PARSED fields, not the XML text (element
+    // order/whitespace are format details; losslessness is the
+    // contract): every (views, rating) pair must survive serialize →
+    // parse bit-for-bit, and the post-parse filter proves the parsed
+    // values feed the plan, not the originals.
+    Q("i12_xml_functions",
+      (s, d) => {
+        val parsed = Tables.videos(s, d)
+          .select(col("id"),
+            to_xml(struct(col("views"), col("rating"))).as("x"))
+          .select(col("id"), from_xml(col("x"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "views BIGINT, rating DOUBLE")).as("p"))
+        parsed
+          .select(col("id"), col("p.views").as("views"),
+            col("p.rating").as("rating"))
+          .filter(col("views") % 3 === 0)
+          .orderBy("id")
+      },
+      Some(Oracles.withVideos(
+        """SELECT id, views, rating FROM videos
+          |WHERE views % 3 = 0 ORDER BY id""".stripMargin))),
+
     // ----- L1: composite-key first-wins dedup (mongo_loader.py:57-61,
     // 175-226) — deterministic winner via row_number over the key.
     Q("l1_dedup_firstwins",
