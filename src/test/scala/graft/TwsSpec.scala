@@ -75,6 +75,87 @@ class TwsSpec extends SparkSpec {
     assert(runSplit(splitB) == expected)
   }
 
+  test("event-time timers fire on watermark advance and clear state") {
+    // The other half of the transformWithState API: a session tracker
+    // that emits ONLY from handleExpiredTimer — rows buffer into state
+    // and register an event-time timer at last-seen + 1h; the session
+    // row appears when (and only when) the watermark crosses it.
+    import org.apache.spark.sql.streaming.{
+      OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+      ExpiredTimerInfo, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    class SessionTimer
+        extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
+      @transient private var st: ValueState[(Long, Long)] = _ // (n, lastMs)
+      override def init(o: OutputMode, t: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Long)](
+          "sess", E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      override def handleInputRows(
+          user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+          tv: TimerValues): Iterator[(Long, Long)] = {
+        var (n, last) = if (st.exists()) st.get() else (0L, 0L)
+        rows.foreach { case (_, ts) =>
+          n += 1; last = math.max(last, ts.getTime) }
+        st.update((n, last))
+        getHandle.registerTimer(last + 3600 * 1000L)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(
+          user: Long, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+        val out = if (st.exists()) Iterator((user, st.get()._1))
+          else Iterator.empty
+        st.clear()
+        out
+      }
+    }
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val sink = "tws_timer_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = mem.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimer, TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "n")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .start()
+      // base offset keeps every row strictly ABOVE the initial
+      // watermark (0): the late filter drops ts <= watermark, so a row
+      // at epoch 0 would silently vanish from batch 1
+      def ts(ms: Long) = new java.sql.Timestamp(10000 + ms)
+      // batch 1: user 7's session (3 rows inside a minute); watermark
+      // after the batch = ~70s — the 1h timer is NOT yet due
+      mem.addData((7L, ts(0)), (7L, ts(30000)), (7L, ts(60000)))
+      q.processAllAvailable()
+      assert(s.table(sink).count() == 0,
+        "session emitted before its gap timer expired")
+      // batch 2: a different user 3h later pushes the watermark past
+      // user 7's timer — the session row must appear, exactly once
+      mem.addData((9L, ts(3 * 3600 * 1000L)))
+      q.processAllAvailable()
+      // one more empty-ish advance so user 9's own timer stays pending
+      val rows = s.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      q.stop()
+      assert(rows == Set((7L, 3L)),
+        s"expected user 7's 3-row session only, got $rows")
+    } finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None    => s.conf.unset(provKey)
+    }
+  }
+
   test("m_stream_tws runs a transformWithState operator") {
     val df = SparkEntry.queries("m_stream_tws")(spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)
