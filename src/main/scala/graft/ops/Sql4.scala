@@ -178,6 +178,37 @@ object Sql4 {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- try_* error-safe arithmetic under ANSI mode (the Spark-4
+    // default): division by zero and out-of-range array access return
+    // NULL through the try_ family where the plain operators now raise
+    // — the bulk-pipeline posture (one bad row must not kill a 100-TB
+    // job; the null count IS the data-quality signal). Index ZERO is
+    // still an error even through try_element_at (invalid USAGE, not a
+    // runtime out-of-range — the try_ family only absorbs the latter),
+    // so the probe index is 1-based. Exactness: the
+    // dividend is floor()ed to an integral double and divisors are
+    // 1/2, so every quotient is a multiple of 0.5 and the sum is
+    // IEEE-exact in any order on both engines.
+    Q("m_try_arith",
+      (s, d) => {
+        eventsView(s, d)
+        s.sql(
+          """SELECT user_id % 7 AS grp, count(*) AS n,
+            |  count(try_divide(floor(value), user_id % 3)) AS n_div_ok,
+            |  sum(try_divide(floor(value), user_id % 3)) AS sum_div,
+            |  count(try_element_at(array('a', 'b'),
+            |    CAST(user_id % 4 + 1 AS INT))) AS n_elem
+            |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin)
+      },
+      Some(
+        """SELECT user_id % 7 AS grp, count(*) AS n,
+          |  count(CASE WHEN user_id % 3 <> 0
+          |             THEN floor(value) / (user_id % 3) END) AS n_div_ok,
+          |  sum(CASE WHEN user_id % 3 <> 0
+          |           THEN floor(value) / (user_id % 3) END) AS sum_div,
+          |  count(CASE WHEN user_id % 4 + 1 IN (1, 2) THEN 1 END) AS n_elem
+          |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin)),
+
     // ----- listagg WITHIN GROUP (ORDER BY): ordered string aggregation
     // over a dimension-bounded group (nations per region, ≤ 25 rows) —
     // the report-building surface. For unbounded groups the board's
