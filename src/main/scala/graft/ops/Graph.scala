@@ -1140,7 +1140,10 @@ object Graph {
           .select(least(col("l_orderkey"), col("l_partkey")).as("a"),
             greatest(col("l_orderkey"), col("l_partkey")).as("b"))
           .distinct()
-        ktrussEdges(und, k = 3)
+        // maxIter = the oracle's unrolled depth: a fixture whose
+        // cascade needs more rounds fails LOUDLY here (require below)
+        // instead of silently diverging from a too-shallow oracle
+        ktrussEdges(und, k = 3, maxIter = 4)
           .select(explode(array(col("a"), col("b"))).as("vertex"))
           .groupBy("vertex")
           .agg(count(lit(1)).as("deg"))

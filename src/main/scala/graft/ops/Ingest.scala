@@ -220,6 +220,10 @@ object Ingest {
         .schema(Tables.lineitem(s, d).schema)
         .option("rowTag", "line")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        // the read default (true) trims leading/trailing blanks from
+        // string values — the round trip must hold by construction,
+        // not by the fixture happening to contain no padded strings
+        .option("ignoreSurroundingSpaces", "false")
         .format("xml").load(path)
     }
   }

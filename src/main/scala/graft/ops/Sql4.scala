@@ -185,7 +185,9 @@ object Sql4 {
     // job; the null count IS the data-quality signal). Index ZERO is
     // still an error even through try_element_at (invalid USAGE, not a
     // runtime out-of-range — the try_ family only absorbs the latter),
-    // so the probe index is 1-based. Exactness: the
+    // so the probe index is 1-based and pmod keeps it positive for any
+    // sign of user_id (% would send a negative id back to the index-0
+    // error this query exists to avoid). Exactness: the
     // dividend is floor()ed to an integral double and divisors are
     // 1/2, so every quotient is a multiple of 0.5 and the sum is
     // IEEE-exact in any order on both engines.
@@ -197,7 +199,7 @@ object Sql4 {
             |  count(try_divide(floor(value), user_id % 3)) AS n_div_ok,
             |  sum(try_divide(floor(value), user_id % 3)) AS sum_div,
             |  count(try_element_at(array('a', 'b'),
-            |    CAST(user_id % 4 + 1 AS INT))) AS n_elem
+            |    CAST(pmod(user_id, 4) + 1 AS INT))) AS n_elem
             |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin)
       },
       Some(
@@ -206,7 +208,8 @@ object Sql4 {
           |             THEN floor(value) / (user_id % 3) END) AS n_div_ok,
           |  sum(CASE WHEN user_id % 3 <> 0
           |           THEN floor(value) / (user_id % 3) END) AS sum_div,
-          |  count(CASE WHEN user_id % 4 + 1 IN (1, 2) THEN 1 END) AS n_elem
+          |  count(CASE WHEN ((user_id % 4 + 4) % 4) + 1 IN (1, 2) THEN 1 END)
+          |    AS n_elem
           |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin)),
 
     // ----- listagg WITHIN GROUP (ORDER BY): ordered string aggregation

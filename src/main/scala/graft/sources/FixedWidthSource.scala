@@ -215,7 +215,19 @@ private[sources] object FwOffset {
   def parse(json: String): FwOffset =
     """"hwm"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(m => FwOffset(unesc(m.group(1))))
-      .getOrElse(throw new IllegalArgumentException(json))
+      .getOrElse {
+        // pre-hwm checkpoints used a POSITIONAL {"filesDone":N} offset
+        // (the listing-order bug this format replaced). There is no
+        // safe automatic mapping — the old index refers to whatever
+        // the listing was THEN — so fail with remediation instead of
+        // a bare parse error that reads like corruption.
+        if (json.contains("\"filesDone\"")) throw new IllegalStateException(
+          s"incompatible pre-hwm fixed-width offset $json: positional " +
+            "offsets cannot be resumed safely after the name-based " +
+            "format change; clear the query's checkpoint directory to " +
+            "re-read the table from the start")
+        else throw new IllegalArgumentException(json)
+      }
 }
 
 private[sources] case class FwSplit(file: String, start: Long, end: Long)

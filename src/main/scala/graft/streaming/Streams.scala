@@ -272,14 +272,16 @@ object Streams {
 
   /** transformWithState output row: one per (user, event_type). */
   case class TwsOut(user_id: Long, event_type: String, n: Long,
-                    sum_value: Double)
+                    sum_value: Double, n_user: Long)
 
   /** StatefulProcessor for [[twsTypeCounts]] — the Spark-4 arbitrary-
     * state API (the successor to mapGroupsWithState): typed state
     * PRIMITIVES instead of one opaque blob. Per user, a MapState keyed
     * by event_type holds (count, exact 4dp-scaled sum) and a ValueState
     * holds the user's total row count; each batch updates both and
-    * re-emits the user's current per-type totals (update semantics).
+    * re-emits the user's current per-type totals with the running
+    * user total attached (update semantics) — both state primitives
+    * are observable in the output and checked by the oracle.
     * Unlike mapGroupsWithState's single-value state, the MapState is
     * point-addressable in the store — a user with 10k types updates 1
     * entry per row, not a 10k-entry blob per batch — which is the
@@ -315,7 +317,7 @@ object Streams {
       }
       total.update(n)
       perType.iterator().map { case (t, (c, sSc)) =>
-        TwsOut(user, t, c, sSc / 10000.0) }
+        TwsOut(user, t, c, sSc / 10000.0, n) }
     }
   }
 
@@ -347,9 +349,14 @@ object Streams {
   private[graft] def twsReadBack(table: DataFrame): DataFrame =
     table
       .groupBy("user_id", "event_type")
-      .agg(max(struct(col("n"), col("sum_value"))).as("m"))
+      // n_user rides in the struct max: within a key, n ties across
+      // batches that only touched OTHER types, and the lexicographic
+      // fall-through to n_user (also monotone) picks the final row
+      .agg(max(struct(col("n"), col("sum_value"), col("n_user")))
+        .as("m"))
       .select(col("user_id"), col("event_type"),
-        col("m.n").as("n"), col("m.sum_value").as("sum_value"))
+        col("m.n").as("n"), col("m.sum_value").as("sum_value"),
+        col("m.n_user").as("n_user"))
       .orderBy("user_id", "event_type")
 
   def twsTypeCounts(s: SparkSession, dir: String): DataFrame = {
@@ -390,6 +397,19 @@ object Streams {
     * other once-per-run streaming queries.
     */
   def stateReaderCounts(s: SparkSession, dir: String): DataFrame = {
+    // each run lands a fresh checkpoint; sweep the previous ones first
+    // (best-effort) so repeated bench/verify invocations bound tmp
+    // usage at one checkpoint instead of accumulating forever
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_state_"))
+      .foreach { d0 =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(d0) catch { case _: Exception => () }
+      }
     val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_state_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val agg = eventsStream(s, dir)
@@ -1569,10 +1589,13 @@ object Streams {
     graft.ops.Q("m_stream_tws",
       (s, d) => twsTypeCounts(s, d),
       Some(
-        """SELECT user_id, event_type, count(*) AS n,
-          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-          |    AS sum_value
-          |FROM events GROUP BY user_id, event_type
-          |ORDER BY user_id, event_type""".stripMargin)),
+        """WITH g AS (
+          |  SELECT user_id, event_type, count(*) AS n,
+          |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |      AS sum_value
+          |  FROM events GROUP BY user_id, event_type)
+          |SELECT user_id, event_type, n, sum_value,
+          |  CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
+          |FROM g ORDER BY user_id, event_type""".stripMargin)),
   )
 }

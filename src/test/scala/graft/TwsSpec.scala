@@ -26,7 +26,8 @@ class TwsSpec extends SparkSpec {
     (3L, "signup", 10000L),
     (1L, "click", 12500L))
 
-  private def runSplit(split: Seq[Seq[In]]): Set[(Long, String, Long, Double)] = {
+  private def runSplit(split: Seq[Seq[In]])
+      : Set[(Long, String, Long, Double, Long)] = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -51,7 +52,7 @@ class TwsSpec extends SparkSpec {
       q.stop()
       Streams.twsReadBack(s.table(sink)).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          r.getDouble(3))).toSet
+          r.getDouble(3), r.getLong(4))).toSet
     } finally prev match {
       case Some(p) => s.conf.set(provKey, p)
       case None    => s.conf.unset(provKey)
@@ -60,11 +61,11 @@ class TwsSpec extends SparkSpec {
 
   test("read-back is invariant under micro-batch splits") {
     val expected = Set(
-      (1L, "view", 2L, 110.49),
-      (1L, "click", 2L, 21.5),
-      (2L, "view", 1L, 5.0),
-      (2L, "click", 1L, 7.75),
-      (3L, "signup", 1L, 1.0))
+      (1L, "view", 2L, 110.49, 4L),
+      (1L, "click", 2L, 21.5, 4L),
+      (2L, "view", 1L, 5.0, 2L),
+      (2L, "click", 1L, 7.75, 2L),
+      (3L, "signup", 1L, 1.0, 1L))
     val whole = runSplit(Seq(rows))
     assert(whole == expected, s"single-batch result wrong: $whole")
     // user 1 spans all three batches; batch 2 re-touches user 1's

@@ -91,8 +91,8 @@ def main() -> None:
     nfail = 0
     for name in sorted(oracles):
         entry = {"rows_match": False, "schema_match": False,
-                 "hash_match": False, "spark_rows": None,
-                 "oracle_rows": None, "err": None}
+                 "hash_match": False, "values_match": False,
+                 "spark_rows": None, "oracle_rows": None, "err": None}
         try:
             outp = os.path.join(verify_out, name)
             got = norm(
@@ -107,16 +107,18 @@ def main() -> None:
                 and all(got[c].dtype.kind == want[c].dtype.kind
                         for c in got.columns))
             if entry["rows_match"] and entry["schema_match"]:
-                entry["hash_match"] = (
-                    canon_hash(got) == canon_hash(want)
-                    # a float straddling a quantization boundary can flip
-                    # the rendered digit while still being driver-equal;
-                    # fall back to the element-wise 1e-9 comparison
-                    or values_close(got, want))
+                # hash_match means exactly what it says (quantized sha256
+                # equality); values_match is the element-wise 1e-9
+                # comparison — the driver-equivalent acceptance — kept
+                # SEPARATE so artifact diffs are not misled by a float
+                # straddling a quantization boundary
+                entry["hash_match"] = canon_hash(got) == canon_hash(want)
+                entry["values_match"] = (
+                    entry["hash_match"] or values_close(got, want))
         except Exception as e:  # noqa: BLE001 — recorded per-query
             entry["err"] = f"{type(e).__name__}: {e}"[:300]
         if not (entry["rows_match"] and entry["schema_match"]
-                and entry["hash_match"]):
+                and entry.get("values_match")):
             nfail += 1
             print(f"FAIL {name}: {entry}", file=sys.stderr)
         report[name] = entry
