@@ -212,6 +212,40 @@ object Sql4 {
           |    AS n_elem
           |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin)),
 
+    // ----- Observation API: data-quality counters that PIGGYBACK on
+    // the job's own action — df.observe attaches CollectMetrics to the
+    // plan, the noop write drives one scan, and the metrics row comes
+    // back on the driver without a second aggregation job. The 100-TB
+    // posture: row counts / null counts / value extrema per pipeline
+    // stage for free, where a separate .agg() would re-scan the stage's
+    // input. The observed row is re-shaped into a DataFrame so the
+    // DuckDB differential can check the metric VALUES.
+    Q("m_observe",
+      (s, d) => {
+        val obs = new org.apache.spark.sql.Observation()
+        Tables.events(s, d)
+          .observe(obs,
+            count(lit(1)).as("n"),
+            count(when(col("value") >= 400.0, 1)).as("n_hot"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"),
+            max(col("user_id")).as("max_user"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n").asInstanceOf[Long], m("n_hot").asInstanceOf[Long],
+          m("sum_value").asInstanceOf[Double],
+          m("max_user").asInstanceOf[Long]))
+          .toDF("n", "n_hot", "sum_value", "max_user")
+      },
+      Some(
+        """SELECT count(*) AS n,
+          |  count(CASE WHEN value >= 400.0 THEN 1 END) AS n_hot,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_value,
+          |  max(user_id) AS max_user
+          |FROM events""".stripMargin)),
+
     // ----- listagg WITHIN GROUP (ORDER BY): ordered string aggregation
     // over a dimension-bounded group (nations per region, ≤ 25 rows) —
     // the report-building surface. For unbounded groups the board's
