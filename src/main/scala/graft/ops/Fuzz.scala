@@ -13,8 +13,9 @@ import scala.util.Random
   * A seed-pinned generator composes the §2 relational operator surface —
   * project / filter / explode / join (inner, left, semi, anti, full) /
   * aggregate (incl. ROLLUP/CUBE grouping sets, count-distinct, conditional
-  * sums) / window / distinct — over the bounded fixture tables, and each
-  * generated plan is rendered by THREE coordinated backends:
+  * sums, UTF8_LCASE-collated keys) / window / distinct — over the bounded
+  * fixture tables, and each generated plan is rendered by THREE
+  * coordinated backends:
   *
   *   1. [[toDF]]   — the Spark DataFrame under test;
   *   2. [[toSql]]  — equivalent ANSI SQL for the DuckDB oracle (driver gate);
@@ -57,18 +58,20 @@ object Fuzz {
     * scalar-subquery filters, windows incl. the RANGE-frame running
     * sum, explode, distinct, set ops, and the null-semantics
     * predicates (null-safe equality, IN-lists under NOT, LIKE).
-    * Selection (round 10, after the rsrows/variant/pipe grammar
-    * extension re-rolled every seed's plan): the greedy DOUBLE cover
-    * over seeds 1-200 — every inventory tag covered by ≥ 2 distinct
-    * seeds where 1-200 offers two carriers — plus seed 252, the
-    * non-empty set_except (and variant) carrier. All 21 pass the
-    * DuckDB differential at sf0.001, sf0.01 AND sf0.1 with non-empty
-    * results (see FuzzInventory / FuzzScreen). The plan AND its
-    * oracle SQL are both re-derived from the seed at runtime, so the
-    * two sides can never drift apart. */
+    * Selection (round 10 second pass, after the UTF8_LCASE
+    * collated-aggregate construct re-rolled every seed's plan): the
+    * greedy DOUBLE cover over the 128 seeds of 1-200 that are
+    * non-empty at both gate scales — every one of the 40 inventory
+    * tags (now incl. coll_agg, carried 4×) covered by ≥ 2 distinct
+    * seeds where the pool offers two carriers — plus 252 and 278, the
+    * set_except carriers (278 also the second wnd_rsrows). All 21
+    * pass the DuckDB differential at sf0.001, sf0.01 AND sf0.1 with
+    * non-empty results (see FuzzInventory / FuzzScreen). The plan AND
+    * its oracle SQL are both re-derived from the seed at runtime, so
+    * the two sides can never drift apart. */
   private val driverSeeds: Vector[Int] = Vector(
-    2, 3, 4, 7, 14, 15, 19, 27, 31, 34, 35, 63, 66, 83, 92, 101, 102,
-    114, 139, 152, 252)
+    4, 10, 15, 19, 31, 46, 52, 57, 65, 66, 83, 102, 107, 137, 141, 142,
+    151, 152, 181, 252, 278)
 
   // lazy: toSql walks tableSchemas, which is defined further down the
   // object body — eager init would read it as null
@@ -179,6 +182,31 @@ object Fuzz {
   final case class Agg(in: Pl, keys: Vector[Cl],
                        aggs: Vector[(String, Ag)]) extends Pl {
     def schema: Vector[Cl] = keys ++ aggs.map { case (n, a) =>
+      Cl(n, a match {
+        case MinA(_, t) => t
+        case MaxA(_, t) => t
+        case AvgL(_)    => TD
+        case _          => TL
+      })
+    }
+  }
+  /** UTF8_LCASE-collated single-key aggregate: the group key is
+    * `collate(CASE WHEN pmod(mix,2)=0 THEN upper(key) ELSE key END,
+    * 'UTF8_LCASE')` — the mixer column manufactures case variance so
+    * the collation genuinely merges byte-distinct keys (over uniform-
+    * case fixture strings a collated group-by would be
+    * indistinguishable from a plain one). The emitted key is
+    * lower()ed: a case-insensitive group's representative variant is
+    * partition-order nondeterministic by contract, so only the
+    * normalized form is hashable. DuckDB oracle renders lower(CASE …)
+    * GROUP BY 1 — equivalent for the fuzzer's ASCII-only strings (the
+    * collation-vs-lower() equivalence is exactly ASCII-wide; no
+    * generated literal or fixture string leaves ASCII). The
+    * interpreter lowercases the mixed key, which equals lower(key)
+    * since lower∘upper = lower on ASCII. */
+  final case class CollAgg(in: Pl, key: Cl, mix: Cl,
+                           aggs: Vector[(String, Ag)]) extends Pl {
+    def schema: Vector[Cl] = Cl(key.name, TS) +: aggs.map { case (n, a) =>
       Cl(n, a match {
         case MinA(_, t) => t
         case MaxA(_, t) => t
@@ -494,7 +522,18 @@ object Fuzz {
     if (roll)
       Roll(p, keys, aggs, rnd.nextBoolean(),
         if (rnd.nextBoolean()) Some(s"g$step") else None)
-    else Agg(p, keys, aggs)
+    else {
+      // … and a quarter of the rest become UTF8_LCASE-collated
+      // single-key aggregates when the schema offers a string key and
+      // a long mixer column (see CollAgg — the mixer manufactures the
+      // case variance the collation has to merge)
+      val tsCols = sch.filter(_.typ == TS)
+      val tlCols = sch.filter(_.typ == TL)
+      if (tsCols.nonEmpty && tlCols.nonEmpty && rnd.nextInt(4) == 0)
+        CollAgg(p, tsCols(rnd.nextInt(tsCols.size)),
+          tlCols(rnd.nextInt(tlCols.size)), aggs)
+      else Agg(p, keys, aggs)
+    }
   }
 
   private def genEx(rnd: Random, sch: Vector[Cl], t: Typ, depth: Int,
@@ -678,6 +717,15 @@ object Fuzz {
       if (keys.isEmpty) df.agg(acs.head, acs.tail: _*)
       else df.groupBy(keys.map(k => col(k.name)): _*)
         .agg(acs.head, acs.tail: _*)
+    case CollAgg(in, key, mix, aggs) =>
+      val df = toDF(s, dir, in)
+      val mixed = when(pmod(col(mix.name), lit(2L)) === 0,
+        upper(col(key.name))).otherwise(col(key.name))
+      val acs = aggs.map { case (n, a) => agCol(a).as(n) }
+      df.groupBy(collate(mixed, "UTF8_LCASE").as("__ck"))
+        .agg(acs.head, acs.tail: _*)
+        .select(lower(col("__ck")).cast("string").as(key.name) +:
+          aggs.map { case (n, _) => col(n) }: _*)
     case Roll(in, keys, aggs, cube, gid) =>
       val df = toDF(s, dir, in)
       val acs0 = aggs.map { case (n, a) => agCol(a).as(n) }
@@ -851,6 +899,15 @@ object Fuzz {
         val grp =
           if (ks.isEmpty) "" else s" GROUP BY ${ks.mkString(", ")}"
         s"SELECT $cols FROM ($sub) ${al()}$grp"
+      case CollAgg(in, key, mix, aggs) =>
+        val sub = sqlOf(in, c)
+        // pmod-safe parity (mix can be any long); NULL mix falls to
+        // the ELSE branch on both engines
+        val ke = s"lower(CASE WHEN ((${mix.name} % 2) + 2) % 2 = 0 " +
+          s"THEN upper(${key.name}) ELSE ${key.name} END)"
+        val as = aggs.map { case (nm, a) => s"${agSql(a)} AS $nm" }
+        s"SELECT $ke AS ${key.name}, ${as.mkString(", ")} " +
+          s"FROM ($sub) ${al()} GROUP BY 1"
       case Roll(in, keys, aggs, cube, gid) =>
         val sub = sqlOf(in, c)
         val ks = keys.map(_.name)
@@ -1110,6 +1167,18 @@ object Fuzz {
           .toSeq.map { case (k, v) => (k, v) }
       groups.map { case (k, rs) =>
         k ++ aggs.map { case (_, a) => evalAg(a, rs, idx) }
+      }
+    case CollAgg(in, key, _, aggs) =>
+      // lower∘upper = lower on the fuzzer's ASCII-only strings, so the
+      // mixed key normalizes to lower(key) independent of the mixer
+      val rows = interp(in, base)
+      val idx = index(in.schema)
+      val ki = idx(key.name)
+      rows.groupBy { r =>
+        val k = r(ki)
+        if (k == null) null else k.asInstanceOf[String].toLowerCase
+      }.toSeq.map { case (k, rs) =>
+        Vector[Any](k) ++ aggs.map { case (_, a) => evalAg(a, rs, idx) }
       }
     case Jn(l, r, lk, rk, how) =>
       val lrows = interp(l, base)

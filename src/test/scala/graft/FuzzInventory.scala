@@ -44,6 +44,8 @@ object FuzzInventory {
       ops(in)+(if (cube) "cube" else "rollup")++
         (if (gid.isDefined) Set("gid") else Set.empty[String])++
         aggs.map(x=>agName(x._2)).toSet
+    case CollAgg(in,_,_,aggs) =>
+      ops(in)+"coll_agg"++aggs.map(x=>agName(x._2)).toSet
     case Jn(l,r,_,_,jt) => ops(l)++ops(r)+("join_"+jt)
     case Dist(in) => ops(in)+"distinct"
     case Wnd(in,_,f,_,_,_,_) => ops(in)+("wnd_"+f)
