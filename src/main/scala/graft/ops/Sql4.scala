@@ -212,6 +212,40 @@ object Sql4 {
           |    AS n_elem
           |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin)),
 
+    // ----- SQL scripting (BEGIN/DECLARE/WHILE/SET, Spark 4): a
+    // procedural loop whose body drives real distributed jobs — each
+    // iteration is a full filter-count scan at a threshold computed
+    // from the loop variable, accumulated into a session-scoped
+    // variable; the script's value is its LAST statement's result.
+    // The oracle shows what a production rewrite would fuse it into
+    // (one conditional-aggregate scan instead of four) — the script
+    // form is the API surface for migrations from stored-procedure
+    // warehouses, not the recommended plan shape at 100 TB.
+    Q("m_sql_script",
+      (s, d) => {
+        eventsView(s, d)
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        s.sql(
+          """BEGIN
+            |  DECLARE i INT DEFAULT 1;
+            |  DECLARE total BIGINT DEFAULT 0;
+            |  WHILE i <= 4 DO
+            |    SET total = total +
+            |      (SELECT count(*) FROM events WHERE value >= 100.0D * i);
+            |    SET i = i + 1;
+            |  END WHILE;
+            |  SELECT total AS cum_hot, i - 1 AS steps;
+            |END""".stripMargin)
+      },
+      Some(
+        """SELECT CAST(count(CASE WHEN value >= 100.0 THEN 1 END)
+          |     + count(CASE WHEN value >= 200.0 THEN 1 END)
+          |     + count(CASE WHEN value >= 300.0 THEN 1 END)
+          |     + count(CASE WHEN value >= 400.0 THEN 1 END) AS BIGINT)
+          |    AS cum_hot,
+          |  4 AS steps
+          |FROM events""".stripMargin)),
+
     // ----- Observation API: data-quality counters that PIGGYBACK on
     // the job's own action — df.observe attaches CollectMetrics to the
     // plan, the noop write drives one scan, and the metrics row comes
