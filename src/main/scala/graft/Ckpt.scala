@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** The single lineage-truncation point for every iterative loop (SCC,
+  * WCC, k-core, k-truss, LPA, PageRank, FPS, incremental dedup, BPE
+  * rounds, …).
+  *
+  * Default: `localCheckpoint()` — blocks live in EXECUTOR storage
+  * memory, truncation is free of any filesystem round-trip, and at
+  * `local[32]` (one JVM) an "executor loss" cannot happen, so this is
+  * the right local-mode trade.
+  *
+  * Cluster mode: executor-stored blocks die with the executor AND the
+  * lineage is gone, so one lost executor kills a multi-hour loop
+  * unrecoverably. Setting `SPARK_GRAFT_RELIABLE_CKPT=<dir>` (env) or
+  * `graft.reliable.ckpt` (system property, checked first so tests can
+  * flip it per-JVM) routes every loop's truncation through RELIABLE
+  * `checkpoint()` into that directory (HDFS/S3 on a real cluster):
+  * recomputation after executor loss re-reads the checkpoint files
+  * instead of dying. The knob is one switch for all ~80 sites because
+  * the correct choice is a property of the DEPLOYMENT, not of any one
+  * operator; results are bit-identical either way (ReliableCkptSpec
+  * pins `k1_scc`/`k9_wcc` equality, and the A/B cost is recorded in
+  * PERF.md round-11).
+  *
+  * Both paths stay EAGER (the Spark default): every loop here counts
+  * or reuses the staged frame immediately, and eager truncation is
+  * what bounds the lineage before the next round builds on it.
+  */
+object Ckpt {
+  private val propKey = "graft.reliable.ckpt"
+  private val envKey = "SPARK_GRAFT_RELIABLE_CKPT"
+
+  /** Reliable-checkpoint directory, if the knob is set. */
+  private[graft] def reliableDir: Option[String] =
+    sys.props.get(propKey).orElse(sys.env.get(envKey)).filter(_.nonEmpty)
+
+  /** Truncate `ds`'s lineage at the deployment-appropriate durability:
+    * local blocks by default, reliable files under the configured
+    * directory when the knob is set.
+    */
+  def stage[T](ds: Dataset[T]): Dataset[T] = reliableDir match {
+    case Some(dir) =>
+      val sc = ds.sparkSession.sparkContext
+      // setCheckpointDir is idempotent per value but creates a fresh
+      // UUID subdir on every call — only (re)set it when it drifts
+      if (!sc.getCheckpointDir.exists(_.contains(dir)))
+        sc.setCheckpointDir(dir)
+      ds.checkpoint()
+    case None => ds.localCheckpoint()
+  }
+
+  /** Postfix form so call sites read like the `Dataset` API:
+    * `df.stageCkpt()` — localCheckpoint by default, reliable under the
+    * knob. Import `graft.Ckpt.StageOps`.
+    */
+  implicit class StageOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def stageCkpt(): Dataset[T] = stage(ds)
+  }
+}

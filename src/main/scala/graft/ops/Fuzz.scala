@@ -1051,6 +1051,70 @@ object Fuzz {
     case _ => None
   }
 
+  /** EXECUTE IMMEDIATE rendering (VERDICT r10 item 4) for the SAME
+    * linear subset [[toPipe]] covers: nested plain Spark SQL with the
+    * scan's key bound lifted into a NAMED PARAMETER (`:bnd`), returned
+    * as (sqlText, boundValue). The caller wraps it as
+    * `EXECUTE IMMEDIATE '<text>' USING <bound>L AS bnd` — the dynamic-
+    * SQL + parameter-binding session surface (`m_exec_immediate`'s
+    * API), fuzzed instead of hand-pinned: same plan, FOURTH entry path
+    * beside DataFrame / interpreter / pipe, so the wrapper can never
+    * change results. Linear chains only (one scan → at most one
+    * parameter); plans over unbounded tables carry no parameter.
+    */
+  def toExecImmediate(p: Pl): Option[(String, Option[Long])] = {
+    val c = new java.util.concurrent.atomic.AtomicInteger(0)
+    def al() = s"t${c.getAndIncrement()}"
+    def render(q: Pl): Option[String] = q match {
+      case Scan(t) =>
+        val cols = tableSchemas(t).map { cl =>
+          if (cl.typ == TL) s"CAST(${cl.name} AS BIGINT) AS ${cl.name}"
+          else cl.name
+        }.mkString(", ")
+        val where = bounds.get(t)
+          .map { case (k, _) => s" WHERE $k <= :bnd" }.getOrElse("")
+        Some(s"SELECT $cols FROM $t$where")
+      case Filt(in, pr) => render(in).map(sub =>
+        s"SELECT * FROM ($sub) ${al()} WHERE ${prSql(pr, spark = true)}")
+      case Proj(in, outs) => render(in).map { sub =>
+        val cols = outs.map { case (nm, e) =>
+          s"${exSql(e, spark = true)} AS $nm"
+        }.mkString(", ")
+        s"SELECT $cols FROM ($sub) ${al()}"
+      }
+      case Agg(in, keys, aggs) => render(in).map { sub =>
+        val ks = keys.map(_.name)
+        val as = aggs.map { case (nm, a) =>
+          s"${agSql(a, spark = true)} AS $nm"
+        }
+        val grp =
+          if (ks.isEmpty) "" else s" GROUP BY ${ks.mkString(", ")}"
+        s"SELECT ${(ks ++ as).mkString(", ")} FROM ($sub) ${al()}$grp"
+      }
+      case Wnd(in, name, fun, part, ord, desc, bound) => render(in).map {
+        sub =>
+          s"SELECT *, ${wndSql(in, fun, part, ord, desc, bound)} " +
+            s"AS $name FROM ($sub) ${al()}"
+      }
+      case Lim(in, n) => render(in).map { sub =>
+        val ord = in.schema.map(_.name + " ASC NULLS FIRST")
+          .mkString(", ")
+        s"SELECT * FROM ($sub) ${al()} ORDER BY $ord LIMIT $n"
+      }
+      case _ => None
+    }
+    def scanBound(q: Pl): Option[Long] = q match {
+      case Scan(t)     => bounds.get(t).map(_._2)
+      case Filt(in, _) => scanBound(in)
+      case Proj(in, _) => scanBound(in)
+      case Agg(in, _, _) => scanBound(in)
+      case Wnd(in, _, _, _, _, _, _) => scanBound(in)
+      case Lim(in, _)  => scanBound(in)
+      case _           => None
+    }
+    render(p).map(sql => (sql, scanBound(p)))
+  }
+
   /** Temp views for [[toPipe]]'s FROM clauses — the raw fixture tables
     * under their bare names (bounds/casts are pipe stages). */
   def pipeViews(s: SparkSession, d: String): Unit =
@@ -1176,7 +1240,12 @@ object Fuzz {
       val ki = idx(key.name)
       rows.groupBy { r =>
         val k = r(ki)
-        if (k == null) null else k.asInstanceOf[String].toLowerCase
+        if (k == null) null
+        // Locale.ROOT: Spark's lower() and DuckDB's lower() are both
+        // locale-independent; a Turkish default JVM locale would
+        // otherwise lowercase 'I' to U+0131 and break the differential
+        else k.asInstanceOf[String]
+          .toLowerCase(java.util.Locale.ROOT)
       }.toSeq.map { case (k, rs) =>
         Vector[Any](k) ++ aggs.map { case (_, a) => evalAg(a, rs, idx) }
       }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt.StageOps
 import graft.{Oracles, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,8 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: every loop iteration is a pair of shuffles (join + partial
   * max-aggregate) — the standard cost of iterative graph algorithms on
-  * Spark. `localCheckpoint()` after each iteration truncates lineage so the
-  * plan does not grow (SURVEY §4 "iterative plan-size control"); converged
+  * Spark. [[graft.Ckpt.stage]] after each iteration truncates lineage so the
+  * plan does not grow (SURVEY §4 "iterative plan-size control") — local
+  * blocks at `local[N]`, RELIABLE files under `SPARK_GRAFT_RELIABLE_CKPT`
+  * on a cluster, where executor loss would otherwise kill the loop
+  * unrecoverably (blocks and lineage both gone); converged
   * SCCs are removed from the frontier so later iterations shrink. Final
   * labels are the MIN member id of each component — deterministic and
   * engine-independent (GraphFrames' raw labels are not).
@@ -41,11 +45,11 @@ object Graph {
   def scc(spark: SparkSession, vertices: DataFrame, edges0: DataFrame,
           maxOuterIter: Int = 50): DataFrame = {
     var remaining = vertices.select(col("v").cast("long").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().stageCkpt()
     var edges = edges0
       .select(col("src").cast("long").as("src"),
               col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().stageCkpt()
     var assigned = remaining.limit(0)
       .select(col("v"), col("v").as("component"))
     var outer = 0
@@ -53,7 +57,7 @@ object Graph {
     while (remaining.count() > 0 && outer < maxOuterIter) {
       // -- 1. color(v) := max id reaching v, to fixpoint
       var colors = remaining.select(col("v"), col("v").as("color"))
-        .localCheckpoint()
+        .stageCkpt()
       var changed = 1L
       while (changed > 0) {
         val inMax = edges.join(colors, edges("src") === colors("v"))
@@ -62,7 +66,7 @@ object Graph {
           .select(colors("v"),
             greatest(col("color"), coalesce(col("in_color"), lit(Long.MinValue)))
               .as("color"))
-          .localCheckpoint()
+          .stageCkpt()
         changed = next.as("n")
           .join(colors.withColumnRenamed("color", "old").as("o"), Seq("v"))
           .filter(col("color") =!= col("old")).count()
@@ -77,13 +81,13 @@ object Graph {
       val sameColorEdges = edges.join(srcCol, Seq("src"))
         .join(dstCol, Seq("dst"))
         .filter(col("src_color") === col("dst_color"))
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst")).stageCkpt()
       // frontier-based backward BFS: each step expands only from the
       // NEWLY reached vertices and anti-joins the visited set, instead
       // of re-shuffling the whole reached set through union().distinct()
       // every iteration (VERDICT r1 scale note)
       var reached = colors.filter(col("v") === col("color"))
-        .select(col("v"), col("color").as("component")).localCheckpoint()
+        .select(col("v"), col("color").as("component")).stageCkpt()
       var frontier = reached
       var grew = frontier.count()
       while (grew > 0) {
@@ -91,20 +95,20 @@ object Graph {
           .join(frontier.withColumnRenamed("v", "dst"), Seq("dst"))
           .select(col("src").as("v"), col("component"))
           .distinct()
-        frontier = step.join(reached, Seq("v"), "left_anti").localCheckpoint()
+        frontier = step.join(reached, Seq("v"), "left_anti").stageCkpt()
         grew = frontier.count()
         if (grew > 0)
-          reached = reached.union(frontier).localCheckpoint()
+          reached = reached.union(frontier).stageCkpt()
       }
 
       // -- 3. peel off the found SCCs
       assigned = assigned.union(reached)
       remaining = remaining.join(reached, Seq("v"), "left_anti")
-        .localCheckpoint()
+        .stageCkpt()
       edges = edges
         .join(remaining.withColumnRenamed("v", "src"), Seq("src"))
         .join(remaining.withColumnRenamed("v", "dst"), Seq("dst"))
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst")).stageCkpt()
       outer += 1
     }
     // anything left after maxOuterIter: its own singleton (matches the
@@ -231,6 +235,60 @@ object Graph {
     Tables.orders(s, d).filter(col("o_orderkey") < cap)
       .select(col("o_orderkey").as("v"))
 
+  /** k25/k25b shared constants, interpolated into BOTH the Spark peel
+    * and the DuckDB oracle so the truss order and the oracle's unroll
+    * depth cannot drift apart (changing either side alone would
+    * silently break the cross-engine equivalence).
+    */
+  private val ktrussK = 3
+  private val ktrussRounds = 4
+
+  /** Canonical (a<b, distinct, loop-free) undirected edge list both
+    * truss formulations peel. */
+  private def ktrussInput(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") =!= col("l_partkey"))
+      .select(least(col("l_orderkey"), col("l_partkey")).as("a"),
+        greatest(col("l_orderkey"), col("l_partkey")).as("b"))
+      .distinct()
+
+  /** Shared oracle for BOTH truss formulations (`k25_ktruss` id-
+    * oriented, `k25b_ktruss_degree` degree-oriented): the k-truss is a
+    * unique subgraph, so the two plans must hash-match the same
+    * unrolled SQL — the k4/k4b equivalence-proof pattern. Support
+    * threshold and unroll depth come from [[ktrussK]]/[[ktrussRounds]].
+    */
+  private lazy val ktrussOracle: Option[String] = Some {
+    val stages = (1 to ktrussRounds).map { i =>
+      val (p, c) = (s"e${i - 1}", s"e$i")
+      s"""t$i AS MATERIALIZED (
+         |  SELECT t1.a AS a, t1.b AS b, t2.b AS c
+         |  FROM $p t1
+         |  JOIN $p t2 ON t2.a = t1.b
+         |  JOIN $p t3 ON t3.a = t1.a AND t3.b = t2.b
+         |), s$i AS MATERIALIZED (
+         |  SELECT ea, eb, count(*) AS sup FROM (
+         |    SELECT a AS ea, b AS eb FROM t$i
+         |    UNION ALL SELECT b, c FROM t$i
+         |    UNION ALL SELECT a, c FROM t$i)
+         |  GROUP BY ea, eb
+         |), $c AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $p e
+         |  JOIN s$i s ON e.a = s.ea AND e.b = s.eb
+         |  WHERE s.sup >= ${ktrussK - 2}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+       |         greatest(l_orderkey, l_partkey) AS b
+       |  FROM lineitem WHERE l_orderkey <> l_partkey
+       |), $stages
+       |SELECT vertex, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS vertex FROM e$ktrussRounds
+       |  UNION ALL SELECT b FROM e$ktrussRounds)
+       |GROUP BY vertex ORDER BY vertex""".stripMargin
+  }
+
   /** Frontier-expansion BFS over a directed `(src, dst)` edge list:
     * returns `(id, dist)` for every node within `maxIter` hops of
     * `src`. Each round touches only the new frontier (first discovery
@@ -247,7 +305,7 @@ object Graph {
     // comes back empty — the isEmpty probe reads one partition of an
     // already-checkpointed frame — instead of running empty join rounds
     // out to maxIter.
-    var dist = Seq((src, 0)).toDF("id", "dist").localCheckpoint()
+    var dist = Seq((src, 0)).toDF("id", "dist").stageCkpt()
     var frontier = dist
     var i = 1
     while (i <= maxIter && !frontier.isEmpty) {
@@ -256,7 +314,7 @@ object Graph {
         .select(col("dst").as("id")).distinct()
       val fresh = nbrs.join(dist, Seq("id"), "left_anti")
         .withColumn("dist", lit(i))
-        .localCheckpoint()
+        .stageCkpt()
       dist = dist.unionByName(fresh)
       frontier = fresh
       i += 1
@@ -507,7 +565,7 @@ object Graph {
     var e = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().stageCkpt()
     var iter = 0
     // Fixed-point probe: the iteration's limit is a star forest — every
     // leaf `b` hangs off exactly ONE center `a`, and no center is a
@@ -557,7 +615,7 @@ object Graph {
         .select(col("m").as("a"), col("a").as("b")) // m < a by minimality
         .unionByName(m2.select(col("m").as("a"), col("b")))
         .distinct()
-        .localCheckpoint()
+        .stageCkpt()
       done = isStarForest(ss)
       e = ss
       iter += 1
@@ -582,7 +640,7 @@ object Graph {
   def sssp(s: SparkSession, edges: DataFrame, source: Long,
            maxIter: Int = 40): DataFrame = {
     import s.implicits._
-    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("id", "dist").stageCkpt()
     var frontier = dist
     var iter = 0
     var done = false
@@ -595,9 +653,9 @@ object Graph {
         val improved = cand.join(dist, Seq("id"), "left")
           .filter(col("dist").isNull || col("nd") < col("dist"))
           .select(col("id"), col("nd").as("dist"))
-          .localCheckpoint()
+          .stageCkpt()
         dist = dist.join(improved, Seq("id"), "left_anti")
-          .unionByName(improved).localCheckpoint()
+          .unionByName(improved).stageCkpt()
         frontier = improved
       }
       iter += 1
@@ -745,7 +803,7 @@ object Graph {
             .select(col("dst"),
               floor(col("a1").cast("double") * 1000000000000.0 /
                 col("sa").cast("double")).cast("long").as("a"))
-            .localCheckpoint()
+            .stageCkpt()
           val h1 = edges.join(a, Seq("dst"))
             .groupBy("src").agg(sum(col("a")).as("h1"))
           val sh = h1.groupBy().agg(sum(col("h1")).as("sh"))
@@ -753,7 +811,7 @@ object Graph {
             .select(col("src"),
               floor(col("h1").cast("double") * 1000000000000.0 /
                 col("sh").cast("double")).cast("long").as("h"))
-            .localCheckpoint()
+            .stageCkpt()
         }
         val topA = a.orderBy(desc("a"), col("dst")).limit(20)
           .select(lit("auth").as("role"), col("dst").as("id"),
@@ -800,7 +858,7 @@ object Graph {
           frontier = cand.groupBy("walk")
             .agg(min(struct(col("h"), col("dst"))).as("pick"))
             .select(col("walk"), col("pick.dst").as("cur"))
-            .localCheckpoint()
+            .stageCkpt()
           out = out.unionByName(frontier.select(col("walk"),
             lit(k).as("step"), col("cur").as("node")))
         }
@@ -834,8 +892,8 @@ object Graph {
           .select(col("src").as("s"))
         var levels = Vector(
           seeds.select(col("s"), col("s").as("v"), lit(1L).as("sig"))
-            .localCheckpoint())
-        var visited = levels(0).select("s", "v").localCheckpoint()
+            .stageCkpt())
+        var visited = levels(0).select("s", "v").stageCkpt()
         for (_ <- 1 to 4) {
           val cand = levels.last
             .join(edges, levels.last("v") === edges("src"))
@@ -843,15 +901,15 @@ object Graph {
             .agg(sum(col("sig")).as("sig"))
             .select(col("s"), col("v2").as("v"), col("sig"))
           val fresh = cand.join(visited, Seq("s", "v"), "left_anti")
-            .localCheckpoint()
+            .stageCkpt()
           visited = visited.unionByName(fresh.select("s", "v"))
-            .localCheckpoint()
+            .stageCkpt()
           levels = levels :+ fresh
         }
         // backward: delta at the deepest level is 0; each shallower
         // level sums e6-floored per-edge dependency terms
         var delta = levels(4).select(col("s"), col("v"), col("sig"),
-          lit(0L).as("delta")).localCheckpoint()
+          lit(0L).as("delta")).stageCkpt()
         var acc = delta.select(col("s"), col("v"), col("delta"))
         for (lev <- 3 to 1 by -1) {
           val terms = levels(lev).as("a")
@@ -867,7 +925,7 @@ object Graph {
           delta = levels(lev).join(terms, Seq("s", "v"), "left")
             .select(col("s"), col("v"), col("sig"),
               coalesce(col("dsum"), lit(0L)).as("delta"))
-            .localCheckpoint()
+            .stageCkpt()
           acc = acc.unionByName(delta.select(col("s"), col("v"),
             col("delta")))
         }
@@ -1130,55 +1188,45 @@ object Graph {
     // takes the k4b degree orientation (O(m^1.5) total regardless of
     // skew — same semantics, proven by k4b hash-matching k4); the
     // id-oriented form here keeps the plan textually identical to the
-    // oracle's unrolled stages. The oracle unrolls 4 MATERIALIZED
-    // stages — past the measured fixpoint (2 rounds at sf0.01 AND
-    // sf0.1; post-fixpoint stages are no-ops).
+    // oracle's unrolled stages. The oracle unrolls ktrussRounds
+    // MATERIALIZED stages — past the measured fixpoint (2 rounds at
+    // sf0.01 AND sf0.1; post-fixpoint stages are no-ops). k and the
+    // unroll depth are SHARED vals interpolated into both engines so
+    // changing either cannot silently break the equivalence.
     Q("k25_ktruss",
       (s, d) => {
-        val und = Tables.lineitem(s, d)
-          .filter(col("l_orderkey") =!= col("l_partkey"))
-          .select(least(col("l_orderkey"), col("l_partkey")).as("a"),
-            greatest(col("l_orderkey"), col("l_partkey")).as("b"))
-          .distinct()
         // maxIter = the oracle's unrolled depth: a fixture whose
-        // cascade needs more rounds fails LOUDLY here (require below)
-        // instead of silently diverging from a too-shallow oracle
-        ktrussEdges(und, k = 3, maxIter = 4)
+        // cascade needs more rounds fails LOUDLY here (require in
+        // ktrussEdges) instead of silently diverging from a
+        // too-shallow oracle
+        ktrussEdges(ktrussInput(s, d), k = ktrussK,
+            maxIter = ktrussRounds)
           .select(explode(array(col("a"), col("b"))).as("vertex"))
           .groupBy("vertex")
           .agg(count(lit(1)).as("deg"))
           .orderBy("vertex")
       },
-      Some {
-        val stages = (1 to 4).map { i =>
-          val (p, c) = (s"e${i - 1}", s"e$i")
-          s"""t$i AS MATERIALIZED (
-             |  SELECT t1.a AS a, t1.b AS b, t2.b AS c
-             |  FROM $p t1
-             |  JOIN $p t2 ON t2.a = t1.b
-             |  JOIN $p t3 ON t3.a = t1.a AND t3.b = t2.b
-             |), s$i AS MATERIALIZED (
-             |  SELECT ea, eb, count(*) AS sup FROM (
-             |    SELECT a AS ea, b AS eb FROM t$i
-             |    UNION ALL SELECT b, c FROM t$i
-             |    UNION ALL SELECT a, c FROM t$i)
-             |  GROUP BY ea, eb
-             |), $c AS MATERIALIZED (
-             |  SELECT e.a, e.b FROM $p e
-             |  JOIN s$i s ON e.a = s.ea AND e.b = s.eb
-             |  WHERE s.sup >= 1
-             |)""".stripMargin
-        }.mkString(", ")
-        s"""WITH e0 AS MATERIALIZED (
-           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
-           |         greatest(l_orderkey, l_partkey) AS b
-           |  FROM lineitem WHERE l_orderkey <> l_partkey
-           |), $stages
-           |SELECT vertex, CAST(count(*) AS BIGINT) AS deg FROM (
-           |  SELECT a AS vertex FROM e4
-           |  UNION ALL SELECT b FROM e4)
-           |GROUP BY vertex ORDER BY vertex""".stripMargin
-      }),
+      ktrussOracle),
+
+    // ----- K25b [EXT]: the DEGREE-ORIENTED k-truss — the production
+    // form of k25, exactly as k4b is of k4: each peel round's wedge
+    // join is bounded O(m^1.5) regardless of which vertex is the hub,
+    // where k25's id orientation is safe only when the hub's id sorts
+    // low (a fixture accident, not a construction — see
+    // ktrussEdgesDegree's note and the sf1skewmid measurement in
+    // PERF.md round-11). Same unique truss, same SHARED oracle: the
+    // hash match IS the proof the skew-safe plan preserves semantics.
+    Q("k25b_ktruss_degree",
+      (s, d) => {
+        ktrussEdgesDegree(ktrussInput(s, d), k = ktrussK,
+            maxIter = ktrussRounds)
+          .select(explode(array(col("a"), col("b"))).as("vertex"))
+          .groupBy("vertex")
+          .agg(count(lit(1)).as("deg"))
+          .orderBy("vertex")
+      },
+      ktrussOracle),
+
 
     // ----- K8: community detection by synchronous label propagation
     // (Raghavan et al. 2007) — every vertex adopts its neighbourhood's
@@ -1405,9 +1453,9 @@ object Graph {
           .unionByName(edges.select(col("dst").as("v"))).distinct()
         var sk = nodes.groupBy("v")
           .agg(expr("hll_sketch_agg(v, 12)").as("sk"))
-          .localCheckpoint()
+          .stageCkpt()
         var ball = nodes.select(col("v"), col("v").as("u"))
-          .localCheckpoint()
+          .stageCkpt()
         val rounds = (1 to 4).map { t =>
           val nbr = rev
             .join(sk.select(col("v").as("src"), col("sk").as("nsk")),
@@ -1419,10 +1467,10 @@ object Graph {
             .select(col("v"),
               when(col("nsk").isNull, col("sk"))
                 .otherwise(expr("hll_union(sk, nsk, false)")).as("sk"))
-            .localCheckpoint()
+            .stageCkpt()
           val grow = ball.join(edges, ball("u") === edges("src"))
             .select(ball("v"), edges("dst").as("u"))
-          ball = ball.unionByName(grow).distinct().localCheckpoint()
+          ball = ball.unionByName(grow).distinct().stageCkpt()
           sk.agg(sum(expr("hll_sketch_estimate(sk)")).as("est"))
             .crossJoin(ball.agg(count(lit(1)).as("exact_reach")))
             .select(lit(t).as("t"), col("exact_reach"),
@@ -1473,7 +1521,7 @@ object Graph {
           .select(col("src").as("source"))
         var dist = srcs
           .select(col("source"), col("source").as("id"), lit(0).as("dist"))
-          .localCheckpoint()
+          .stageCkpt()
         var frontier = dist
         var i = 1
         while (i <= 40 && !frontier.isEmpty) {
@@ -1481,7 +1529,7 @@ object Graph {
             .select(col("source"), col("dst").as("id")).distinct()
           val fresh = nbrs.join(dist, Seq("source", "id"), "left_anti")
             .withColumn("dist", lit(i))
-            .localCheckpoint()
+            .stageCkpt()
           dist = dist.unionByName(fresh)
           frontier = fresh
           i += 1
@@ -1826,7 +1874,7 @@ object Graph {
           .orderBy(desc("n"), col("component")).limit(1)
         val core = comp
           .join(broadcast(top.select("component")), Seq("component"))
-          .select(col("id").as("v")).localCheckpoint()
+          .select(col("id").as("v")).stageCkpt()
         def reach(edges: DataFrame): DataFrame = {
           var reached = core
           var frontier = core
@@ -1836,7 +1884,7 @@ object Graph {
               .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
               .select(col("dst").as("v")).distinct()
             frontier = nxt.join(reached, Seq("v"), "left_anti")
-              .localCheckpoint()
+              .stageCkpt()
             reached = reached.unionByName(frontier)
             i += 1
           }
@@ -2182,14 +2230,14 @@ object Graph {
     val e = symEdgesBySrc(s, d)
     var lbl = e.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-      .localCheckpoint()
+      .stageCkpt()
     for (_ <- 1 to rounds) {
       lbl = e.join(lbl.select(col("v").as("src"), col("lbl")), Seq("src"))
         .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
         .groupBy("dst")
         .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
         .select(col("dst").as("v"), col("m.lbl").as("lbl"))
-        .localCheckpoint()
+        .stageCkpt()
     }
     lbl
   }
@@ -2283,7 +2331,7 @@ object Graph {
     */
   private[graft] def ktrussEdges(und0: DataFrame, k: Int,
                                  maxIter: Int = 8): DataFrame = {
-    var cur = und0.localCheckpoint()
+    var cur = und0.stageCkpt()
     var prevN = cur.count()
     var done = false
     var i = 0
@@ -2301,7 +2349,7 @@ object Graph {
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= k - 2)
       val nxt = cur.join(sup, Seq("a", "b"), "left_semi")
-        .localCheckpoint()
+        .stageCkpt()
       val n = nxt.count()
       // support only shrinks as edges leave, so an unchanged count is
       // an unchanged set — the fixpoint
@@ -2309,6 +2357,76 @@ object Graph {
       i += 1
     }
     require(done, s"k-truss peel did not converge within $maxIter rounds")
+    cur
+  }
+
+  /** Degree-oriented k-truss peel — same fixpoint as [[ktrussEdges]],
+    * but each round's triangle enumeration orients every edge from its
+    * lower-(degree, id) endpoint (k4b's orientation), which bounds
+    * wedge fan-out at O(√m) per vertex, O(m^1.5) per round TOTAL
+    * regardless of skew. The id-oriented peel survives a hub only when
+    * the hub's id happens to sort LOW (every hot edge points outward);
+    * a hub with a mid-range id centres ~d²/2 wedges on itself —
+    * PERF.md round-10 conceded sf1skew's flat k25 timing was exactly
+    * that fixture accident. Degrees are recomputed from the SURVIVING
+    * set each round (the peel only shrinks, so fresh degrees only
+    * tighten the bound). Triangles are charged to their 3 edges in
+    * canonical (a<b) id form, so the support count and semi-join run
+    * on the same keys as the id-oriented peel — the k-truss is unique,
+    * and `k25b_ktruss_degree` hash-matches the SHARED oracle (the
+    * k4/k4b equivalence-proof pattern).
+    */
+  private[graft] def ktrussEdgesDegree(und0: DataFrame, k: Int,
+                                       maxIter: Int = 8): DataFrame = {
+    val lower = (da: org.apache.spark.sql.Column,
+                 a: org.apache.spark.sql.Column,
+                 db: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column) =>
+      da < db || (da === db && a < b)
+    var cur = und0.stageCkpt()
+    var prevN = cur.count()
+    var done = false
+    var i = 0
+    while (i < maxIter && !done) {
+      val deg = cur.select(col("a").as("v"))
+        .unionAll(cur.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val e = cur
+        .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+        .select(
+          when(lower(col("da"), col("a"), col("db"), col("b")),
+            struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+            .otherwise(struct(col("b").as("u"), col("a").as("w"),
+              col("da").as("dw"))).as("e"))
+        .select(col("e.u").as("u"), col("e.w").as("w"),
+          col("e.dw").as("dw"))
+      val wedges = e
+        .select(col("u"), col("w").as("x"), col("dw").as("dx"))
+        .join(e.select(col("u"), col("w").as("y"), col("dw").as("dy")),
+          Seq("u"))
+        .filter(lower(col("dx"), col("x"), col("dy"), col("y")))
+      val tri = wedges
+        .join(e.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+        .select(col("u"), col("x"), col("y"))
+      val sup = tri.select(explode(array(
+          struct(least(col("u"), col("x")).as("a"),
+            greatest(col("u"), col("x")).as("b")),
+          struct(least(col("u"), col("y")).as("a"),
+            greatest(col("u"), col("y")).as("b")),
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+      val nxt = cur.join(sup, Seq("a", "b"), "left_semi").stageCkpt()
+      val n = nxt.count()
+      if (n == prevN) done = true else { cur = nxt; prevN = n }
+      i += 1
+    }
+    require(done,
+      s"degree-oriented k-truss peel did not converge within $maxIter rounds")
     cur
   }
 
@@ -2349,7 +2467,7 @@ object Graph {
         .join(members, Seq("src"), "left_semi")
         .join(members.withColumnRenamed("src", "dst"), Seq("dst"),
           "left_semi")
-        .localCheckpoint()
+        .stageCkpt()
       val e2 = sub2.count()
       if (e2 == prevE) done = true
       else { sub = sub2; prevE = e2 }

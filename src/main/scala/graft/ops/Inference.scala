@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt.StageOps
 import graft.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -587,7 +588,7 @@ object Inference {
           .crossJoin(broadcast(n.toDF("n")))
           .select(col("i"), col("j"),
             (col("n") * col("g") - col("si") * col("sj")).as("sij"))
-          .localCheckpoint()
+          .stageCkpt()
         var v = scat.select(col("i")).distinct()
           .select(col("i"), lit(1000000L).as("v"))
         for (_ <- 1 to 6) {
@@ -601,7 +602,7 @@ object Inference {
             .select(col("i"),
               floor(col("u").cast("double") * 1000000.0 /
                 col("m").cast("double")).cast("long").as("v"))
-            .localCheckpoint()
+            .stageCkpt()
         }
         val lamNum = scat.join(broadcast(v.select(col("i").as("j"),
             col("v").as("vj"))), Seq("j"))
@@ -831,7 +832,7 @@ object Inference {
           .filter(col("l_orderkey") < 2000 && col("l_partkey") < 2000)
           .groupBy(col("l_orderkey").as("i"), col("l_partkey").as("j"))
           .agg(sum(floor(col("l_quantity")).cast("long")).as("r"))
-          .localCheckpoint()
+          .stageCkpt()
         def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
         // one ALS half-step: given factors f on side `by`, solve the
         // other side `out`: floor(1e12 * sum(r*f) / sum(f^2))
@@ -843,7 +844,7 @@ object Inference {
             .select(col(out),
               floor(col("num").cast("double") * 1000000000000.0 /
                 col("den").cast("double")).cast("long").as("f"))
-            .localCheckpoint()
+            .stageCkpt()
         var v = r.select(col("j")).distinct()
           .select(col("j"), lit(1000000L).as("f"))
         var u: DataFrame = null

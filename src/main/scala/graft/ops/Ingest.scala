@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt.StageOps
 import graft.{Oracles, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -381,7 +382,7 @@ object Ingest {
         // the sort alone doubled the query from 1.0 s to 2.0 s at
         // sf0.1). The cut materializes the narrow (dirname, line)
         // projection once; sampler and sort both read it back.
-        .localCheckpoint()
+        .stageCkpt()
         .orderBy("dirname", "line"),
       Some(Oracles.withVideos(
         s""", $tsvLinesSql

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt.StageOps
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -801,7 +802,7 @@ object Similarity {
         // + the per-doc counts) — without the cut the scan→shingle→
         // explode→anti-join subtree executes once per consumer
         val ex = raw.join(broadcast(hot), Seq("sx"), "left_anti")
-          .localCheckpoint()
+          .stageCkpt()
         val n = ex.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
         val truth = ex.as("a")
           .join(ex.select(col("doc_id").as("d2"), col("sx")).as("b"),
@@ -1029,11 +1030,11 @@ object Similarity {
         // checkpoint BEFORE the symmetrizing union: union branches don't
         // share subtrees, so un-checkpointed this would run the whole
         // minhash pipeline twice (the self-join lesson again)
-        val p = minhashPairs(s, d).select("d1", "d2").localCheckpoint()
+        val p = minhashPairs(s, d).select("d1", "d2").stageCkpt()
         val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
           .toDF("a", "b")
         var labels = edges.select(col("a").as("node")).distinct()
-          .withColumn("lbl", col("node")).localCheckpoint()
+          .withColumn("lbl", col("node")).stageCkpt()
         var changed = 1L
         while (changed > 0) {
           val nbr = edges
@@ -1044,7 +1045,7 @@ object Similarity {
           val next = labels.join(nbr, Seq("node"), "left")
             .select(col("node"),
               least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-            .localCheckpoint()
+            .stageCkpt()
           changed = next
             .join(labels.select(col("node"), col("lbl").as("old")),
               Seq("node"))
@@ -1103,7 +1104,7 @@ object Similarity {
         val splitDf = Tables.documents(s, d)
           .agg(expr("((max(doc_id) + 1) * 7) div 10").as("split"))
         val bands = bandTable(s, d)
-          .crossJoin(broadcast(splitDf)).localCheckpoint()
+          .crossJoin(broadcast(splitDf)).stageCkpt()
         val sh = shingled(s, d)
         val baseB = bands.filter(col("doc_id") < col("split"))
           .select("doc_id", "band", "key")
@@ -1125,7 +1126,7 @@ object Similarity {
         // global-dedup baseline without it at sf0.1)
         val verified = verifyPairs(
           sh, candBase.unionByName(candDelta), jaccardHof)
-          .localCheckpoint()
+          .stageCkpt()
         val baseHit = verified.filter(col("from_base"))
           .groupBy("d2").agg(min(col("d1")).as("b_dup"))
           .withColumnRenamed("d2", "doc_id")
@@ -1356,7 +1357,7 @@ object Similarity {
         // surfaces in exactly one bucket — no dedup pass at all.
         // Checkpointed: signatures feed the distinct-group AND the
         // final degree join.
-        val sig = simhashSigs(s, d).localCheckpoint()
+        val sig = simhashSigs(s, d).stageCkpt()
         val cnt = sig.groupBy("simhash").agg(count(lit(1)).as("cnt"))
         val bands = cnt.select(col("simhash"), col("cnt"),
           explode(array(
@@ -2276,7 +2277,7 @@ object Similarity {
         val nrm = quantized(s, d).join(asg, "vec_id")
           .withColumn("na", aggregate(
             transform(col("xi"), v => v * v), lit(0L), (a, b) => a + b))
-          .localCheckpoint()
+          .stageCkpt()
         val pairs = nrm
           .select(col("cluster"), col("vec_id").as("v1"),
             col("xi").as("x1"), col("na").as("n1"))
@@ -2340,14 +2341,14 @@ object Similarity {
           .select(col("vec_id"),
             transform(col("embedding"),
               x => floor(x.cast("double") * 1000).cast("long")).as("q"))
-          .localCheckpoint()
+          .stageCkpt()
         def d2(a: Column, b: Column): Column =
           aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v)
         var sel = qv.orderBy("vec_id").limit(1)
           .select(lit(1).as("sel_round"), col("vec_id"),
             lit(0L).as("mindist2"), col("q"))
-          .localCheckpoint()
+          .stageCkpt()
         for (r <- 2 to 4) {
           val next = qv
             .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -2358,7 +2359,7 @@ object Similarity {
             .orderBy(desc("mindist2"), col("vec_id")).limit(1)
             .select(lit(r).as("sel_round"), col("vec_id"),
               col("mindist2"), col("q"))
-          sel = sel.unionByName(next).localCheckpoint()
+          sel = sel.unionByName(next).stageCkpt()
         }
         sel.select("sel_round", "vec_id", "mindist2").orderBy("sel_round")
       },

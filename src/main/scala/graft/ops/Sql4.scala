@@ -224,8 +224,15 @@ object Sql4 {
     Q("m_sql_script",
       (s, d) => {
         eventsView(s, d)
-        s.conf.set("spark.sql.scripting.enabled", "true")
-        s.sql(
+        // set/restore: the flag gates COMPOUND parsing only — the
+        // returned frame is the script's final plain SELECT, so
+        // restoring immediately after sql() is safe, and the flag must
+        // not leak into every subsequent query in the shared session
+        // (the runToMemory shuffle-width restore discipline)
+        val scriptKey = "spark.sql.scripting.enabled"
+        val prior = s.conf.getOption(scriptKey)
+        s.conf.set(scriptKey, "true")
+        try s.sql(
           """BEGIN
             |  DECLARE i INT DEFAULT 1;
             |  DECLARE total BIGINT DEFAULT 0;
@@ -236,6 +243,10 @@ object Sql4 {
             |  END WHILE;
             |  SELECT total AS cum_hot, i - 1 AS steps;
             |END""".stripMargin)
+        finally prior match {
+          case Some(v) => s.conf.set(scriptKey, v)
+          case None    => s.conf.unset(scriptKey)
+        }
       },
       Some(
         """SELECT CAST(count(CASE WHEN value >= 100.0 THEN 1 END)

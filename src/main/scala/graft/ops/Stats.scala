@@ -119,17 +119,23 @@ object Stats {
         val stats = v.groupBy("category").agg(
           avg(col("views")).as("mu"),
           stddev_samp(col("views")).as("sigma"))
+        // `+ 0.0` after the round collapses IEEE -0.0 to +0.0 on BOTH
+        // engines: Spark's round (BigDecimal) loses the zero sign while
+        // DuckDB's keeps it, so a z-score rounding to zero from below
+        // would hash "-0.0000" vs "0.0000" — equal values, different
+        // bytes (the sf0.1 r10 hash-tie mechanism)
         v.join(broadcast(stats), Seq("category"))
           .select(col("id"), col("category"),
-            round((col("views") - col("mu")) / col("sigma"), 4)
-              .as("views_z"))
+            (round((col("views") - col("mu")) / col("sigma"), 4)
+              + lit(0.0)).as("views_z"))
           .orderBy("id")
       },
       Some(Oracles.withVideos(
         """, stats AS (
           |  SELECT category, avg(views) AS mu, stddev_samp(views) AS sigma
           |  FROM videos GROUP BY category)
-          |SELECT id, category, round((views - mu) / sigma, 4) AS views_z
+          |SELECT id, category,
+          |  round((views - mu) / sigma, 4) + 0.0 AS views_z
           |FROM videos JOIN stats USING (category)
           |ORDER BY id""".stripMargin))),
 
@@ -165,10 +171,11 @@ object Stats {
               sum(col(a) * col(b)).as(s"sp_${a}__$b")
             }
         val wide = corrInput(s, d).agg(aggs.head, aggs.tail: _*)
+        // `+ 0.0` collapses -0.0 (see f7_zscore's note)
         val stackExpr = pairs.map { case (a, b) =>
           s"'$a', '$b', round((n * `sp_${a}__$b` - `sx_$a` * `sx_$b`) / " +
             s"sqrt((n * `ss_$a` - `sx_$a` * `sx_$a`) * " +
-            s"(n * `ss_$b` - `sx_$b` * `sx_$b`)), 4)"
+            s"(n * `ss_$b` - `sx_$b` * `sx_$b`)), 4) + 0.0D"
         }.mkString(s"stack(${pairs.size}, ", ", ",
           ") as (col_a, col_b, pearson)")
         wide.selectExpr(stackExpr).orderBy("col_a", "col_b")
@@ -179,7 +186,7 @@ object Stats {
           j <- corrCols.indices if i < j
         } yield (corrCols(i), corrCols(j))
         val selects = pairs.map { case (a, b) =>
-          s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) AS pearson FROM c"
+          s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) + 0.0 AS pearson FROM c"
         }.mkString("\nUNION ALL ")
         Some(Oracles.withVideos(
           s""", c AS (
@@ -235,7 +242,7 @@ object Stats {
           .select(
             element_at(aNames, col("idx") + 1).as("col_a"),
             element_at(bNames, col("idx") + 1).as("col_b"),
-            round(col("r"), 4).as("pearson"))
+            (round(col("r"), 4) + lit(0.0)).as("pearson"))
           .orderBy("col_a", "col_b")
       },
       Some {
@@ -244,7 +251,7 @@ object Stats {
           j <- corrCols.indices if i < j
         } yield (corrCols(i), corrCols(j))
         val selects = pairs.map { case (a, b) =>
-          s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) AS pearson FROM c"
+          s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) + 0.0 AS pearson FROM c"
         }.mkString("\nUNION ALL ")
         Oracles.withVideos(
           s""", c AS (

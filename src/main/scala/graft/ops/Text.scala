@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt.StageOps
 import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -131,12 +132,12 @@ object Text {
       .select(col("w"), col("cnt"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
-      .localCheckpoint()
-    val t1 = pairTop(s0).localCheckpoint()
-    val s1 = merged(s0, t1).localCheckpoint()
-    val t2 = pairTop(s1).localCheckpoint()
-    val s2 = merged(s1, t2).localCheckpoint()
-    val t3 = pairTop(s2).localCheckpoint()
+      .stageCkpt()
+    val t1 = pairTop(s0).stageCkpt()
+    val s1 = merged(s0, t1).stageCkpt()
+    val t2 = pairTop(s1).stageCkpt()
+    val s2 = merged(s1, t2).stageCkpt()
+    val t3 = pairTop(s2).stageCkpt()
     // the final merge stays lazy — t_bpe_merges never executes it
     (Seq(t1, t2, t3), merged(s2, t3))
   }
@@ -914,8 +915,9 @@ object Text {
               - log((col("cs") + 1).cast("double")
                 / (col("ns") + col("v"))))
           .groupBy("doc_id", "lang")
+          // `+ 0.0` collapses IEEE -0.0 (see f7_zscore's note)
           .agg(count(lit(1)).cast("int").as("n_tokens"),
-            round(avg(col("lr")), 4).as("dsir_score"))
+            (round(avg(col("lr")), 4) + lit(0.0)).as("dsir_score"))
           .withColumn("selected", col("dsir_score") > 0)
           .orderBy("doc_id")
       },
@@ -937,7 +939,8 @@ object Text {
           |), sc AS (
           |  SELECT tok.doc_id, tok.lang, CAST(count(*) AS INT) AS n_tokens,
           |    round(avg(ln((coalesce(ct, 0) + 1) * 1.0 / (nt + v))
-          |            - ln((cs + 1) * 1.0 / (ns + v))), 4) AS dsir_score
+          |            - ln((cs + 1) * 1.0 / (ns + v))), 4) + 0.0
+          |      AS dsir_score
           |  FROM tok LEFT JOIN ct USING (t) JOIN cs USING (t) CROSS JOIN k
           |  WHERE tok.lang <> 'en'
           |  GROUP BY tok.doc_id, tok.lang
@@ -1556,7 +1559,7 @@ object Text {
         val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(pairs.select(col("b").as("src"),
             col("a").as("dst")))
-          .localCheckpoint()
+          .stageCkpt()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         val verts = edges.select(col("src").as("v")).distinct()
         var ranks = verts.withColumn("rank", lit(1.0))
@@ -1572,7 +1575,7 @@ object Text {
             .select(col("v"),
               round(lit(0.15) + lit(0.85) * coalesce(col("m"),
                 lit(0.0)), 6).as("rank"))
-            .localCheckpoint()
+            .stageCkpt()
         }
         ranks.select(col("v").as("token"), col("rank"))
           .orderBy(desc("rank"), col("token"))

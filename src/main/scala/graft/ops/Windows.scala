@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt.StageOps
 import graft.{Oracles, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -83,7 +84,7 @@ object Windows {
         val local = ranged.withColumn("local_rn",
           row_number().over(Window.partitionBy(col("pid"))
             .orderBy(desc("views"), col("id"))))
-          .localCheckpoint()
+          .stageCkpt()
         // per-partition counts -> cumulative offsets + grand total (tiny:
         // one row per partition), broadcast back. The total rides the same
         // frame, so no separate count() job over the full table.
@@ -380,7 +381,7 @@ object Windows {
         // materialized pid/local_rn assignment for both consumers.
         val local = ranged
           .withColumn("local_rn", row_number().over(wLoc).cast("long"))
-          .localCheckpoint()
+          .stageCkpt()
         // one row per (pid, user) — the per-user cumulation window is
         // bounded by the partition count, never by data
         val offs = local.groupBy("pid", "user_id")

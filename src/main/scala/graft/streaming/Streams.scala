@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt.StageOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -396,13 +397,23 @@ object Streams {
     * checkpoint (UUID dir): the landing is the measured cost, like the
     * other once-per-run streaming queries.
     */
+  /** Absolute path of the checkpoint the most recent
+    * [[stateReaderCounts]] run landed — exposed so callers (the spec's
+    * metadata reader) address it directly instead of rediscovering it
+    * by tmp-dir mtime scan.
+    */
+  @volatile private[graft] var lastStateCheckpoint: String = _
+
   def stateReaderCounts(s: SparkSession, dir: String): DataFrame = {
-    // each run lands a fresh checkpoint; sweep the previous ones first
-    // (best-effort) so repeated bench/verify invocations bound tmp
-    // usage at one checkpoint instead of accumulating forever
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft_state_"))
+    // each run lands a fresh checkpoint under a PER-APPLICATION root
+    // (applicationId-keyed), and the pre-run sweep clears only THIS
+    // application's previous runs — a concurrent process running the
+    // same query keeps its in-flight checkpoint; tmp usage still stays
+    // bounded at one checkpoint per live application
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_state_${s.sparkContext.applicationId}")
+    Option(root.listFiles()).getOrElse(Array.empty)
       .foreach { d0 =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -410,8 +421,9 @@ object Streams {
         }
         try rm(d0) catch { case _: Exception => () }
       }
-    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_state_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = new java.io.File(root,
+      java.util.UUID.randomUUID.toString.replace("-", "")).getAbsolutePath
+    lastStateCheckpoint = ckpt
     val agg = eventsStream(s, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
@@ -815,7 +827,7 @@ object Streams {
       if (again != null) again
       else {
         val built =
-          evidenceBucketsUncached(s, dir, evType).localCheckpoint()
+          evidenceBucketsUncached(s, dir, evType).stageCkpt()
         m.put(key, built)
         built
       }

@@ -44,6 +44,29 @@ object GenSkew {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val in = "/root/repo/scaledata/sf1"
+
+    // `mid` variant (round-11, VERDICT item 3): re-seed ONLY the
+    // lineitem hub so the hot part carries a MID-RANGE id instead of
+    // the minimum — the adversarial case for ID-oriented triangle
+    // enumeration, where the canonical a<b orientation centres every
+    // hot edge's wedges ON the hub instead of pointing them outward.
+    // sf1skew's min-id hub made k25 look skew-safe by accident; this
+    // fixture is the one that separates k25 from k25b. Only lineitem
+    // lands (the truss/triangle queries read nothing else).
+    if (args.headOption.contains("mid")) {
+      val out = "/root/repo/scaledata/sf1skewmid"
+      val li = spark.read.parquet(s"$in/lineitem.parquet")
+      val midPart = li.stat.approxQuantile("l_partkey", Array(0.5), 0.001)
+        .head.toLong
+      li.withColumn("l_partkey",
+          when(pmod(col("l_orderkey"), lit(5)) === 0, lit(midPart))
+            .otherwise(col("l_partkey")))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"[genskew] mid-id hub lineitem: done (hub part $midPart)")
+      spark.stop()
+      return
+    }
+
     val out = "/root/repo/scaledata/sf1skew"
 
     def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {

@@ -81,4 +81,13 @@ class Sql4Spec extends SparkSpec {
     assert(!plan.contains("parameter"),
       s"unbound parameter marker left in the plan:\n$plan")
   }
+
+  test("m_sql_script restores spark.sql.scripting.enabled after use") {
+    val key = "spark.sql.scripting.enabled"
+    val prior = spark.conf.getOption(key)
+    val rows = SparkEntry.queries("m_sql_script")(spark, sf).collect()
+    assert(rows.length == 1 && rows(0).getInt(1) == 4)
+    assert(spark.conf.getOption(key) == prior,
+      s"scripting flag leaked: was $prior, now ${spark.conf.getOption(key)}")
+  }
 }

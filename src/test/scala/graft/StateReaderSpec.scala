@@ -14,14 +14,12 @@ class StateReaderSpec extends SparkSpec {
   test("state-metadata describes the aggregation operator") {
     val df = Streams.stateReaderCounts(spark, sf)
     assert(df.count() > 0)
-    // the query landed a fresh checkpoint; find it via the newest
-    // graft_state_ dir and read its operator metadata
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val ckpt = tmp.listFiles()
-      .filter(_.getName.startsWith("graft_state_"))
-      .maxBy(_.lastModified())
+    // the query records the checkpoint it landed — address it directly
+    // (no mtime scan, no dependence on the pre-run sweep)
+    val ckpt = Streams.lastStateCheckpoint
+    assert(ckpt != null, "stateReaderCounts did not record its checkpoint")
     val meta = spark.read.format("state-metadata")
-      .load(ckpt.getAbsolutePath)
+      .load(ckpt)
     val ops = meta.select("operatorName").collect().map(_.getString(0))
     assert(ops.contains("stateStoreSave"),
       s"expected the aggregation state operator, got: ${ops.toSeq}")

@@ -32,7 +32,19 @@ import pandas as pd
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     if len(df.columns):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
+        # Sort by non-float (key) columns FIRST, then by 1e-9-quantized,
+        # signed-zero-normalized floats as tie-breakers: raw-float sort
+        # keys could order tie rows differently across engines when a
+        # value differs inside the tolerance, misaligning the
+        # element-wise compare.
+        key = df.copy()
+        for c in key.columns:
+            if key[c].dtype.kind == "f":
+                key[c] = np.round(key[c].to_numpy(), 9) + 0.0
+        cols = sorted(df.columns,
+                      key=lambda c: (df[c].dtype.kind == "f", c))
+        order = key.sort_values(by=cols).index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 
@@ -42,9 +54,11 @@ def canon_hash(df: pd.DataFrame) -> str:
     for c in df.columns:
         col = df[c]
         if col.dtype.kind == "f":
-            # quantize at the driver's 1e-9 comparison tolerance
+            # quantize at the driver's 1e-9 comparison tolerance;
+            # `+ 0.0` collapses IEEE -0.0 to +0.0 (numerically equal,
+            # but "%.9f" would render the sign)
             vals = np.where(np.isnan(col.to_numpy()), None,
-                            np.round(col.to_numpy(), 9))
+                            np.round(col.to_numpy(), 9) + 0.0)
             rend = ["NaN" if v is None else ("%.9f" % v) for v in vals]
         else:
             rend = [repr(v) for v in col.astype(str).to_numpy()]
