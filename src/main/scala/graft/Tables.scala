@@ -472,7 +472,7 @@ object Tables {
     * ConcurrentHashMap throws "Recursive update". A racing duplicate
     * build is unpersisted and discarded.
     */
-  private def cached(spark: SparkSession, dir: String, key: String)(
+  private[graft] def cached(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     val m = sessionScoped(spark)
     val k = s"$key|$dir"

@@ -9,6 +9,13 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // SPARK_GRAFT_VERIFY_EXCLUDE: comma-separated names to SKIP — the
+    // sf1 board artifact's documented exclusion list rides this
+    // (tools/correctness_sf.py --exclude), so one slow fixture-landing
+    // query can be priced out without editing code
+    val excluded: Set[String] = sys.env.get("SPARK_GRAFT_VERIFY_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,6 +30,7 @@ object Verify {
     // parallel and only the final write is single-file.
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filterNot { case (n, _) => excluded.contains(n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

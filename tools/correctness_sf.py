@@ -8,7 +8,13 @@ per-query {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
 err} JSON in the driver's CORRECTNESS format.
 
 Usage:
-  python3 tools/correctness_sf.py <sf_dir> <out_json> [verify_out_dir]
+  python3 tools/correctness_sf.py <sf_dir> <out_json> [verify_out_dir] \
+      [--exclude exclusions.json]
+
+--exclude: JSON mapping query name -> reason. Excluded queries are
+skipped on BOTH sides (Verify via SPARK_GRAFT_VERIFY_EXCLUDE, DuckDB
+here) and recorded in the artifact as {"excluded": true, "reason": ...}
+so the exclusion list is part of the evidence, not a silent hole.
 
 One-line regeneration of the committed sf0.1 artifact:
   python3 tools/correctness_sf.py /root/testdata/sf0.1 CORRECTNESS_sf01_r10.json
@@ -82,14 +88,24 @@ def values_close(got: pd.DataFrame, want: pd.DataFrame) -> bool:
 
 
 def main() -> None:
-    sf_dir, out_json = sys.argv[1], sys.argv[2]
-    verify_out = sys.argv[3] if len(sys.argv) > 3 else None
+    args = list(sys.argv[1:])
+    excluded = {}
+    if "--exclude" in args:
+        i = args.index("--exclude")
+        with open(args[i + 1]) as f:
+            excluded = json.load(f)
+        del args[i:i + 2]
+    sf_dir, out_json = args[0], args[1]
+    verify_out = args[2] if len(args) > 2 else None
     if verify_out is None:
         verify_out = tempfile.mkdtemp(prefix="verify_sf_")
         cmd = ["sbt", "-batch",
                f"runMain graft.Verify {sf_dir} {verify_out}"]
         print("+ " + " ".join(cmd), file=sys.stderr)
-        subprocess.run(cmd, check=True, cwd=os.path.dirname(
+        env = dict(os.environ)
+        if excluded:
+            env["SPARK_GRAFT_VERIFY_EXCLUDE"] = ",".join(sorted(excluded))
+        subprocess.run(cmd, check=True, env=env, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
 
     con = duckdb.connect()
@@ -104,6 +120,9 @@ def main() -> None:
     report = {}
     nfail = 0
     for name in sorted(oracles):
+        if name in excluded:
+            report[name] = {"excluded": True, "reason": excluded[name]}
+            continue
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "values_match": False,
                  "spark_rows": None, "oracle_rows": None, "err": None}
@@ -139,9 +158,10 @@ def main() -> None:
 
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
-    npass = len(report) - nfail
+    nexcl = sum(1 for v in report.values() if v.get("excluded"))
+    npass = len(report) - nfail - nexcl
     print(f"wrote {out_json}: PASS {npass}  FAIL {nfail}  "
-          f"of {len(report)} at {sf_dir}")
+          f"EXCLUDED {nexcl}  of {len(report)} at {sf_dir}")
     sys.exit(1 if nfail else 0)
 
 
