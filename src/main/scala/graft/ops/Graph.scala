@@ -1227,6 +1227,51 @@ object Graph {
       },
       ktrussOracle),
 
+    // ----- K26 [EXT]: 4-clique counting — one densification step past
+    // triangles (the motif behind clique-percolation communities and
+    // spam-farm detection). The Spark plan is the DEGREE-ORIENTED DAG
+    // form (Chiba–Nishizeki / the k4b orientation, one step deeper):
+    // orient every edge from its lower-(deg, id) endpoint, so EVERY
+    // edge inside a 4-clique points from the order-smaller vertex —
+    // the clique enumerates exactly once as u→{x,y,z} with x<y<z in
+    // the same total order, and per-vertex out-degree is O(√m), which
+    // bounds the whole enumeration by O(m·α²) regardless of skew
+    // (α = arboricity): wedges → DAG-triangles → one more ordered
+    // extension + two edge-existence joins, all vertex/pair-keyed equi-
+    // joins. The DuckDB oracle enumerates the SAME cliques the naive
+    // way (a<b<c<d over the canonical id-ordered edge list, 6 edge
+    // predicates) — per-vertex membership counts are orientation-
+    // independent, so the skew-safe plan must hash-match the naive
+    // enumeration (the k4/k4b and k25/k25b proof pattern). Top-20 by
+    // membership, id tie-break.
+    Q("k26_clique4",
+      (s, d) => clique4Counts(cappedEdges(s, d))
+        .orderBy(desc("n_cliques"), col("id"))
+        .limit(20),
+      Some(
+        s"""WITH und AS (
+           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
+           |                  greatest(l_orderkey, l_partkey) AS b
+           |  FROM lineitem
+           |  WHERE l_orderkey < $cap AND l_partkey < $cap
+           |    AND l_orderkey <> l_partkey
+           |), tri AS (
+           |  SELECT t1.a, t1.b, t2.b AS c
+           |  FROM und t1
+           |  JOIN und t2 ON t2.a = t1.b
+           |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+           |), quad AS (
+           |  SELECT t.a, t.b, t.c, e1.b AS d
+           |  FROM tri t
+           |  JOIN und e1 ON e1.a = t.c
+           |  JOIN und e2 ON e2.a = t.b AND e2.b = e1.b
+           |  JOIN und e3 ON e3.a = t.a AND e3.b = e1.b
+           |), ex AS (
+           |  SELECT unnest([a, b, c, d]) AS id FROM quad)
+           |SELECT id, CAST(count(*) AS BIGINT) AS n_cliques
+           |FROM ex GROUP BY id
+           |ORDER BY n_cliques DESC, id LIMIT 20""".stripMargin)),
+
 
     // ----- K8: community detection by synchronous label propagation
     // (Raghavan et al. 2007) — every vertex adopts its neighbourhood's
@@ -2358,6 +2403,62 @@ object Graph {
     }
     require(done, s"k-truss peel did not converge within $maxIter rounds")
     cur
+  }
+
+  /** Per-vertex 4-clique membership counts over an arbitrary directed
+    * edge list ("src", "dst") — the degree-oriented DAG enumeration
+    * (see `k26_clique4` for the plan-shape discussion): self-loops
+    * dropped, edges de-duplicated, every edge oriented from its
+    * lower-(deg, id) endpoint, cliques enumerated once as
+    * u→{x,y,z} with x<y<z in the same total order. Exposed for
+    * Clique4Spec's toy graphs.
+    */
+  private[graft] def clique4Counts(edges: DataFrame): DataFrame = {
+    val lower = (da: org.apache.spark.sql.Column,
+                 a: org.apache.spark.sql.Column,
+                 db: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column) =>
+      da < db || (da === db && a < b)
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val e = und
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(lower(col("da"), col("a"), col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w"),
+            col("db").as("dw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+            col("da").as("dw"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"),
+        col("e.dw").as("dw"))
+    val wedges = e
+      .select(col("u"), col("w").as("x"), col("dw").as("dx"))
+      .join(e.select(col("u"), col("w").as("y"), col("dw").as("dy")),
+        Seq("u"))
+      .filter(lower(col("dx"), col("x"), col("dy"), col("y")))
+    // DAG triangle u<x<y, KEEPING y's rank for the next extension
+    val tri = wedges
+      .join(e.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"), col("dy"))
+    val quad = tri
+      .join(e.select(col("u"), col("w").as("z"), col("dw").as("dz")),
+        Seq("u"))
+      .filter(lower(col("dy"), col("y"), col("dz"), col("z")))
+      .join(e.select(col("u").as("x"), col("w").as("z")), Seq("x", "z"))
+      .join(e.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
+      .select(col("u"), col("x"), col("y"), col("z"))
+    quad
+      .select(explode(array(col("u"), col("x"), col("y"), col("z")))
+        .as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_cliques"))
   }
 
   /** Degree-oriented k-truss peel — same fixpoint as [[ktrussEdges]],
