@@ -1392,26 +1392,31 @@ object Ext {
     // scan. All price arithmetic is DECIMAL end-to-end (2dp fixture
     // quantities are exact there; a double sum reads differently per
     // accumulation order), and the avg columns are deliberately
-    // omitted — engine decimal-division scales differ, while exact
-    // decimal sums cast to DOUBLE are bit-identical. At 100 TB this is
-    // a map-side-combine aggregate over 6 keys: no skew, no shuffle
-    // pressure, bounded by scan throughput.
+    // omitted — engine decimal-division scales differ. The exact
+    // decimal sums are rendered round(..., 2) AFTER the double cast:
+    // once a sum's scaled value passes 2^53 (sum_charge does at sf1,
+    // ~3e10 at scale 6) the decimal->double cast itself rounds, and
+    // the two engines' cast implementations differ by one ulp —
+    // round-2 puts both on a shared exactly-representable grid (money
+    // semantics anyway). At 100 TB this is a map-side-combine
+    // aggregate over 6 keys: no skew, no shuffle pressure, bounded by
+    // scan throughput.
     Q("m_sql_q1",
       (s, d) => {
         Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
         s.sql(
           """SELECT l_returnflag, l_linestatus,
-            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            |    AS sum_qty,
-            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-            |    AS sum_base_price,
-            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            |             AS DOUBLE), 2) AS sum_qty,
+            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            |             AS DOUBLE), 2) AS sum_base_price,
+            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
             |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
-            |       AS DOUBLE) AS sum_disc_price,
-            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |       AS DOUBLE), 2) AS sum_disc_price,
+            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
             |           (1.00 - CAST(l_discount AS DECIMAL(4,2))) *
             |           (1.00 + CAST(l_tax AS DECIMAL(4,2))))
-            |       AS DOUBLE) AS sum_charge,
+            |       AS DOUBLE), 2) AS sum_charge,
             |  count(*) AS count_order
             |FROM lineitem
             |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
@@ -1420,17 +1425,17 @@ object Ext {
       },
       Some(
         """SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-          |    AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-          |    AS sum_base_price,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          |             AS DOUBLE), 2) AS sum_qty,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |             AS DOUBLE), 2) AS sum_base_price,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |           (1.00 - CAST(l_discount AS DECIMAL(4,2))))
-          |       AS DOUBLE) AS sum_disc_price,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       AS DOUBLE), 2) AS sum_disc_price,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |           (1.00 - CAST(l_discount AS DECIMAL(4,2))) *
           |           (1.00 + CAST(l_tax AS DECIMAL(4,2))))
-          |       AS DOUBLE) AS sum_charge,
+          |       AS DOUBLE), 2) AS sum_charge,
           |  count(*) AS count_order
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'

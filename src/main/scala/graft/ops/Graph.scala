@@ -1147,10 +1147,18 @@ object Graph {
     // DuckDB 1.0 inlines plain CTEs, and each stage references its
     // predecessor three times, so inlining is a 3^8 evaluation blowup
     // (measured: >120 s inlined vs 1.2 s materialized at sf0.01).
+    // Oracle unroll depth for the k7 synchronous peel. 8 was exact at
+    // the gate scales but SHORT at sf1: the 10x graph's cascade needs
+    // 41 synchronous rounds (measured round-11 via an unbounded
+    // iterative DuckDB peel, which the Spark fixpoint output matched
+    // bit-for-bit — the engine was right, the unrolled oracle was
+    // not). 48 carries margin; post-fixpoint stages are no-ops on the
+    // converged 373k-edge core, so the extra depth costs little.
     Q("k7_kcore",
       (s, d) => kcore(s, d, k = 7),
       Some {
-        val stages = (1 to 8).map { i =>
+        val rounds = 48
+        val stages = (1 to rounds).map { i =>
           val (p, c) = (s"e${i - 1}", s"e$i")
           s"""k$i AS MATERIALIZED (
              |  SELECT src FROM (
@@ -1170,7 +1178,7 @@ object Graph {
            |  SELECT src, dst FROM de UNION SELECT dst, src FROM de
            |), $stages
            |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
-           |FROM e8 GROUP BY src ORDER BY vertex""".stripMargin
+           |FROM e$rounds GROUP BY src ORDER BY vertex""".stripMargin
       }),
 
     // ----- K25 [EXT]: k-truss — the triangle-cohesion analogue of the
@@ -1229,32 +1237,52 @@ object Graph {
 
     // ----- K26 [EXT]: 4-clique counting — one densification step past
     // triangles (the motif behind clique-percolation communities and
-    // spam-farm detection). The Spark plan is the DEGREE-ORIENTED DAG
-    // form (Chiba–Nishizeki / the k4b orientation, one step deeper):
-    // orient every edge from its lower-(deg, id) endpoint, so EVERY
-    // edge inside a 4-clique points from the order-smaller vertex —
-    // the clique enumerates exactly once as u→{x,y,z} with x<y<z in
-    // the same total order, and per-vertex out-degree is O(√m), which
-    // bounds the whole enumeration by O(m·α²) regardless of skew
-    // (α = arboricity): wedges → DAG-triangles → one more ordered
-    // extension + two edge-existence joins, all vertex/pair-keyed equi-
-    // joins. The DuckDB oracle enumerates the SAME cliques the naive
-    // way (a<b<c<d over the canonical id-ordered edge list, 6 edge
-    // predicates) — per-vertex membership counts are orientation-
+    // spam-farm detection), over the CO-PURCHASE projection: parts
+    // sharing an order are connected, so every k-part basket
+    // contributes a k-clique and cliques overlap across orders — the
+    // order-part graph itself is near-bipartite and holds no 4-cliques
+    // past sf0.001, so the projection is also what makes the query's
+    // evidence non-vacuous (242k cliques at sf0.01). Projection
+    // caveat at 100 TB: bipartite→unimodal expands each basket to
+    // C(k,2) pairs — bounded here (baskets ≤ 7; cap any hot basket
+    // before projecting at scale). The Spark plan is the
+    // DEGREE-ORIENTED DAG form (Chiba–Nishizeki / the k4b orientation,
+    // one step deeper): orient every edge from its lower-(deg, id)
+    // endpoint, so EVERY edge inside a 4-clique points from the
+    // order-smaller vertex — the clique enumerates exactly once as
+    // u→{x,y,z} with x<y<z in the same total order, and per-vertex
+    // out-degree is O(√m), bounding the enumeration by O(m·α²)
+    // regardless of skew (α = arboricity): wedges → DAG-triangles →
+    // one more ordered extension + two edge-existence joins, all
+    // vertex/pair-keyed equi-joins. The DuckDB oracle enumerates the
+    // SAME cliques the naive way (a<b<c<d over the canonical
+    // id-ordered edge list) — membership counts are orientation-
     // independent, so the skew-safe plan must hash-match the naive
     // enumeration (the k4/k4b and k25/k25b proof pattern). Top-20 by
     // membership, id tie-break.
     Q("k26_clique4",
-      (s, d) => clique4Counts(cappedEdges(s, d))
-        .orderBy(desc("n_cliques"), col("id"))
-        .limit(20),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_partkey") < cap)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val copurchase = li.as("a")
+          .join(li.select(col("o"), col("p").as("p2")).as("b"), Seq("o"))
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("src"), col("p2").as("dst"))
+        clique4Counts(copurchase)
+          .orderBy(desc("n_cliques"), col("id"))
+          .limit(20)
+      },
       Some(
-        s"""WITH und AS (
-           |  SELECT DISTINCT least(l_orderkey, l_partkey) AS a,
-           |                  greatest(l_orderkey, l_partkey) AS b
-           |  FROM lineitem
-           |  WHERE l_orderkey < $cap AND l_partkey < $cap
-           |    AND l_orderkey <> l_partkey
+        s"""WITH li AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           |  WHERE l_partkey < $cap
+           |), und AS (
+           |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+           |         greatest(a.l_partkey, b.l_partkey) AS b
+           |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |  WHERE a.l_partkey < b.l_partkey
            |), tri AS (
            |  SELECT t1.a, t1.b, t2.b AS c
            |  FROM und t1
@@ -2427,6 +2455,8 @@ object Graph {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
+    // staged: consumed by the wedge self-join, the triangle close,
+    // and the final (y,z) existence join
     val e = und
       .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
@@ -2438,20 +2468,29 @@ object Graph {
             col("da").as("dw"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"),
         col("e.dw").as("dw"))
+      .stageCkpt()
     val wedges = e
       .select(col("u"), col("w").as("x"), col("dw").as("dx"))
       .join(e.select(col("u"), col("w").as("y"), col("dw").as("dy")),
         Seq("u"))
       .filter(lower(col("dx"), col("x"), col("dy"), col("y")))
-    // DAG triangle u<x<y, KEEPING y's rank for the next extension
+    // DAG triangle u<x<y, KEEPING y's rank; staged — the quad stage
+    // self-joins it
     val tri = wedges
       .join(e.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
       .select(col("u"), col("x"), col("y"), col("dy"))
+      .stageCkpt()
+    // Triangle-pair formulation: a 4-clique u<x<y<z is exactly two
+    // DAG triangles (u,x,y) and (u,x,z) on the SAME base edge (u,x)
+    // whose apexes close an edge y→z. Fan-out is Σ_(u,x) C(sup,2)
+    // over per-edge triangle support — far below the
+    // triangles×out-degree blow-up of extending each triangle by all
+    // of u's out-neighbours (measured 22.7 s → 5.2 s at sf0.01 on the
+    // co-purchase graph, where hub edges carry most triangles).
     val quad = tri
-      .join(e.select(col("u"), col("w").as("z"), col("dw").as("dz")),
-        Seq("u"))
+      .join(tri.select(col("u"), col("x"), col("y").as("z"),
+        col("dy").as("dz")), Seq("u", "x"))
       .filter(lower(col("dy"), col("y"), col("dz"), col("z")))
-      .join(e.select(col("u").as("x"), col("w").as("z")), Seq("x", "z"))
       .join(e.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
       .select(col("u"), col("x"), col("y"), col("z"))
     quad

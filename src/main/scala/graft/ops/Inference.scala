@@ -611,10 +611,16 @@ object Inference {
             col("vj") * col("v")).as("num"))
         val lamDen = v.groupBy()
           .agg(sum(col("v") * col("v")).as("den"))
+        // lambda rendered round(-3): num is an exact DECIMAL(38,0)
+        // ~1e26 at sf1, so the decimal->double CAST itself rounds and
+        // the engines differ by one ulp (~1e-3 at lambda ~7.7e12) —
+        // a 4dp grid can't even be represented there. Thousands are
+        // exactly representable far past any fixture scale, and the
+        // ulp can't flip a 500-boundary.
         v.crossJoin(broadcast(lamNum)).crossJoin(broadcast(lamDen))
           .select(col("i"), col("v").as("v_e6"),
             round(col("num").cast("double") / col("den").cast("double"),
-              4).as("lambda_scat"))
+              -3).as("lambda_scat"))
           .orderBy("i")
       },
       Some(pcaPowerOracle(6))),
@@ -1312,7 +1318,7 @@ object Inference {
        |  JOIN v$iters vi ON vi.i = s.i
        |)
        |SELECT v.i, v.v AS v_e6,
-       |  round(CAST(lam.num AS DOUBLE) / CAST(lam.den AS DOUBLE), 4)
+       |  round(CAST(lam.num AS DOUBLE) / CAST(lam.den AS DOUBLE), -3)
        |    AS lambda_scat
        |FROM v$iters v CROSS JOIN lam
        |ORDER BY v.i""".stripMargin

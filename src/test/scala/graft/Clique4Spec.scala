@@ -46,11 +46,13 @@ class Clique4Spec extends SparkSpec {
       Map(1 -> 2L, 2 -> 2L, 3 -> 2L, 50 -> 1L, 99 -> 1L))
   }
 
-  test("fixture query matches the unnest/limit contract") {
+  test("fixture query is NON-VACUOUS and keeps the top-20 contract") {
     val rows = SparkEntry.queries("k26_clique4")(
       spark, "/root/testdata/sf0.001").collect()
-    assert(rows.length <= 20)
-    // membership counts are positive and sorted desc with id tiebreak
+    // the co-purchase projection guarantees clique structure (every
+    // multi-part basket is one) — an empty result would mean the
+    // query degenerated back to the near-bipartite raw graph
+    assert(rows.nonEmpty && rows.length <= 20)
     val pairs = rows.map(r => (r.getLong(1), r.getLong(0)))
     assert(pairs.forall(_._1 > 0))
     assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))

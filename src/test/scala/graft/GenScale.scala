@@ -94,9 +94,14 @@ object GenScale {
       tenfold(spark.read.parquet(s"$in/documents.parquet")) { (d, i) =>
         val t = if (i == 0) col("text")
           else concat(col("text"), lit(s" sc$i"))
+        // n_chars from col("text") AFTER the replacement — reusing `t`
+        // here re-applies the concat to the already-marked text and
+        // lands n_chars 4 over-length for every shifted copy, which
+        // the round-11 sf1 differential caught through the multimodal
+        // codec oracles (n_chars-derived expectations vs real bytes)
         d.withColumn("doc_id", col("doc_id") + i * docShift)
           .withColumn("text", t)
-          .withColumn("n_chars", length(t).cast("long"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
       })
     land("embeddings",
       tenfold(spark.read.parquet(s"$in/embeddings.parquet")) { (d, i) =>
