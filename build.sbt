@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Explicitly pin sbt's default: suites inside the forked test JVM run
+// SEQUENTIALLY. ReliableCkptSpec relies on this — it flips the global
+// `graft.reliable.ckpt` sys.prop on the shared SparkSession and then
+// deletes the temp checkpoint dir; a concurrently-running suite could
+// otherwise checkpoint into the soon-deleted dir (r11 ADVICE).
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -27,6 +27,20 @@ import org.apache.spark.sql.Dataset
   * Both paths stay EAGER (the Spark default): every loop here counts
   * or reuses the staged frame immediately, and eager truncation is
   * what bounds the lineage before the next round builds on it.
+  *
+  * RETENTION (cluster deployments): under the reliable knob every
+  * loop iteration across ~80 call sites writes a permanent checkpoint
+  * directory, and Spark deletes none of them by default
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false) — a
+  * long multi-loop run accumulates unbounded HDFS/S3 data. Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` AT
+  * SESSION BUILD TIME (ContextCleaner reads it once at SparkContext
+  * startup — setting it later is a no-op, which is why this object
+  * cannot set it for you) so the cleaner removes checkpoint data once
+  * its RDD is GC'd — recovery only needs checkpoints whose RDDs are
+  * still reachable — or sweep the configured directory between
+  * applications. `tools/recovery_drill.sh` passes it in its
+  * spark-submit conf as the reference shape for cluster deployments.
   */
 object Ckpt {
   private val propKey = "graft.reliable.ckpt"
@@ -43,10 +57,24 @@ object Ckpt {
   def stage[T](ds: Dataset[T]): Dataset[T] = reliableDir match {
     case Some(dir) =>
       val sc = ds.sparkSession.sparkContext
-      // setCheckpointDir is idempotent per value but creates a fresh
-      // UUID subdir on every call — only (re)set it when it drifts
-      if (!sc.getCheckpointDir.exists(_.contains(dir)))
-        sc.setCheckpointDir(dir)
+      // setCheckpointDir creates a fresh UUID subdir on every call —
+      // only (re)set it when the PARENT of the resolved checkpoint
+      // dir differs from the configured value (path-normalized
+      // equality, not substring containment: `/ckpt/a` → `/ckpt`
+      // or sibling dirs where one name prefixes the other must not
+      // be treated as "already set" — r11 ADVICE).
+      val current = sc.getCheckpointDir
+        .map(p => new org.apache.hadoop.fs.Path(p))
+      val want = new org.apache.hadoop.fs.Path(dir)
+      val matches = current.exists { p =>
+        Option(p.getParent).exists { parent =>
+          // compare on URI path components so `/x/./y`, trailing
+          // slashes, and scheme-less forms normalize identically
+          parent.toUri.getPath == want.toUri.getPath ||
+            parent.toString == want.toString
+        }
+      }
+      if (!matches) sc.setCheckpointDir(dir)
       ds.checkpoint()
     case None => ds.localCheckpoint()
   }

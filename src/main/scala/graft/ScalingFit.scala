@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   *   - `fit`:  least-squares slope of log10(t) on log10(sf) over all
   *     three points — the overall growth order, biased LOW by fixed
   *     overhead at sf0.01 (t ≈ c + k·N flattens the small-scale end);
-  *   - `tail`: log10(t_sf1 / t_sf0.1) — the slope of the LAST decade,
-  *     the honest asymptotic signal and the one the flag uses.
+  *   - `tail`: the log-log slope of the LAST measured interval
+  *     (sf0.1→sf1, or sf1→sf3 when the 30x fixture exists) — the
+  *     honest asymptotic signal and the one the flag uses.
   * A query is flagged super-linear when tail > 1.3 AND t_sf1 ≥ 1 s
   * (sub-second queries are fixed-overhead noise, not scaling signal).
   *
@@ -22,10 +23,19 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingFit {
   def main(args: Array[String]): Unit = {
-    val scales = Seq(
+    val scales0 = Seq(
       ("/root/testdata/sf0.01", 0.01),
       ("/root/testdata/sf0.1", 0.1),
       ("/root/repo/scaledata/sf1", 1.0))
+    // 4th point (round-12, VERDICT r11 item 6): when the 30x fixture
+    // exists (GenScale 30 /root/repo/scaledata/sf3), the fit extends
+    // past sf1 so the heavy loop tails are measured on >= 4 points
+    // instead of extrapolated from three that end at sf1
+    val sf3 = "/root/repo/scaledata/sf3"
+    val scales =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf3)))
+        scales0 :+ ((sf3, 3.0))
+      else scales0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +44,7 @@ object ScalingFit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    VersionPin.assertCompat(spark)
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names =
       if (args.nonEmpty && args(0).nonEmpty) {
@@ -92,7 +103,13 @@ object ScalingFit {
       val fit = if (ok)
         slope(ts.map { case (sf, t) => (math.log10(sf), math.log10(t)) })
         else Double.NaN
-      val tail = if (ok) math.log10(ts.last._2 / ts(1)._2) else Double.NaN
+      // last-interval slope, normalized by the scale gap so a 3x
+      // final decade (sf1 -> sf3) reads on the same exponent axis as
+      // a 10x one
+      val tail = if (ok)
+        math.log10(ts.last._2 / ts(ts.size - 2)._2) /
+          math.log10(ts.last._1 / ts(ts.size - 2)._1)
+      else Double.NaN
       (name, ts, fit, tail)
     }
     def f4(d: Double): String =

@@ -24,6 +24,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    VersionPin.assertCompat(spark)
     new java.io.File(outDir).mkdirs()
     // repartition(1), not coalesce(1): coalesce folds the WHOLE plan into
     // one task; repartition adds a shuffle barrier so computation stays

@@ -1192,22 +1192,27 @@ object Graph {
     // count + a semi join — all keyed shuffles, no windows; the
     // surviving set is localCheckpoint'ed per round (bounded lineage,
     // one action per round, the kcore loop discipline). Support only
-    // shrinks, so |E| unchanged <=> fixpoint. At 100 TB the wedge join
-    // takes the k4b degree orientation (O(m^1.5) total regardless of
-    // skew — same semantics, proven by k4b hash-matching k4); the
-    // id-oriented form here keeps the plan textually identical to the
-    // oracle's unrolled stages. The oracle unrolls ktrussRounds
-    // MATERIALIZED stages — past the measured fixpoint (2 rounds at
-    // sf0.01 AND sf0.1; post-fixpoint stages are no-ops). k and the
-    // unroll depth are SHARED vals interpolated into both engines so
-    // changing either cannot silently break the equivalence.
+    // shrinks, so |E| unchanged <=> fixpoint. The BOARD plan is the
+    // DEGREE-ORIENTED peel (round-12: the id-oriented `ktrussEdges`
+    // faces 5.42B wedge rows 99.7% keyed on one vertex when the hub's
+    // id sorts mid-range — the `sf1skewmid` fixture kills it >300s
+    // where this form runs 14.5s; the degree orientation bounds every
+    // round's wedge join O(m^1.5) regardless of hub id). The
+    // id-oriented form survives as a KtrussSpec equivalence pin — both
+    // peels hash-match this SAME oracle, which is the proof the
+    // skew-safe plan preserves semantics. The oracle unrolls
+    // ktrussRounds MATERIALIZED stages — past the measured fixpoint (2
+    // rounds at sf0.01 AND sf0.1; post-fixpoint stages are no-ops). k
+    // and the unroll depth are SHARED vals interpolated into both
+    // engines so changing either cannot silently break the
+    // equivalence.
     Q("k25_ktruss",
       (s, d) => {
         // maxIter = the oracle's unrolled depth: a fixture whose
         // cascade needs more rounds fails LOUDLY here (require in
-        // ktrussEdges) instead of silently diverging from a
+        // the peel) instead of silently diverging from a
         // too-shallow oracle
-        ktrussEdges(ktrussInput(s, d), k = ktrussK,
+        ktrussEdgesDegree(ktrussInput(s, d), k = ktrussK,
             maxIter = ktrussRounds)
           .select(explode(array(col("a"), col("b"))).as("vertex"))
           .groupBy("vertex")
@@ -1216,14 +1221,14 @@ object Graph {
       },
       ktrussOracle),
 
-    // ----- K25b [EXT]: the DEGREE-ORIENTED k-truss — the production
-    // form of k25, exactly as k4b is of k4: each peel round's wedge
-    // join is bounded O(m^1.5) regardless of which vertex is the hub,
-    // where k25's id orientation is safe only when the hub's id sorts
-    // low (a fixture accident, not a construction — see
-    // ktrussEdgesDegree's note and the sf1skewmid measurement in
-    // PERF.md round-11). Same unique truss, same SHARED oracle: the
-    // hash match IS the proof the skew-safe plan preserves semantics.
+    // ----- K25b [EXT]: the degree-oriented k-truss twin. Since
+    // round-12 k25 itself runs this same peel (the id-oriented form
+    // was the board's one named scale-killer — sf1skewmid kills it
+    // >300s; it survives as a KtrussSpec equivalence pin only), so
+    // k25b is retained as the explicitly-named [EXT] row the survey
+    // declared, plan-identical to k25. Same unique truss, same SHARED
+    // oracle. See ktrussEdgesDegree's note and the sf1skewmid
+    // measurement in PERF.md round-11.
     Q("k25b_ktruss_degree",
       (s, d) => {
         ktrussEdgesDegree(ktrussInput(s, d), k = ktrussK,
@@ -1318,8 +1323,10 @@ object Graph {
       (s, d) => lpa(s, d, rounds = 4),
       Some(
         s"""WITH ${lpaOracleCtes(4)}
-           |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
-           |FROM l4 GROUP BY lbl ORDER BY lbl""".stripMargin)),
+           |SELECT w.v AS community,
+           |       CAST(count(*) AS BIGINT) AS n_members
+           |FROM l4 JOIN vmap w ON l4.lbl = w.id
+           |GROUP BY w.v ORDER BY community""".stripMargin)),
 
     // ----- K9: weakly connected components — the dedup/partitioning
     // primitive (cluster ids for fuzzy-dedup graphs, subgraph
@@ -2130,32 +2137,58 @@ object Graph {
       .orderBy("community")
 
   /** DuckDB CTE chain for `rounds` unrolled synchronous-LPA stages —
-    * `de` (distinct directed edges), `e0` (symmetrized), `l0` (seed
-    * labels) and `l1..l{rounds}`; shared by the k8_lpa and
-    * k16_modularity oracles. Every stage is MATERIALIZED: each
-    * references its predecessor multiple times and DuckDB 1.0 inlines
-    * plain CTEs (the k7 3^depth blowup). */
+    * `de` (distinct directed string edges), `es` (symmetrized
+    * strings), `vmap` (string vertex → dense BIGINT id, rank-ordered),
+    * `e0` (INTEGER-MAPPED symmetric edges), `l0` (seed labels) and
+    * `l1..l{rounds}` (integer label tables); shared by the k8_lpa and
+    * k16_modularity oracles. Memory-bounded by construction (the
+    * round-12 reformulation that zeroed the sf1 exclusions):
+    *
+    *  - INT-MAPPED ROUNDS: `vmap` assigns each vertex string its
+    *    `row_number() OVER (ORDER BY src)` — the integer order mirrors
+    *    the string order exactly, so every `min`/`max` tie-break below
+    *    is bit-equivalent to the original string formulation (proven:
+    *    old-vs-new outputs identical at sf0.01 AND sf0.1) while each
+    *    round's hash tables hold int pairs, not 10M+ varchars.
+    *  - STRUCT-FREE ARGMAX: the modal label is max-count-then-min-
+    *    label via two plain int aggregates over a MATERIALIZED `g{i}`
+    *    (per-(vertex,label) counts) + a join back on (src, c) —
+    *    equivalent to min(struct(-c, lbl)) but avoiding DuckDB
+    *    1.0.0's fused join→agg→min(STRUCT) pipeline, which ignores
+    *    memory_limit and OOM-kills the process at 12M edge rows
+    *    (measured: the fused form dies at 125 GB free; this form runs
+    *    sf1 in 26 s / <10 GB, and sf0.1 in 5 s vs the old 159 s).
+    *
+    * Every carried stage is MATERIALIZED: each is referenced more than
+    * once and DuckDB 1.0 inlines plain CTEs (the k7 3^depth blowup). */
   private def lpaOracleCtes(rounds: Int): String = {
     val stages = (1 to rounds).map { i =>
       val (p, c) = (s"l${i - 1}", s"l$i")
-      s"""n$i AS (
-         |  SELECT e.src, l.lbl FROM e0 e JOIN $p l ON l.v = e.dst
-         |), g$i AS (
-         |  SELECT src, lbl, count(*) AS c FROM n$i GROUP BY 1, 2
+      s"""g$i AS MATERIALIZED (
+         |  SELECT e.src, l.lbl, count(*) AS c
+         |  FROM e0 e JOIN $p l ON l.v = e.dst GROUP BY 1, 2
          |), $c AS MATERIALIZED (
-         |  SELECT src AS v, (m).lbl AS lbl FROM (
-         |    SELECT src, min(struct_pack(nc := -c, lbl := lbl)) AS m
-         |    FROM g$i GROUP BY src)
+         |  SELECT g.src AS v, min(g.lbl) AS lbl
+         |  FROM g$i g JOIN (SELECT src, max(c) AS mc FROM g$i
+         |                   GROUP BY src) m
+         |    ON g.src = m.src AND g.c = m.mc
+         |  GROUP BY g.src
          |)""".stripMargin
     }.mkString(", ")
     s"""de AS MATERIALIZED (
        |  SELECT DISTINCT 'v' || l_orderkey AS src,
        |         'v' || l_partkey AS dst
        |  FROM lineitem
-       |), e0 AS MATERIALIZED (
+       |), es AS MATERIALIZED (
        |  SELECT src, dst FROM de UNION SELECT dst, src FROM de
+       |), vmap AS MATERIALIZED (
+       |  SELECT src AS v, row_number() OVER (ORDER BY src) AS id
+       |  FROM (SELECT DISTINCT src FROM es)
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst FROM es e
+       |  JOIN vmap a ON e.src = a.v JOIN vmap b ON e.dst = b.v
        |), l0 AS MATERIALIZED (
-       |  SELECT DISTINCT src AS v, src AS lbl FROM e0
+       |  SELECT id AS v, id AS lbl FROM vmap
        |), $stages""".stripMargin
   }
 
@@ -2576,15 +2609,25 @@ object Graph {
 
   private def kcore(s: SparkSession, d: String, k: Int,
                     maxIter: Int = 100, steps: Int = 3,
-                    localTail: Long = kcoreLocalTailEdges): DataFrame = {
-    // PRECONDITION shared by BOTH peel paths: the edge set must be
-    // SYMMETRIC (every (u,v) paired with (v,u)) and EDGE-DISTINCT.
-    // The distributed loop counts degree as count(*) over src rows
-    // while the local tail builds adjacency from src keys and dedups
-    // neighbours via a HashSet — the two agree bit-for-bit only under
-    // that invariant (symEdgesBySrc guarantees it today; a directed or
-    // duplicated edge list would silently diverge between the paths).
-    var sub = symEdgesBySrc(s, d)
+                    localTail: Long = kcoreLocalTailEdges): DataFrame =
+    kcoreEdges(s, symEdgesBySrc(s, d), k, maxIter, steps, localTail)
+
+  /** The k-core peel over an arbitrary ("src", "dst") edge frame —
+    * exposed for GraphFuzzSpec's seeded random graphs.
+    *
+    * PRECONDITION shared by BOTH peel paths: the edge set must be
+    * SYMMETRIC (every (u,v) paired with (v,u)) and EDGE-DISTINCT.
+    * The distributed loop counts degree as count(*) over src rows
+    * while the local tail builds adjacency from src keys and dedups
+    * neighbours via a HashSet — the two agree bit-for-bit only under
+    * that invariant (symEdgesBySrc guarantees it today; a directed or
+    * duplicated edge list would silently diverge between the paths).
+    */
+  private[graft] def kcoreEdges(s: SparkSession, edges0: DataFrame,
+                                k: Int, maxIter: Int = 100,
+                                steps: Int = 3,
+                                localTail: Long = 0L): DataFrame = {
+    var sub = edges0
     var iter = 0
     var done = false
     // ONE action per round: the filtered subgraph's checkpoint.

@@ -398,29 +398,43 @@ object Streams {
     * other once-per-run streaming queries.
     */
   /** Absolute path of the checkpoint the most recent
-    * [[stateReaderCounts]] run landed — exposed so callers (the spec's
-    * metadata reader) address it directly instead of rediscovering it
-    * by tmp-dir mtime scan.
+    * [[stateReaderCounts]] run landed — a LAST-INVOCATION convenience
+    * for the spec's metadata reader. Concurrent callers must use
+    * [[stateReaderCountsWithCkpt]], which returns the path keyed to
+    * its own invocation (r11 ADVICE: a global slot alone races when
+    * two runs interleave in one application).
     */
   @volatile private[graft] var lastStateCheckpoint: String = _
 
-  def stateReaderCounts(s: SparkSession, dir: String): DataFrame = {
-    // each run lands a fresh checkpoint under a PER-APPLICATION root
-    // (applicationId-keyed), and the pre-run sweep clears only THIS
-    // application's previous runs — a concurrent process running the
-    // same query keeps its in-flight checkpoint; tmp usage still stays
-    // bounded at one checkpoint per live application
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_state_${s.sparkContext.applicationId}")
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .foreach { d0 =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        try rm(d0) catch { case _: Exception => () }
-      }
+  def stateReaderCounts(s: SparkSession, dir: String): DataFrame =
+    stateReaderCountsWithCkpt(s, dir)._1
+
+  /** [[stateReaderCounts]] plus the per-invocation checkpoint path the
+    * returned frame reads from. */
+  private[graft] def stateReaderCountsWithCkpt(
+      s: SparkSession, dir: String): (DataFrame, String) = {
+    // Each run lands a fresh UUID checkpoint under a PER-APPLICATION
+    // root (applicationId-keyed). NOTHING under the live application's
+    // root is ever deleted here: a sibling run's returned state-reader
+    // DataFrame re-reads its checkpoint LAZILY, so sweeping prior runs
+    // (the pre-r12 behavior) could yank files out from under a live
+    // frame (r11 ADVICE). Growth within one application is bounded at
+    // one fixture-scale checkpoint per call; cross-application litter
+    // is bounded by the stale-root sweep below, which removes only
+    // OTHER applications' roots untouched for >= 1h (dead apps — a
+    // live concurrent app's root has fresh mtimes from its own runs).
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val rootName = s"graft_state_${s.sparkContext.applicationId}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_state_")
+        && f.getName != rootName && f.lastModified() < staleMs)
+      .foreach(f => try rm(f) catch { case _: Exception => () })
+    val root = new java.io.File(tmp, rootName)
     val ckpt = new java.io.File(root,
       java.util.UUID.randomUUID.toString.replace("-", "")).getAbsolutePath
     lastStateCheckpoint = ckpt
@@ -446,11 +460,12 @@ object Streams {
     } finally s.conf.set("spark.sql.shuffle.partitions", batchParts)
     // the reader names buffer fields by aggregate FUNCTION, not alias
     // ("count", "sum") — part of what this query pins
-    s.read.format("statestore").load(ckpt)
+    val out = s.read.format("statestore").load(ckpt)
       .select(col("key.user_id").as("user_id"),
         col("value.count").as("n"),
         (col("value.sum") / 10000.0).as("sum_value"))
       .orderBy("user_id")
+    (out, ckpt)
   }
 
   /** Per-user session outputs for the flatMapGroupsWithState sessionizer. */

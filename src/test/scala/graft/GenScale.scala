@@ -26,9 +26,15 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // args: [copies] [outDir] — default the 10x sf1 fixture; the
+    // round-12 4-point scaling fit generates 30x into scaledata/sf3
+    // the same way (disjoint key ranges per copy, marker-perturbed
+    // documents/embeddings), so every scale point shares one
+    // construction
     val in = "/root/testdata/sf0.1"
-    val out = "/root/repo/scaledata/sf1"
-    val copies = 10
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val out =
+      if (args.length > 1) args(1) else "/root/repo/scaledata/sf1"
 
     // per-copy key shifts COMPUTED from the fixture (round-8 fix:
     // hardcoded constants silently collide if the fixture's key

@@ -46,6 +46,14 @@ class ReliableCkptSpec extends SparkSpec {
         s"no reliable checkpoint files under $dir — knob did not route")
     } finally {
       sys.props -= prop
+      // Evict the reliably-checkpointed SCC labeling BEFORE deleting
+      // its checkpoint dir: the cached frame's lineage roots at files
+      // under `dir`, so a later suite evicting/recomputing it would
+      // hit FileNotFoundException (r11 ADVICE). The knob flip itself
+      // is safe from cross-suite interference because the build runs
+      // forked tests sequentially (build.sbt pins
+      // `Test / testForkedParallel := false`).
+      Tables.sessionScoped(spark).remove(s"scc|$sf")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit

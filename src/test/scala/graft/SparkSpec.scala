@@ -13,6 +13,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    VersionPin.assertCompat(s)
     s
   }
 }

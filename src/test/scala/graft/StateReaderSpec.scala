@@ -12,12 +12,14 @@ class StateReaderSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("state-metadata describes the aggregation operator") {
-    val df = Streams.stateReaderCounts(spark, sf)
+    // the per-invocation API returns the checkpoint keyed to THIS
+    // run (the global lastStateCheckpoint is a convenience slot that
+    // races under interleaved runs — r11 ADVICE)
+    val (df, ckpt) = Streams.stateReaderCountsWithCkpt(spark, sf)
     assert(df.count() > 0)
-    // the query records the checkpoint it landed — address it directly
-    // (no mtime scan, no dependence on the pre-run sweep)
-    val ckpt = Streams.lastStateCheckpoint
     assert(ckpt != null, "stateReaderCounts did not record its checkpoint")
+    assert(Streams.lastStateCheckpoint == ckpt,
+      "last-invocation slot should mirror the per-invocation path here")
     val meta = spark.read.format("state-metadata")
       .load(ckpt)
     val ops = meta.select("operatorName").collect().map(_.getString(0))
