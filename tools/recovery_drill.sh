@@ -37,7 +37,7 @@ rm -f "$OUT"/baseline.json "$OUT"/kill.json "$OUT"/control.json
 
 echo "[drill] packaging..."
 sbt -batch package -warn >/dev/null
-JAR=$(ls target/scala-2.13/*.jar | head -1)
+JAR=$(ls target/scala-2.13/*.jar | grep -v -- '-tests' | head -1)
 
 submit() { # $1=ckpt_dir_or_empty $2=outfile; extra conf via $3...
   local ckpt="$1" out="$2"; shift 2
