@@ -68,10 +68,19 @@ object Ckpt {
       val want = new org.apache.hadoop.fs.Path(dir)
       val matches = current.exists { p =>
         Option(p.getParent).exists { parent =>
-          // compare on URI path components so `/x/./y`, trailing
-          // slashes, and scheme-less forms normalize identically
-          parent.toUri.getPath == want.toUri.getPath ||
-            parent.toString == want.toString
+          // URI-component comparison so `/x/./y`, trailing slashes,
+          // and scheme-less forms normalize identically. When the
+          // knob value CARRIES a scheme/authority, both must match
+          // the resolved parent's — `/data/ckpt` (local) vs
+          // `hdfs://nn/data/ckpt` share a path but are different
+          // filesystems, and treating them as equal would keep
+          // "reliable" checkpoints on the node-local disk the knob
+          // was switched to escape.
+          val (pu, wu) = (parent.toUri, want.toUri)
+          pu.getPath == wu.getPath &&
+            (wu.getScheme == null || wu.getScheme == pu.getScheme) &&
+            (wu.getAuthority == null ||
+              wu.getAuthority == pu.getAuthority)
         }
       }
       if (!matches) sc.setCheckpointDir(dir)

@@ -99,18 +99,26 @@ object ScalingFit {
     val rows = names.map { name =>
       val ts = scales.map { case (_, sf) =>
         sf -> times.find(_._1 == sf).get._2(name) }
-      val ok = ts.forall(_._2 > 0)
+      // fit/tail over the points that SUCCEEDED (>= 2 needed) — a
+      // query that dies only at the new top scale must keep its
+      // lower-scale exponents and get FLAGGED, not NaN out of the
+      // detector (the queries most likely super-linear are exactly
+      // the ones that die at the largest scale)
+      val okPts = ts.filter(_._2 > 0)
+      val ok = okPts.size >= 2
+      val topFailed = ts.last._2 <= 0
       val fit = if (ok)
-        slope(ts.map { case (sf, t) => (math.log10(sf), math.log10(t)) })
+        slope(okPts.map { case (sf, t) =>
+          (math.log10(sf), math.log10(t)) })
         else Double.NaN
-      // last-interval slope, normalized by the scale gap so a 3x
-      // final decade (sf1 -> sf3) reads on the same exponent axis as
-      // a 10x one
+      // last-interval slope over the succeeding points, normalized by
+      // the scale gap so a 3x final interval (sf1 -> sf3) reads on the
+      // same exponent axis as a 10x one
       val tail = if (ok)
-        math.log10(ts.last._2 / ts(ts.size - 2)._2) /
-          math.log10(ts.last._1 / ts(ts.size - 2)._1)
+        math.log10(okPts.last._2 / okPts(okPts.size - 2)._2) /
+          math.log10(okPts.last._1 / okPts(okPts.size - 2)._1)
       else Double.NaN
-      (name, ts, fit, tail)
+      (name, ts, fit, tail, topFailed)
     }
     def f4(d: Double): String =
       if (d.isNaN) "null"
@@ -129,10 +137,11 @@ object ScalingFit {
         """"([A-Za-z0-9_]+)"\s*:\s*(\{[^{}]*\})""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toMap
       } else Map.empty
-    val fresh = rows.map { case (name, ts, fit, tail) =>
+    val fresh = rows.map { case (name, ts, fit, tail, topFailed) =>
       val tj = ts.map { case (sf, t) => s""""sf$sf":${f4(t)}""" }
         .mkString(",")
-      name -> s"""{$tj,"fit":${f4(fit)},"tail":${f4(tail)}}"""
+      val tf = if (topFailed) ""","top_scale_failed":true""" else ""
+      name -> s"""{$tj,"fit":${f4(fit)},"tail":${f4(tail)}$tf}"""
     }.toMap
     val merged = (prior ++ fresh).toSeq.sortBy(_._1)
     def tailOf(obj: String): Double =
@@ -142,7 +151,8 @@ object ScalingFit {
       """"sf1\.0"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(obj)
         .map(_.group(1).toDouble).getOrElse(Double.NaN)
     val flagged = merged.collect { case (n, o)
-      if !tailOf(o).isNaN && tailOf(o) > 1.3 && t1Of(o) >= 1.0 => n }
+      if o.contains(""""top_scale_failed":true""") ||
+        (!tailOf(o).isNaN && tailOf(o) > 1.3 && t1Of(o) >= 1.0) => n }
     val body = merged.map { case (n, o) => s""""$n":$o""" }.mkString(",")
     val json = s"""{"flagged_tail_gt_1.3":[${
       flagged.map("\"" + _ + "\"").mkString(",")}],"queries":{$body}}"""

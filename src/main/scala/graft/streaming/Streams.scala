@@ -406,6 +406,11 @@ object Streams {
     */
   @volatile private[graft] var lastStateCheckpoint: String = _
 
+  /** Application roots that already registered their exit-time
+    * cleanup hook (one hook per root, however many runs). */
+  private val sweepHookFor =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def stateReaderCounts(s: SparkSession, dir: String): DataFrame =
     stateReaderCountsWithCkpt(s, dir)._1
 
@@ -414,27 +419,26 @@ object Streams {
   private[graft] def stateReaderCountsWithCkpt(
       s: SparkSession, dir: String): (DataFrame, String) = {
     // Each run lands a fresh UUID checkpoint under a PER-APPLICATION
-    // root (applicationId-keyed). NOTHING under the live application's
-    // root is ever deleted here: a sibling run's returned state-reader
-    // DataFrame re-reads its checkpoint LAZILY, so sweeping prior runs
-    // (the pre-r12 behavior) could yank files out from under a live
-    // frame (r11 ADVICE). Growth within one application is bounded at
-    // one fixture-scale checkpoint per call; cross-application litter
-    // is bounded by the stale-root sweep below, which removes only
-    // OTHER applications' roots untouched for >= 1h (dead apps — a
-    // live concurrent app's root has fresh mtimes from its own runs).
+    // root (applicationId-keyed). NOTHING is ever deleted while any
+    // application might still read it: a returned state-reader
+    // DataFrame re-reads its checkpoint LAZILY, so both the pre-r12
+    // intra-app sweep AND an mtime-based cross-app sweep (an idle-but-
+    // alive sibling app's root goes stale after an hour) could yank
+    // files from under a live frame. Instead a JVM shutdown hook
+    // removes THIS application's root at exit — growth is bounded at
+    // one fixture-scale checkpoint per call per live application, and
+    // the only litter is from kill -9'd JVMs, left to OS tmp cleaning.
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val rootName = s"graft_state_${s.sparkContext.applicationId}"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_state_")
-        && f.getName != rootName && f.lastModified() < staleMs)
-      .foreach(f => try rm(f) catch { case _: Exception => () })
     val root = new java.io.File(tmp, rootName)
+    if (sweepHookFor.add(rootName))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(root) catch { case _: Exception => () }
+      }))
     val ckpt = new java.io.File(root,
       java.util.UUID.randomUUID.toString.replace("-", "")).getAbsolutePath
     lastStateCheckpoint = ckpt

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
 class GraphFuzzSpec extends SparkSpec {
 
   private val baseSeed = 20260816L
-  private val nGraphs =
-    math.max(5, sys.env.getOrElse("SPARK_GRAFT_GRAPH_FUZZ", "120").toInt)
+  private val nGraphs = math.max(5,
+    try sys.env.getOrElse("SPARK_GRAFT_GRAPH_FUZZ", "120").trim.toInt
+    catch { case _: NumberFormatException =>
+      sys.error("SPARK_GRAFT_GRAPH_FUZZ must be an integer, got: " +
+        s"'${sys.env("SPARK_GRAFT_GRAPH_FUZZ")}'")
+    })
 
   /** Directed edge list over vertices 0..n-1; no self-loops, distinct. */
   private def gen(seed: Long, maxN: Int): (Int, Seq[(Long, Long)]) = {

@@ -31,8 +31,11 @@ class ReliableCkptSpec extends SparkSpec {
     assert(sccBase.nonEmpty && wccBase.nonEmpty)
 
     // evict the session-cached SCC labeling so the reliable run
-    // recomputes the loop instead of replaying the cached frame
-    Tables.sessionScoped(spark).remove(s"scc|$sf")
+    // recomputes the loop instead of replaying the cached frame;
+    // unpersist the evicted frame — remove() alone would leak its
+    // persisted blocks in the shared session for the rest of the JVM
+    Option(Tables.sessionScoped(spark).remove(s"scc|$sf"))
+      .foreach(_.unpersist())
 
     val dir = java.nio.file.Files.createTempDirectory("graft_rckpt")
       .toFile
@@ -53,7 +56,8 @@ class ReliableCkptSpec extends SparkSpec {
       // is safe from cross-suite interference because the build runs
       // forked tests sequentially (build.sbt pins
       // `Test / testForkedParallel := false`).
-      Tables.sessionScoped(spark).remove(s"scc|$sf")
+      Option(Tables.sessionScoped(spark).remove(s"scc|$sf"))
+        .foreach(_.unpersist())
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit

@@ -77,16 +77,29 @@ for _ in $(seq 1 600); do # up to 10 min
   # the loop is mid-flight and at least one round is durably staged
   if [[ -z "$KILLED" ]] && \
      find "$CKPT_B" -name 'part-*' -type f 2>/dev/null | grep -q .; then
-    # executor JVMs of THIS app: CoarseGrainedExecutorBackend children
-    VICTIM=$(pgrep -f CoarseGrainedExecutorBackend | head -1 || true)
-    if [[ -n "$VICTIM" ]]; then
-      echo "[drill] killing executor JVM pid=$VICTIM"
-      kill -9 "$VICTIM" || true
-      KILLED=$VICTIM
+    # executor JVMs of THIS app only: scope pgrep to the app id from
+    # the driver log — a host-wide CoarseGrainedExecutorBackend match
+    # could kill -9 an unrelated Spark job's executor
+    APPID=$(grep -o 'app-[0-9]*-[0-9]*' "$OUT/kill.log" 2>/dev/null | head -1 || true)
+    if [[ -n "$APPID" ]]; then
+      VICTIM=$(pgrep -f "CoarseGrainedExecutorBackend.*$APPID" | head -1 || true)
+      if [[ -n "$VICTIM" ]]; then
+        echo "[drill] killing executor JVM pid=$VICTIM (app $APPID)"
+        kill -9 "$VICTIM" || true
+        KILLED=$VICTIM
+      fi
     fi
   fi
   sleep 1
 done
+# a hung kill leg (the failure mode an executor kill can induce) must
+# FAIL, not hang the script on an untimed wait
+if kill -0 "$DRIVER_PID" 2>/dev/null; then
+  echo "[drill] FAIL: kill leg still running after 10 min — terminating"
+  kill -9 "$DRIVER_PID" 2>/dev/null || true
+  wait "$DRIVER_PID" 2>/dev/null || true
+  exit 1
+fi
 wait "$DRIVER_PID" || { echo "[drill] FAIL: kill leg did not complete"; exit 1; }
 T_B=$((SECONDS - T_B0))
 rm -rf "$CKPT_B"
@@ -114,7 +127,9 @@ if [[ "${3:-}" == "--with-local-ckpt-control" ]]; then
   submit "" "$OUT/control.json" >"$OUT/control.log" 2>&1 &
   CPID=$!
   sleep 8
-  V=$(pgrep -f CoarseGrainedExecutorBackend | head -1 || true)
+  CAPP=$(grep -o 'app-[0-9]*-[0-9]*' "$OUT/control.log" 2>/dev/null | head -1 || true)
+  V=""
+  [[ -n "$CAPP" ]] && V=$(pgrep -f "CoarseGrainedExecutorBackend.*$CAPP" | head -1 || true)
   [[ -n "$V" ]] && kill -9 "$V" || true
   if wait "$CPID"; then
     echo "[drill] control COMPLETED (victim held no needed blocks) — recorded"
