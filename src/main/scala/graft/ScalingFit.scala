@@ -31,11 +31,10 @@ object ScalingFit {
     // exists (GenScale 30 /root/repo/scaledata/sf3), the fit extends
     // past sf1 so the heavy loop tails are measured on >= 4 points
     // instead of extrapolated from three that end at sf1
-    val sf3 = "/root/repo/scaledata/sf3"
-    val scales =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf3)))
-        scales0 :+ ((sf3, 3.0))
-      else scales0
+    val extra = Seq(("/root/repo/scaledata/sf3", 3.0),
+      ("/root/repo/scaledata/sf10", 10.0))
+    val scales = scales0 ++ extra.filter { case (dir, _) =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
