@@ -1001,10 +1001,41 @@ object Inference {
               .as("r"))
         val freq = cal.groupBy("flag", "n_train", "r")
           .agg(count(lit(1)).as("t"))
-        val w = Window.partitionBy("flag").orderBy("r")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = freq.withColumn("cum", sum("t").over(w))
         val nc = freq.groupBy("flag").agg(sum("t").as("n_cal"))
+        // Order-statistic selection WITHOUT a full per-flag cum window:
+        // `flag` has 3 distinct values, so a window over the raw
+        // residual-frequency table runs 3-way parallel over millions
+        // of distinct cents at scale (measured: the sf3→sf10 tail hit
+        // 1.50 — a low-cardinality-partition wall, not an asymptote).
+        // Instead: (1) coarse-bucket r (b = r div 2^16) and cum-sum
+        // per-flag over BUCKET subtotals — a keyed distributed agg
+        // plus a window of a few hundred rows; (2) pick the first
+        // bucket whose running total crosses the ⌈0.9(n+1)⌉ threshold,
+        // carrying the count BEFORE it; (3) cum-sum only INSIDE that
+        // one bucket (≤ 65536 distinct r per flag). Same exact qhat —
+        // the selection predicate below is textually the original.
+        val bfreq = freq
+          .withColumn("b", (col("r") / 65536L).cast("long"))
+          .groupBy("flag", "b").agg(sum("t").as("bt"))
+        val wb = Window.partitionBy("flag").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bcum = bfreq.withColumn("bcum", sum("bt").over(wb))
+          .join(broadcast(nc), Seq("flag"))
+        val tb = bcum
+          .filter(col("bcum") * 10L >= (col("n_cal") + 1L) * 9L)
+          .groupBy("flag")
+          .agg(min(struct(col("b"), col("bcum"), col("bt"))).as("m"))
+          .select(col("flag"), col("m.b").as("tb"),
+            (col("m.bcum") - col("m.bt")).as("before"))
+        val cum = freq
+          .withColumn("b", (col("r") / 65536L).cast("long"))
+          .join(broadcast(tb), Seq("flag"))
+          .filter(col("b") === col("tb"))
+          .withColumn("cum",
+            col("before") + sum("t").over(
+              Window.partitionBy("flag").orderBy("r")
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)))
         val qhat = cum.join(broadcast(nc), Seq("flag"))
           .filter(col("cum") * 10L >= (col("n_cal") + 1L) * 9L)
           .groupBy("flag", "n_train", "n_cal")
