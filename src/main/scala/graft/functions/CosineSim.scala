@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.jaccardSortedDescriptor)
+    ext.injectFunction(GraftFunctions.rollingHashesDescriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -129,6 +130,12 @@ object GraftFunctions {
     (FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       (exprs: Seq[Expression]) => JaccardSorted(exprs.head, exprs(1)))
+
+  val rollingHashesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo(classOf[RollingHashes].getName, "rolling_hashes"),
+      (exprs: Seq[Expression]) => RollingHashes(exprs.head, exprs(1)))
 
   /** Idempotent per-session registration of all native functions. */
   def register(spark: SparkSession): Unit = {
@@ -182,6 +189,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate",
       exprs => CmsEstimate(exprs.head, exprs(1)),
+      "built-in")
+    // rolling_hashes(text, g): the Karp-Rabin position-hash stream —
+    // the anchor stage of exact substring dedup (t_dup_substrings).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hashes",
+      exprs => RollingHashes(exprs.head, exprs(1)),
       "built-in")
   }
 

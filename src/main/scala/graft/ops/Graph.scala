@@ -208,6 +208,30 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-RIGHT-vertex butterfly (2x2-biclique) membership counts over a
+    * bipartite ("o", "p") edge list: edges de-duplicated, wedges
+    * generated from the "o" side (see `k27_butterflies` for the
+    * side-selection scale discussion), each right-vertex pair with c
+    * common left-neighbours contributing C(c,2) butterflies to both
+    * endpoints. Returns ("id", "n_butterflies") — one row per right
+    * vertex participating in >= 1 butterfly. Exposed for
+    * GraphFuzzSpec's seeded random bipartite graphs.
+    */
+  def butterflyCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("o"), col("p")).distinct()
+    val pairs = e.as("a")
+      .join(e.select(col("o"), col("p").as("p2")).as("b"), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("p1"), col("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    pairs
+      .select(explode(array(col("p1"), col("p2"))).as("id"),
+        expr("(c * (c - 1)) div 2").as("bf"))
+      .groupBy("id")
+      .agg(sum(col("bf")).cast("bigint").as("n_butterflies"))
+  }
+
   /** Shared oracle for BOTH triangle formulations (`k4_triangle_count`,
     * `k4b_triangle_degree`): per-vertex membership counts are orientation-
     * independent, so the id-oriented and degree-oriented plans must
@@ -1304,6 +1328,49 @@ object Graph {
            |SELECT id, CAST(count(*) AS BIGINT) AS n_cliques
            |FROM ex GROUP BY id
            |ORDER BY n_cliques DESC, id LIMIT 20""".stripMargin)),
+
+    // ----- K27 [EXT]: butterfly counting — the bipartite-motif analog
+    // of triangle counting (Sanei-Mehri, Sariyüce & Tirthapura 2018,
+    // "Butterfly Counting in Bipartite Networks", KDD). A butterfly is
+    // a 2x2 biclique {o1,o2}x{p1,p2} — the densest bipartite motif and
+    // the clustering primitive for order/part, user/item, doc/token
+    // graphs (where triangles CANNOT exist). Per-part membership count:
+    // a part pair sharing c orders carries C(c,2) butterflies, each
+    // counted once per pair and attributed to both endpoints. Top-20
+    // parts (count DESC, id ASC).
+    //
+    // Scale shape: wedges are generated FROM THE ORDER SIDE — the
+    // side-selection rule of the paper (pick the side minimizing
+    // Σ deg², here orders: TPC-H order degree is bounded ≤ 7 by
+    // construction while part degree GROWS with SF, so order-side
+    // wedges stay Θ(|lineitem|) at every scale where part-side wedges
+    // would be Θ(|lineitem|²/|parts|)). One self-join keyed on o (AQE
+    // splits any residual hot order), one balanced (p1,p2) count whose
+    // partial aggregation combines map-side, one explode+sum keyed on
+    // the part id. No windows, nothing corpus-global, exact integers
+    // end to end.
+    Q("k27_butterflies",
+      (s, d) => {
+        val e = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        butterflyCounts(e)
+          .orderBy(desc("n_butterflies"), col("id"))
+          .limit(20)
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+          |), pr AS (
+          |  SELECT a.p AS p1, b.p AS p2, count(*) AS c
+          |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), ex AS (
+          |  SELECT unnest([p1, p2]) AS id, (c * (c - 1)) // 2 AS bf
+          |  FROM pr)
+          |SELECT id, CAST(sum(bf) AS BIGINT) AS n_butterflies
+          |FROM ex GROUP BY id
+          |ORDER BY n_butterflies DESC, id LIMIT 20""".stripMargin)),
 
 
     // ----- K8: community detection by synchronous label propagation

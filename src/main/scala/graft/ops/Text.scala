@@ -66,6 +66,74 @@ object Text {
         (col("n_dup") * 2 < col("n_spans")).as("keep"))
   }
 
+  /** Anchor gram length for `t_dup_substrings` — interpolated into BOTH
+    * the Spark plan and the DuckDB oracle (shared-val discipline: the
+    * two sides cannot drift apart). 25 chars ≈ the 50-byte threshold of
+    * Lee et al. 2022 scaled to the fixture's ~300-char docs.
+    */
+  private[graft] val dupGramLen = 25
+
+  /** Exact duplicated-substring spans over any (doc_id, text) frame —
+    * see the `t_dup_substrings` Q scaladoc for semantics and the
+    * 100 TB plan-shape discussion. Exposed for DupSubstringsSpec's
+    * planted-overlap corpora. Returns one row per doc:
+    * (doc_id, n_spans, dup_chars, longest_span, dup_frac, keep).
+    */
+  def dupSubstrings(s: SparkSession,
+                    docs: org.apache.spark.sql.DataFrame,
+                    g: Int = dupGramLen): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    // ANCHOR: one 8-byte Karp-Rabin hash per character offset (native
+    // codegen'd single pass), then one balanced groupBy on the hash.
+    val pos = docs.select(col("doc_id"), col("text"),
+        posexplode(expr(s"rolling_hashes(text, $g)")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dupH = pos.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    // VERIFY: only candidate positions re-extract the real gram (keyed
+    // join back to the doc text), and only real gram equality counts —
+    // a hash collision adds a discarded candidate, never a wrong span.
+    val cand = pos.join(dupH, Seq("h")).select("doc_id", "pos")
+    // Staged (eager localCheckpoint / reliable under the knob): the
+    // candidate set feeds BOTH the gram-count and the rejoin below —
+    // unstaged, Spark would recompute the whole anchor subtree (two
+    // more rolling_hashes passes over the corpus) once per consumer.
+    // Candidates are the tiny duplicated fraction, so materializing
+    // them is cheap where materializing the full position stream (the
+    // other shared frame, `pos`) would not be — `pos` is deliberately
+    // recomputed instead: codegen'd CPU is cheaper than |positions| of
+    // cache at 100 TB.
+    val verified = cand
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $g)").as("gram"))
+      .stageCkpt()
+    val dupGram = verified.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gram")
+    val dupPos = verified.join(dupGram, Seq("gram"))
+      .select("doc_id", "pos")
+    // MERGE: gaps-and-islands per doc (window bounded by doc length).
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"))
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("ep") - col("sp") + g).cast("bigint").as("dup_chars"),
+        max(col("ep") - col("sp") + g).cast("int").as("longest_span"))
+    docs.select(col("doc_id"), length(col("text")).as("len"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("longest_span"), lit(0)).as("longest_span"),
+        round(coalesce(col("dup_chars"), lit(0L)) /
+          col("len").cast("double"), 4).as("dup_frac"),
+        (coalesce(col("dup_chars"), lit(0L)) * 5 < col("len")).as("keep"))
+  }
+
   /** Winnowing selection over any (doc_id, text) frame: 5-token k-gram
     * hashes, window w=4, per-position window minimum as the selected
     * fingerprint. Returns one row per FULL window position:
@@ -719,6 +787,74 @@ object Text {
           |  round(n_dup * 1.0 / n_spans, 4) AS dup_frac,
           |  n_dup * 2 < n_spans AS keep
           |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ----- EXACT duplicated-substring spans at CHARACTER granularity —
+    // the suffix-array dedup family (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"), re-expressed as the
+    // Spark-native anchor-and-extend equivalent. Where t_span_dedup
+    // hashes disjoint 8-token blocks (a block-aligned duplicate can be
+    // missed by one token of drift), this finds EVERY duplicated
+    // substring of length >= G at ANY offset: a position is duplicated
+    // iff its G-gram occurs at >= 2 (doc, offset) locations corpus-wide,
+    // and consecutive duplicated positions merge into maximal spans
+    // (gaps-and-islands) — exactly the set of characters covered by
+    // duplicated substrings of length >= G, which is what the
+    // suffix-array pass computes.
+    //
+    // Plan shape for 100 TB (three keyed stages, nothing corpus-global):
+    //  1. ANCHOR — `rolling_hashes(text, G)` (native codegen'd
+    //     Karp-Rabin, functions/RollingHashes.scala) emits one 8-byte
+    //     hash per character offset in a single pass; the duplicate-
+    //     candidate hashes come from ONE balanced groupBy on the hash
+    //     (8-byte shuffle key — ~3x less traffic than shuffling the
+    //     G=25-char grams, which is the point of hashing the anchors).
+    //  2. VERIFY — candidate positions (the tiny duplicated fraction)
+    //     join back to their text by doc_id (keyed), re-extract the
+    //     REAL substring, and re-group on it: a 64-bit collision can
+    //     only add a candidate that verification discards, never flip
+    //     the answer — the result is exact unconditionally.
+    //  3. MERGE — gaps-and-islands per doc (window partitioned by
+    //     doc_id, bounded by DOC length — docs don't grow with corpus
+    //     size, the corpus grows in doc COUNT, so no window ever sees
+    //     more than one doc's offsets).
+    // The keep verdict compares integers (dup_chars * 5 < len, i.e.
+    // < 20% duplicated), never a rounded float.
+    Q("t_dup_substrings",
+      (s, d) => dupSubstrings(s, Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH pos AS (
+           |  SELECT doc_id, CAST(p AS INT) AS pos,
+           |    substr(text, CAST(p AS INT), $dupGramLen) AS gram
+           |  FROM (SELECT doc_id, text,
+           |          unnest(range(1, CAST(length(text) AS BIGINT)
+           |                          - $dupGramLen + 2)) AS p
+           |        FROM documents WHERE length(text) >= $dupGramLen)
+           |), dupg AS (
+           |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+           |), dp AS (
+           |  SELECT p.doc_id, p.pos FROM pos p JOIN dupg USING (gram)
+           |), isl AS (
+           |  SELECT doc_id, pos,
+           |    pos - CAST(row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY pos) AS INT) AS grp
+           |  FROM dp
+           |), spans AS (
+           |  SELECT doc_id, min(pos) AS sp, max(pos) AS ep
+           |  FROM isl GROUP BY doc_id, grp
+           |), agg AS (
+           |  SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+           |    CAST(sum(ep - sp + $dupGramLen) AS BIGINT) AS dup_chars,
+           |    CAST(max(ep - sp + $dupGramLen) AS INT) AS longest_span
+           |  FROM spans GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(a.n_spans, 0) AS n_spans,
+           |  CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+           |  coalesce(a.longest_span, 0) AS longest_span,
+           |  round(coalesce(a.dup_chars, 0) / length(d.text), 4)
+           |    AS dup_frac,
+           |  coalesce(a.dup_chars, 0) * 5 < length(d.text) AS keep
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)),
 
     // ----- PMI collocation mining (pointwise mutual information of
     // adjacent token pairs) — the corpus statistic behind phrase

@@ -249,6 +249,53 @@ class GraphFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: butterfly counts match exhaustive bipartite enumeration") {
+    // bipartite generator — separate from the 5-family rotation (the
+    // general-graph models don't produce labeled bipartite structure):
+    // uniform density swept PLUS a hot-right-vertex variant (the skew
+    // case the order-side wedge generation must absorb)
+    val rounds = math.max(5, nGraphs / 5)
+    for (i <- 0 until rounds) {
+      val seed = baseSeed + 7000 + i
+      val rnd = new scala.util.Random(seed)
+      val (nL, nR) = (3 + rnd.nextInt(12), 3 + rnd.nextInt(12))
+      val p = 0.1 + rnd.nextDouble() * 0.5
+      val base = for {
+        o <- 0 until nL; q <- 0 until nR
+        if rnd.nextDouble() < p
+      } yield (o.toLong, q.toLong)
+      val edges = (if (rnd.nextBoolean()) {
+        val hub = rnd.nextInt(nR).toLong
+        base ++ (0 until nL).filter(_ => rnd.nextDouble() < 0.8)
+          .map(o => (o.toLong, hub))
+      } else base).distinct
+      val c = ctx("butterfly", i, seed, nL + nR, edges.size)
+      // brute: per right-pair common-neighbour count c -> C(c,2) each
+      val byP = edges.groupBy(_._2).map { case (q, es) =>
+        q -> es.map(_._1).toSet
+      }
+      val want = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        p1 <- byP.keys; p2 <- byP.keys if p1 < p2
+      } {
+        val cc = (byP(p1) & byP(p2)).size.toLong
+        if (cc >= 2) {
+          val bf = cc * (cc - 1) / 2
+          want(p1) = want.getOrElse(p1, 0L) + bf
+          want(p2) = want.getOrElse(p2, 0L) + bf
+        }
+      }
+      val s = spark
+      import s.implicits._
+      val df =
+        if (edges.isEmpty) Seq((-1L, -1L)).toDF("o", "p").limit(0)
+        else edges.toDF("o", "p")
+      val got = Graph.butterflyCounts(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want.toMap, c)
+    }
+  }
+
   test("fuzz: 4-clique per-vertex counts match exhaustive enumeration") {
     for (i <- indicesFor(4)) {
       val seed = baseSeed + i
