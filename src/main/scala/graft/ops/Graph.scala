@@ -1351,9 +1351,9 @@ object Graph {
     // end to end.
     Q("k27_butterflies",
       (s, d) => {
+        // raw projection — butterflyCounts owns the distinct
         val e = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
         butterflyCounts(e)
           .orderBy(desc("n_butterflies"), col("id"))
           .limit(20)

@@ -113,10 +113,23 @@ object Text {
       .filter(col("c") >= 2).select("gram")
     val dupPos = verified.join(dupGram, Seq("gram"))
       .select("doc_id", "pos")
-    // MERGE: gaps-and-islands per doc (window bounded by doc length).
+    // MERGE: gaps-and-islands per doc (windows bounded by doc length).
+    // A duplicated START position p covers chars [p, p+G-1], so two
+    // positions whose gap is <= G have overlapping or adjoining
+    // intervals and belong to ONE span — the break condition is
+    // gap > G, NOT gap > 1 (with gap>1, two starts at distance 2..G
+    // would each charge a full G of coverage and dup_chars could
+    // exceed the doc length). With every in-island gap <= G the span
+    // [sp, ep+G-1] is covered without holes, so ep-sp+G IS the exact
+    // interval-union size.
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dupPos
-      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > g, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "grp")
       .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"))
     val agg = spans.groupBy("doc_id")
@@ -796,10 +809,14 @@ object Text {
     // missed by one token of drift), this finds EVERY duplicated
     // substring of length >= G at ANY offset: a position is duplicated
     // iff its G-gram occurs at >= 2 (doc, offset) locations corpus-wide,
-    // and consecutive duplicated positions merge into maximal spans
-    // (gaps-and-islands) — exactly the set of characters covered by
-    // duplicated substrings of length >= G, which is what the
-    // suffix-array pass computes.
+    // and duplicated positions whose G-char intervals overlap or adjoin
+    // (start-gap <= G) merge into maximal spans (gaps-and-islands with
+    // a lag-based break) — dup_chars is the exact INTERVAL UNION of all
+    // duplicated-substring coverage, which is what the suffix-array
+    // pass computes. Positions are UNICODE CODE POINTS end to end
+    // (rolling_hashes decodes code points; Spark substring/length and
+    // DuckDB substr/length are code-point units), so the anchor, the
+    // verify extraction, and the oracle agree on all of Unicode.
     //
     // Plan shape for 100 TB (three keyed stages, nothing corpus-global):
     //  1. ANCHOR — `rolling_hashes(text, G)` (native codegen'd
@@ -835,9 +852,13 @@ object Text {
            |  SELECT p.doc_id, p.pos FROM pos p JOIN dupg USING (gram)
            |), isl AS (
            |  SELECT doc_id, pos,
-           |    pos - CAST(row_number() OVER (
-           |      PARTITION BY doc_id ORDER BY pos) AS INT) AS grp
-           |  FROM dp
+           |    sum(CASE WHEN prev IS NULL OR pos - prev > $dupGramLen
+           |             THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM (SELECT doc_id, pos,
+           |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+           |            AS prev
+           |        FROM dp)
            |), spans AS (
            |  SELECT doc_id, min(pos) AS sp, max(pos) AS ep
            |  FROM isl GROUP BY doc_id, grp

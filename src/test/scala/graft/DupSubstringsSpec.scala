@@ -4,31 +4,40 @@ import graft.ops.Text
 import org.apache.spark.sql.functions._
 
 /** `t_dup_substrings` (exact character-level duplicated-substring spans,
-  * the suffix-array-dedup family) against a brute-force oracle: every
-  * G-gram of every doc enumerated literally, duplicated positions merged
-  * into maximal islands in plain Scala. Covers planted cross-doc copies,
-  * in-doc repeats, fully identical docs, sub-G docs, and 30 seeded random
-  * corpora; plus a direct pin of the `rolling_hashes` expression (codegen
-  * path, via a DataFrame select) against its interpreted recurrence.
+  * the suffix-array dedup family) against a brute-force oracle: every
+  * G-gram of every doc enumerated literally over CODE POINTS, duplicated
+  * positions merged into maximal coverage spans (start-gap <= G — the
+  * interval union) in plain Scala. Covers planted cross-doc copies,
+  * in-doc repeats, fully identical docs, sub-G docs, the offset-by-2
+  * overlap regression (two duplicated starts at gap 2..G must merge, not
+  * double-charge), astral (non-BMP) text, and 30 seeded random corpora;
+  * plus a direct pin of the `rolling_hashes` expression (codegen path,
+  * via a DataFrame select) against a non-rolling polynomial oracle.
   */
 class DupSubstringsSpec extends SparkSpec {
 
   private val G = 25
 
-  /** Brute reference: (doc_id -> (n_spans, dup_chars, longest_span)). */
+  private def cps(s: String): Array[Int] = s.codePoints().toArray
+
+  /** Brute reference over code points:
+    * doc_id -> (n_spans, dup_chars, longest_span). */
   private def brute(docs: Seq[(Long, String)])
       : Map[Long, (Int, Long, Int)] = {
+    val cp = docs.map { case (id, t) => id -> cps(t) }
     val grams = for {
-      (id, t) <- docs
-      i <- 0 to t.length - G
-    } yield (id, i + 1, t.substring(i, i + G))
+      (id, a) <- cp
+      i <- 0 to a.length - G
+    } yield (id, i + 1, a.slice(i, i + G).toSeq)
     val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
     val dupPos = grams.filter(g => counts(g._3) >= 2)
       .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
     dupPos.map { case (id, ps) =>
+      // merge while the start-gap is <= G: intervals [p, p+G-1] overlap
+      // or adjoin exactly then
       val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       for (p <- ps) {
-        if (spans.nonEmpty && spans.last._2 + 1 == p)
+        if (spans.nonEmpty && p - spans.last._2 <= G)
           spans(spans.size - 1) = (spans.last._1, p)
         else spans += ((p, p))
       }
@@ -49,10 +58,12 @@ class DupSubstringsSpec extends SparkSpec {
     val want = brute(docs)
     assert(got.keySet == docs.map(_._1).toSet, ctx) // one row per doc
     for ((id, text) <- docs) {
+      val len = cps(text).length // code-point length, like length()
       val (ns, dc, ls) = want.getOrElse(id, (0, 0L, 0))
-      val frac = BigDecimal(dc.toDouble / text.length)
+      assert(dc <= len, s"$ctx doc=$id union exceeds doc length")
+      val frac = BigDecimal(dc.toDouble / len)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val keep = dc * 5 < text.length
+      val keep = dc * 5 < len
       assert(got(id) == ((ns, dc, ls, frac, keep)),
         s"$ctx doc=$id got=${got(id)} want=${(ns, dc, ls, frac, keep)}")
     }
@@ -74,6 +85,38 @@ class DupSubstringsSpec extends SparkSpec {
     val f = d                  // fully identical to d
     run(Seq(0L -> a, 1L -> b, 2L -> c, 3L -> d, 4L -> e, 5L -> f),
       "[planted]")
+  }
+
+  test("regression: duplicated starts at gap 2..G merge into ONE span " +
+    "(no double-charged coverage, dup_frac <= 1)") {
+    // 27 distinct chars; B = A[0,25), C = A[2,27) — in A exactly the
+    // start positions 1 and 3 (1-based) are duplicated, intervals
+    // [1,25] and [3,27]: one merged span of 27 chars covering ALL of A
+    // (the gap>1 islanding this pins against reported 50/27 = 1.85)
+    val a = ('a' to 'z').mkString + "0" // 27 distinct code points
+    val b = a.substring(0, 25)
+    val c = a.substring(2, 27)
+    run(Seq(0L -> a, 1L -> b, 2L -> c), "[gap-overlap]")
+  }
+
+  test("astral text: code-point positions keep the anchor and the " +
+    "verify extraction aligned") {
+    val rnd = new scala.util.Random(11L)
+    // alphabet mixes BMP letters with astral code points (surrogate
+    // pairs in UTF-16) so code-unit offsets and code-point offsets
+    // diverge everywhere
+    val alpha: IndexedSeq[String] =
+      ('a' to 'j').map(_.toString) ++
+        (0x1F600 to 0x1F609).map(Character.toChars(_).mkString)
+    def randStr(n: Int): String =
+      Seq.fill(n)(alpha(rnd.nextInt(alpha.size))).mkString
+    val a = randStr(90)
+    val aCp = cps(a)
+    // plant a 40-code-point slice of a into b at a code-point offset
+    val slice = new String(aCp.slice(10, 50), 0, 40)
+    val b = randStr(30) + slice + randStr(25)
+    val c = randStr(60)
+    run(Seq(0L -> a, 1L -> b, 2L -> c), "[astral]")
   }
 
   test("seeded random corpora with random planted overlaps") {
@@ -108,13 +151,15 @@ class DupSubstringsSpec extends SparkSpec {
   }
 
   test("rolling_hashes matches the polynomial recurrence and is " +
-    "position-exact") {
+    "position-exact (incl. astral input)") {
     val s = spark
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val rnd = new scala.util.Random(7L)
     val texts = Seq("", "ab", "abc", "aaaaaaaaaa",
-      Seq.fill(300)(('a' + rnd.nextInt(5)).toChar).mkString)
+      Seq.fill(300)(('a' + rnd.nextInt(5)).toChar).mkString,
+      "x" + Character.toChars(0x1F600).mkString + "yz" +
+        Character.toChars(0x10400).mkString + "ab")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     for (g <- Seq(1, 3, 25)) {
@@ -123,11 +168,13 @@ class DupSubstringsSpec extends SparkSpec {
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       for ((t, i) <- texts.zipWithIndex) {
-        // direct polynomial evaluation, no rolling: independent oracle
+        // direct polynomial evaluation over code points, no rolling:
+        // independent oracle
         val B = 1000003L
-        def poly(sub: String): Long =
-          sub.foldLeft(0L)((h, c) => h * B + c.toLong)
-        val want = (0 to t.length - g).map(o => poly(t.substring(o, o + g)))
+        val a = cps(t)
+        def poly(xs: Array[Int]): Long =
+          xs.foldLeft(0L)((h, c) => h * B + c.toLong)
+        val want = (0 to a.length - g).map(o => poly(a.slice(o, o + g)))
         assert(got(i.toLong) == want, s"g=$g text#$i")
       }
     }
