@@ -749,6 +749,32 @@ object Similarity {
           |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
 
+  // ---------- m_entity_resolution shared constants ----------
+  // Interpolated into BOTH the Spark plan and the DuckDB oracle (the
+  // shared-val discipline): the dirtying rules, the blocking geometry,
+  // and the accept threshold must be bit-identical on both engines.
+  /** 1 in erDupMod customers gets a dirtied duplicate record. */
+  private val erDupMod = 3
+  /** Customer names are exactly 18 chars ("Customer#" + 9 digits). */
+  private val erNameLen = 18
+  /** Typo start, 0-based: position erTypoPos0 + custkey % erTypoSpan —
+    * always inside the digit run (indices 9..17). */
+  private val erTypoPos0 = 10
+  private val erTypoSpan = 8
+  /** Balance jitter ((custkey % 19) - 9) cents ∈ [-0.09, 0.09]. */
+  private val erBalJitterMod = 19
+  /** 1 in erSegDropMod duplicates loses its market segment. */
+  private val erSegDropMod = 9
+  /** Balance agreement tolerance — wider than the jitter (0.09) so a
+    * true duplicate always collects the +2. */
+  private val erBalTol = 0.15
+  /** Accept threshold: 4(name) + 2(nation) + 2(bal) reaches it with the
+    * segment lost; nothing without the name agreement (max 5) can. */
+  private val erThresh = 8
+  /** Min-label rounds in the oracle's closure — covers cluster diameter
+    * ≤ erClosureRounds; true clusters are stars (diameter 2). */
+  private val erClosureRounds = 8
+
   val all: Seq[Q] = Seq(
 
     // ----- Banding-recall evaluation of the MinHash/LSH pipeline —
@@ -2451,7 +2477,175 @@ object Similarity {
           |  sqrt(CAST(num AS DOUBLE)) /
           |    (CAST(na AS DOUBLE) * nb * 1000000.0) AS dist
           |FROM num ORDER BY label_a, label_b""".stripMargin)),
+
+    // ----- Entity resolution (record linkage): the full Fellegi–Sunter
+    // (JASA 1969) pipeline — block, score, close, survive — over a
+    // deterministically dirtied customer table. 1 in dupMod customers
+    // gets a duplicate record carrying a one-digit name typo, cents-
+    // level balance jitter, and (1 in segDropMod) a lost market
+    // segment; the pipeline must re-unite each duplicate with its base
+    // record WITHOUT the shared key. Candidate generation is the
+    // FastSS / SymSpell deletion-neighborhood scheme (Bocek et al.,
+    // "Fast Similarity Search in Large Dictionaries", 2007): every
+    // record emits its L single-character-deletion variants, and two
+    // names within Levenshtein distance 1 MUST share one (pigeonhole —
+    // recall for the typo class is exact, not probabilistic). Keys are
+    // Θ(N·L); a variant's block holds only the names one edit apart
+    // through it (a digit family, O(10) rows) — block size is a
+    // property of the KEY, never of corpus size, so there is no
+    // all-pairs and no broadcast of the record side anywhere: the
+    // blocking join, both verify joins, and the closure all shuffle on
+    // record/variant keys. Matching is a field-agreement score
+    // (name≤1: +4, nation: +2, segment: +1, |Δbal|≤0.15: +2, accept
+    // ≥8 — a true duplicate scores ≥8 even with its segment lost, and
+    // no pair can reach 8 without the name agreement, so blocking
+    // provably loses nothing: EntityResolutionSpec pins the whole
+    // pipeline against an all-pairs brute force). Transitive closure
+    // is Kiveris WCC (components labeled by their min rec_id), so
+    // survivorship falls out: the canonical record IS the cluster
+    // label. The oracle replicates every stage, closing with
+    // erClosureRounds unrolled min-label rounds (true clusters have
+    // diameter ≤2; the margin covers chains of coincidental
+    // cross-customer agreements, which need nation AND balance-within-
+    // tolerance per extra link).
+    Q("m_entity_resolution",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val base = c.select(
+          (col("c_custkey") * 2).cast("long").as("rec_id"),
+          col("c_name").as("name"),
+          col("c_nationkey").as("nation"),
+          col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+        val dups = c.filter(col("c_custkey") % erDupMod === 1)
+          .select(
+            (col("c_custkey") * 2 + 1).cast("long").as("rec_id"),
+            expr(s"""concat(
+              substring(c_name, 1, ${erTypoPos0} + c_custkey % $erTypoSpan),
+              char(48 + (ascii(substring(c_name,
+                ${erTypoPos0 + 1} + c_custkey % $erTypoSpan, 1))
+                - 48 + 1) % 10),
+              substring(c_name,
+                ${erTypoPos0 + 2} + c_custkey % $erTypoSpan))""")
+              .as("name"),
+            col("c_nationkey").as("nation"),
+            (col("c_acctbal") +
+              (col("c_custkey") % erBalJitterMod - 9) * 0.01).as("bal"),
+            when(col("c_custkey") % erSegDropMod === 1, lit("UNKNOWN"))
+              .otherwise(col("c_mktsegment")).as("seg"))
+        // staged: consumed by the variant explode, BOTH verify sides,
+        // and the final labeling join — 4 consumers of one scan
+        val records = base.unionByName(dups).stageCkpt()
+        val vars = records
+          .select(col("rec_id"), col("name"),
+            explode(sequence(lit(0), lit(erNameLen - 1))).as("i"))
+          .select(col("rec_id"),
+            expr(s"concat(substring(name, 1, i)," +
+              s" substring(name, i + 2, $erNameLen))").as("vkey"))
+        val cand = vars.as("a")
+          .join(vars.as("b"),
+            col("a.vkey") === col("b.vkey") &&
+              col("a.rec_id") < col("b.rec_id"))
+          .select(col("a.rec_id").as("r1"), col("b.rec_id").as("r2"))
+          .distinct()
+        val r1 = records.select(col("rec_id").as("r1"),
+          col("name").as("n1"), col("nation").as("na1"),
+          col("bal").as("b1"), col("seg").as("s1"))
+        val r2 = records.select(col("rec_id").as("r2"),
+          col("name").as("n2"), col("nation").as("na2"),
+          col("bal").as("b2"), col("seg").as("s2"))
+        val edges = cand.join(r1, "r1").join(r2, "r2")
+          .withColumn("score",
+            when(levenshtein(col("n1"), col("n2")) <= 1, 4).otherwise(0) +
+              when(col("na1") === col("na2"), 2).otherwise(0) +
+              when(col("s1") === col("s2"), 1).otherwise(0) +
+              when(abs(col("b1") - col("b2")) <= erBalTol, 2).otherwise(0))
+          .filter(col("score") >= erThresh)
+          .select(col("r1").as("src"), col("r2").as("dst"))
+        val labels = Graph.wcc(s, edges)
+        // staged: the whole WCC fixpoint hangs off this frame and it
+        // has two consumers (the size rollup + the final projection) —
+        // without the cut the closure executes twice
+        val withCl = records
+          .join(labels, records("rec_id") === labels("v"), "left")
+          .select(col("rec_id"),
+            coalesce(col("component"), col("rec_id")).as("cluster_id"))
+          .stageCkpt()
+        val sizes = withCl.groupBy("cluster_id")
+          .agg(count(lit(1)).cast("int").as("cluster_size"))
+        withCl.join(sizes, "cluster_id")
+          .select(col("rec_id"), col("cluster_id"), col("cluster_size"),
+            when(col("rec_id") === col("cluster_id"), 1).otherwise(0)
+              .as("is_canonical"))
+          .orderBy("rec_id")
+      },
+      Some {
+        val rounds = (1 to erClosureRounds).map { i =>
+          val (p, c) = (s"l${i - 1}", s"l$i")
+          s"""$c AS MATERIALIZED (
+             |  SELECT v, min(lbl) AS lbl FROM (
+             |    SELECT v, lbl FROM $p
+             |    UNION ALL
+             |    SELECT e.r2 AS v, p.lbl FROM edges e JOIN $p p ON p.v = e.r1
+             |    UNION ALL
+             |    SELECT e.r1 AS v, p.lbl FROM edges e JOIN $p p ON p.v = e.r2
+             |  ) GROUP BY v
+             |)""".stripMargin
+        }.mkString(", ")
+        val last = s"l$erClosureRounds"
+        s"""WITH base AS (
+           |  SELECT CAST(c_custkey * 2 AS BIGINT) AS rec_id,
+           |    c_name AS name, c_nationkey AS nation,
+           |    c_acctbal AS bal, c_mktsegment AS seg
+           |  FROM customer
+           |), dups AS (
+           |  SELECT CAST(c_custkey * 2 + 1 AS BIGINT) AS rec_id,
+           |    substr(c_name, 1, $erTypoPos0 + c_custkey % $erTypoSpan) ||
+           |      chr(48 + (ascii(substr(c_name,
+           |        ${erTypoPos0 + 1} + c_custkey % $erTypoSpan, 1))
+           |        - 48 + 1) % 10) ||
+           |      substr(c_name,
+           |        ${erTypoPos0 + 2} + c_custkey % $erTypoSpan) AS name,
+           |    c_nationkey AS nation,
+           |    c_acctbal + (c_custkey % $erBalJitterMod - 9)
+           |      * CAST(0.01 AS DOUBLE) AS bal,
+           |    CASE WHEN c_custkey % $erSegDropMod = 1 THEN 'UNKNOWN'
+           |         ELSE c_mktsegment END AS seg
+           |  FROM customer WHERE c_custkey % $erDupMod = 1
+           |), records AS MATERIALIZED (
+           |  SELECT * FROM base UNION ALL SELECT * FROM dups
+           |), vars AS (
+           |  SELECT rec_id,
+           |    substr(name, 1, CAST(i AS INT)) ||
+           |      substr(name, CAST(i AS INT) + 2) AS vkey
+           |  FROM records, range(0, $erNameLen) t(i)
+           |), cand AS (
+           |  SELECT DISTINCT a.rec_id AS r1, b.rec_id AS r2
+           |  FROM vars a JOIN vars b
+           |    ON a.vkey = b.vkey AND a.rec_id < b.rec_id
+           |), edges AS MATERIALIZED (
+           |  SELECT r1, r2 FROM cand
+           |  JOIN records x ON x.rec_id = r1
+           |  JOIN records y ON y.rec_id = r2
+           |  WHERE (CASE WHEN levenshtein(x.name, y.name) <= 1
+           |           THEN 4 ELSE 0 END
+           |       + CASE WHEN x.nation = y.nation THEN 2 ELSE 0 END
+           |       + CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END
+           |       + CASE WHEN abs(x.bal - y.bal) <= CAST($erBalTol AS DOUBLE)
+           |           THEN 2 ELSE 0 END) >= $erThresh
+           |), l0 AS MATERIALIZED (
+           |  SELECT rec_id AS v, rec_id AS lbl FROM records
+           |), $rounds, sizes AS (
+           |  SELECT lbl, CAST(count(*) AS INT) AS cluster_size
+           |  FROM $last GROUP BY lbl
+           |)
+           |SELECT l.v AS rec_id, l.lbl AS cluster_id, s.cluster_size,
+           |  CASE WHEN l.v = l.lbl THEN 1 ELSE 0 END AS is_canonical
+           |FROM $last l JOIN sizes s ON s.lbl = l.lbl
+           |ORDER BY rec_id""".stripMargin
+      }),
   )
+
 
   /** DuckDB replica of the 4-round FPS chain: quantized coordinates,
     * then per round the argmax-of-min-squared-L2 over the not-yet-
