@@ -268,6 +268,10 @@ object Text {
       bpePairCte("s1", "p2", "m2") + bpeMergeCte("s1", "m2", "s2") +
       bpePairCte("s2", "p3", "m3")
 
+  /** t_train_classifier: full-batch GD iterations — shared between the
+    * Spark loop and the oracle's unrolled CTE chain. */
+  private val clfIters = 3
+
   val all: Seq[Q] = Seq(
 
     // ----- token counting: whitespace tokenization + distinct + avg length
@@ -1739,6 +1743,105 @@ object Text {
           .limit(20)
       },
       Some(textrankOracle(4))),
+
+    // ----- Trained linear classifier (the fastText-style quality /
+    // language filter of the LLaMA-class curation pipelines, e.g.
+    // Joulin et al. 2016): full-batch logistic regression by gradient
+    // descent, trained DISTRIBUTED — each iteration is one map-only
+    // scoring pass over the staged feature table plus one
+    // map-side-combinable 5-slot avg aggregate, and the 1-row weight
+    // vector rides a broadcast cross join, so an iteration moves
+    // O(dims) bytes through the driver regardless of corpus size.
+    // Features are surface statistics (length, 'e' ratio, 'th' bigram
+    // rate, space ratio) predicting lang='en'; classifier quality is
+    // irrelevant here — what is pinned is the exact 3-iteration GD
+    // trajectory, replicated by the oracle as an unrolled
+    // p/gradient/weight CTE chain. Each weight frame is staged: it has
+    // two consumers (next iteration's scoring pass + its own update)
+    // and the cut keeps the plan linear in iterations instead of
+    // doubling per round.
+    Q("t_train_classifier",
+      (s, d) => {
+        val len = length(col("text"))
+        val f = Tables.documents(s, d).select(
+          col("doc_id"),
+          lit(1.0).as("x0"),
+          (len / 1000.0).as("x1"),
+          ((len - length(expr("replace(text, 'e', '')"))) /
+            (len + 1.0)).as("x2"),
+          ((len - length(expr("replace(text, 'th', '')"))) /
+            (lit(2.0) * (len + 1.0))).as("x3"),
+          ((len - length(expr("replace(text, ' ', '')"))) /
+            (len + 1.0)).as("x4"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+          .stageCkpt()
+        val dims = 0 to 4
+        def margin(w: org.apache.spark.sql.DataFrame) =
+          f.crossJoin(broadcast(w)).withColumn("p",
+            lit(1.0) / (lit(1.0) + exp(-dims
+              .map(j => col(s"w$j") * col(s"x$j"))
+              .reduce(_ + _))))
+        var w = s.range(1)
+          .select(dims.map(j => lit(0.0).as(s"w$j")): _*)
+        for (_ <- 1 to clfIters) {
+          val g = margin(w).agg(
+            avg((col("p") - col("y")) * col("x0")).as("g0"),
+            dims.tail.map(j =>
+              avg((col("p") - col("y")) * col(s"x$j")).as(s"g$j")): _*)
+          w = w.crossJoin(g)
+            .select(dims.map(j =>
+              (col(s"w$j") - col(s"g$j")).as(s"w$j")): _*)
+            .stageCkpt()
+        }
+        margin(w).select(col("doc_id"),
+          (round(col("p"), 4) + lit(0.0)).as("score"),
+          when(col("p") >= 0.5, 1).otherwise(0).as("pred"),
+          col("y"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val dims = 0 to 4
+        def dot(w: String) =
+          dims.map(j => s"$w.w$j * f.x$j").mkString(" + ")
+        val iters = (1 to clfIters).map { i =>
+          val (pw, pc, gc, wc) = (s"w${i - 1}", s"p$i", s"g$i", s"w$i")
+          s"""$pc AS (
+             |  SELECT f.*, 1.0 / (1.0 + exp(-(${dot("w")}))) AS p
+             |  FROM f, $pw w
+             |), $gc AS (
+             |  SELECT ${dims.map(j =>
+                  s"avg((p - y) * x$j) AS g$j").mkString(", ")}
+             |  FROM $pc
+             |), $wc AS MATERIALIZED (
+             |  SELECT ${dims.map(j =>
+                  s"w.w$j - g.g$j AS w$j").mkString(", ")}
+             |  FROM $pw w, $gc g
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH f AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    1.0 AS x0,
+           |    length(text) / 1000.0 AS x1,
+           |    (length(text) - length(replace(text, 'e', '')))
+           |      / (length(text) + 1.0) AS x2,
+           |    (length(text) - length(replace(text, 'th', '')))
+           |      / (2.0 * (length(text) + 1.0)) AS x3,
+           |    (length(text) - length(replace(text, ' ', '')))
+           |      / (length(text) + 1.0) AS x4,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents
+           |), w0 AS (
+           |  SELECT ${dims.map(j => s"0.0 AS w$j").mkString(", ")}
+           |), $iters,
+           |sc AS (
+           |  SELECT f.doc_id, 1.0 / (1.0 + exp(-(${dot("w")}))) AS p,
+           |    f.y
+           |  FROM f, w$clfIters w
+           |)
+           |SELECT doc_id, round(p, 4) + 0.0 AS score,
+           |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred, y
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
   )
 
   /** Unrolled TextRank oracle — the k3 pagerank CTE chain over the
