@@ -2395,5 +2395,47 @@ object Ext {
           |ORDER BY CAST(a AS DOUBLE) * 100.0 / CAST(cents AS DOUBLE)
           |  DESC, event_id
           |LIMIT 20""".stripMargin)),
+
+    // ----- stratified sampling: an exact k-per-stratum subsample in
+    // deterministic hash order — the balanced-mixture primitive of
+    // corpus curation (equal-size per-source panels for eval sets,
+    // ablations, or annotation batches), where m_sample_mix reweights
+    // WHOLE strata this draws a fixed-size uniform panel from inside
+    // each one. The draw order is md5(doc_id) — a seeded permutation
+    // both engines replicate — and selection runs on the native
+    // TopKPerKey bounded-heap operator: each input partition forwards
+    // at most k rows per stratum, so the shuffle carries
+    // O(partitions · strata · k) rows at ANY corpus size, where the
+    // oracle's row_number window formulation would sort every stratum
+    // in full. Rank is recomputed post-heap over ≤ k rows per stratum
+    // (bounded window, never a corpus-size partition).
+    Q("m_stratified_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = Tables.documents(s, d).select(
+          col("source"), col("doc_id"),
+          conv(substring(md5(concat(lit("strat_"), col("doc_id"))),
+            1, 12), 16, 10).cast("long").as("skey"))
+        graft.plans.TopKPerKey
+          .perKey(keyed, Seq("source"), "skey", "doc_id", 5)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(desc("skey"), col("doc_id"))))
+          .select(col("source"), col("rank"), col("doc_id"))
+          .orderBy("source", "rank")
+      },
+      Some(
+        """WITH keyed AS (
+          |  SELECT source, doc_id,
+          |    CAST(('0x' || substr(md5('strat_' || doc_id), 1, 12))
+          |      AS BIGINT) AS skey
+          |  FROM documents
+          |), rk AS (
+          |  SELECT source, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY skey DESC, doc_id) AS INT) AS rank
+          |  FROM keyed)
+          |SELECT source, rank, doc_id FROM rk WHERE rank <= 5
+          |ORDER BY source, rank""".stripMargin)),
   )
 }

@@ -1842,6 +1842,65 @@ object Text {
            |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred, y
            |FROM sc ORDER BY doc_id""".stripMargin
       }),
+
+    // ----- corpus-order n-gram novelty: per document, the fraction of
+    // its distinct 3-grams whose FIRST corpus occurrence (min doc_id)
+    // is this document — the "how much genuinely new text does this
+    // doc add" curation signal (low novelty = boilerplate / near-copy
+    // tail, the cheap pre-filter ahead of MinHash). Where
+    // t_containment scores PAIRS, this is one corpus-global pass: one
+    // balanced groupBy on the gram hash for first occurrences, one
+    // gram-keyed join back, one per-doc rollup — every shuffle keyed,
+    // both aggregates map-side combinable, and the keys are md5
+    // digests (16 bytes) instead of raw trigram text. Docs under 3
+    // tokens carry no grams and drop on both engines.
+    Q("t_ngram_novelty",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              transform(sequence(lit(1), size(col("toks")) - 2),
+                i => md5(concat_ws(" ",
+                  element_at(col("toks"), i),
+                  element_at(col("toks"), i + 1),
+                  element_at(col("toks"), i + 2)))))).as("gram"))
+          // staged: feeds both the first-occurrence aggregate and the
+          // join-back probe side
+          .stageCkpt()
+        val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        g.join(first, "gram")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_grams"),
+            sum(when(col("doc_id") === col("first_doc"), 1L)
+              .otherwise(0L)).cast("long").as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (round(col("n_novel").cast("double") / col("n_grams"), 4)
+              + lit(0.0)).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents
+          |), g AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+          |        toks[i+2])))) AS gram
+          |  FROM tk WHERE len(toks) >= 3
+          |), f AS (
+          |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+          |)
+          |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |  CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_novel,
+          |  round(CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1
+          |      ELSE 0 END) AS DOUBLE) / count(*), 4) + 0.0 AS novelty
+          |FROM g JOIN f USING (gram)
+          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
   )
 
   /** Unrolled TextRank oracle — the k3 pagerank CTE chain over the
