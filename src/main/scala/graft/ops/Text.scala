@@ -142,8 +142,10 @@ object Text {
         coalesce(col("n_spans"), lit(0)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         coalesce(col("longest_span"), lit(0)).as("longest_span"),
+        // greatest(len, 1): an empty document must read 0.0, not a
+        // 0/0 NaN (Spark) vs NULL (DuckDB) split — self-review r12
         round(coalesce(col("dup_chars"), lit(0L)) /
-          col("len").cast("double"), 4).as("dup_frac"),
+          greatest(col("len"), lit(1)).cast("double"), 4).as("dup_frac"),
         (coalesce(col("dup_chars"), lit(0L)) * 5 < col("len")).as("keep"))
   }
 
@@ -875,8 +877,8 @@ object Text {
            |  coalesce(a.n_spans, 0) AS n_spans,
            |  CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
            |  coalesce(a.longest_span, 0) AS longest_span,
-           |  round(coalesce(a.dup_chars, 0) / length(d.text), 4)
-           |    AS dup_frac,
+           |  round(coalesce(a.dup_chars, 0)
+           |    / greatest(length(d.text), 1), 4) AS dup_frac,
            |  coalesce(a.dup_chars, 0) * 5 < length(d.text) AS keep
            |FROM documents d LEFT JOIN agg a USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin)),
@@ -1793,10 +1795,15 @@ object Text {
               (col(s"w$j") - col(s"g$j")).as(s"w$j")): _*)
             .stageCkpt()
         }
-        margin(w).select(col("doc_id"),
-          (round(col("p"), 4) + lit(0.0)).as("score"),
-          when(col("p") >= 0.5, 1).otherwise(0).as("pred"),
-          col("y"))
+        // pred derives from the ROUNDED score, not raw p: if score
+        // hash-matches across engines, pred cannot diverge — raw-p
+        // thresholding would add an independent unquantized 0.5
+        // boundary (self-review r12)
+        margin(w)
+          .withColumn("score", round(col("p"), 4) + lit(0.0))
+          .select(col("doc_id"), col("score"),
+            when(col("score") >= 0.5, 1).otherwise(0).as("pred"),
+            col("y"))
           .orderBy("doc_id")
       },
       Some {
@@ -1839,7 +1846,8 @@ object Text {
            |  FROM f, w$clfIters w
            |)
            |SELECT doc_id, round(p, 4) + 0.0 AS score,
-           |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred, y
+           |  CASE WHEN round(p, 4) + 0.0 >= 0.5 THEN 1 ELSE 0 END
+           |    AS pred, y
            |FROM sc ORDER BY doc_id""".stripMargin
       }),
 

@@ -61,7 +61,9 @@ class DupSubstringsSpec extends SparkSpec {
       val len = cps(text).length // code-point length, like length()
       val (ns, dc, ls) = want.getOrElse(id, (0, 0L, 0))
       assert(dc <= len, s"$ctx doc=$id union exceeds doc length")
-      val frac = BigDecimal(dc.toDouble / len)
+      // max(len, 1) mirrors the query's greatest(len, 1) zero-guard:
+      // an empty document reads 0.0, never 0/0
+      val frac = BigDecimal(dc.toDouble / math.max(len, 1))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       val keep = dc * 5 < len
       assert(got(id) == ((ns, dc, ls, frac, keep)),
@@ -83,7 +85,8 @@ class DupSubstringsSpec extends SparkSpec {
     val d = randStr(120)       // clean
     val e = randStr(G - 1)     // shorter than the gram: zero rows' worth
     val f = d                  // fully identical to d
-    run(Seq(0L -> a, 1L -> b, 2L -> c, 3L -> d, 4L -> e, 5L -> f),
+    run(Seq(0L -> a, 1L -> b, 2L -> c, 3L -> d, 4L -> e, 5L -> f,
+      6L -> ""),               // empty text: dup_frac 0.0, not 0/0
       "[planted]")
   }
 

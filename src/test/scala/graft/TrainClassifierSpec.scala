@@ -50,7 +50,10 @@ class TrainClassifierSpec extends SparkSpec {
       // got is rounded at 1e-4 (HALF_UP); compare against the raw
       // sequential p with half-quantum tolerance
       assert(math.abs(gs - wp) <= 5.0001e-5, s"doc $gi score $gs vs $wp")
-      assert(gp == wpred, s"doc $gi pred")
+      // pred is defined as a pure function of the ROUNDED score
+      assert((gp == 1) == (gs >= 0.5), s"doc $gi pred $gp vs score $gs")
+      assert(gp == wpred || math.abs(wp - 0.5) <= 5.0001e-5,
+        s"doc $gi pred $gp vs sequential $wpred (p=$wp)")
       assert(gy == wy, s"doc $gi label")
     }
     // sanity: three GD steps must beat the w=0 coin-flip log-loss
