@@ -703,6 +703,16 @@ object Graph {
         .distinct()
     }
 
+  /** k28_coreness: unrolled h-index rounds in the DuckDB oracle. The
+    * value fixpoint was MEASURED to converge in 40 rounds at sf1 on
+    * this graph family (the k7 scaladoc's number); 48 carries margin,
+    * and post-fixpoint rounds are exact no-ops (the h-operator is
+    * idempotent at its fixpoint), so an over-provisioned unroll can
+    * only cost oracle time, never correctness. The ENGINE converges
+    * dynamically (empty frontier), so an under-provisioned oracle
+    * would HASH-FAIL loudly, not silently pass. */
+  private val corenessRounds = 48
+
   val all: Seq[Q] = Seq(
 
     // ----- K3: PageRank over the capped video graph — the canonical
@@ -2193,7 +2203,118 @@ object Graph {
            |  CAST((SELECT count(*) FROM (
            |      SELECT DISTINCT ca, cb FROM el WHERE ca <> cb))
            |    AS BIGINT) AS n_condensed_edges""".stripMargin)),
+
+    // ----- K28 [EXT]: FULL k-core decomposition — per-vertex CORENESS,
+    // where k7 answers only fixed-k membership. Engine: the Lü, Zhou,
+    // Zhang & Stanley 2016 h-index fixpoint (Nat. Commun. 7:10168,
+    // Thm 1: iterating "value := h-index of neighbour values" from
+    // degrees converges exactly to coreness), run FRONTIER-DELTA: a
+    // vertex is recomputed in a round only if a neighbour changed in
+    // the previous one, so the long low-coreness settling tail (the
+    // reason k7 deliberately avoids the value fixpoint) touches only
+    // the still-active fringe instead of re-scanning the graph — per
+    // round the joins move O(edges incident to changed vertices), not
+    // O(m). The per-vertex h-index is computed from the (value, count)
+    // HISTOGRAM of neighbour values — max(min(value, cum-count)) over
+    // values descending — so the only window runs over a vertex's
+    // DISTINCT neighbour values (bounded by the graph's distinct
+    // degree/coreness spectrum, ~hundreds), never over a hub's full
+    // neighbour list: no single-partition wall on skew (the
+    // m_conformal sf10 lesson, applied at design time). Output is the
+    // coreness spectrum (value, count, min/max vertex) — the
+    // per-vertex exactness is pinned by GraphFuzzSpec's brute-force
+    // peel differential on seeded random graphs.
+    Q("k28_coreness",
+      (s, d) => {
+        val cor = corenessEdges(s, symEdgesBySrc(s, d))
+        cor.groupBy(col("val").as("coreness"))
+          .agg(count(lit(1)).cast("long").as("n_vertices"),
+            min(col("v")).as("min_vertex"),
+            max(col("v")).as("max_vertex"))
+          .orderBy("coreness")
+      },
+      Some {
+        val rounds = (1 to corenessRounds).map { i =>
+          s"""h$i AS MATERIALIZED (
+             |  SELECT v, CAST(max(least(nval, cum)) AS BIGINT) AS val
+             |  FROM (
+             |    SELECT e.src AS v, p.val AS nval,
+             |      sum(count(*)) OVER (PARTITION BY e.src
+             |        ORDER BY p.val DESC) AS cum
+             |    FROM e0 e JOIN h${i - 1} p ON p.v = e.dst
+             |    GROUP BY e.src, p.val)
+             |  GROUP BY v
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH de AS MATERIALIZED (
+           |  SELECT DISTINCT 'v' || l_orderkey AS src,
+           |         'v' || l_partkey AS dst
+           |  FROM lineitem
+           |), e0 AS MATERIALIZED (
+           |  SELECT src, dst FROM de UNION SELECT dst, src FROM de
+           |), h0 AS MATERIALIZED (
+           |  SELECT src AS v, CAST(count(*) AS BIGINT) AS val
+           |  FROM e0 GROUP BY src
+           |), $rounds
+           |SELECT val AS coreness, CAST(count(*) AS BIGINT) AS n_vertices,
+           |  min(v) AS min_vertex, max(v) AS max_vertex
+           |FROM h$corenessRounds GROUP BY val ORDER BY coreness"""
+          .stripMargin
+      }),
   )
+
+  /** The h-index coreness fixpoint over an arbitrary SYMMETRIC,
+    * edge-distinct ("src", "dst") frame (same precondition as
+    * [[kcoreEdges]]; self-loops, if present, count as a neighbour on
+    * both engines identically). Returns ("v", "val") with val =
+    * coreness. Exposed for GraphFuzzSpec's seeded random graphs.
+    */
+  private[graft] def corenessEdges(s: SparkSession, edges0: DataFrame,
+                                   maxIter: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges0
+    var vals = e.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).cast("long").as("val"))
+      .stageCkpt()
+    // round 1 recomputes everyone; afterwards only neighbours of the
+    // previous round's changed set
+    var frontier: DataFrame = vals.select("v")
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      iter += 1
+      val touch = e
+        .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v")).distinct()
+      // all edges OF a touched vertex (src side — exchange-free on the
+      // src-partitioned edge table), each neighbour's current value
+      val nb = e
+        .join(touch.withColumnRenamed("v", "src"), Seq("src"))
+        .join(vals.select(col("v").as("dst"), col("val").as("nval")),
+          Seq("dst"))
+        .select(col("src").as("v"), col("nval"))
+      // h-index from the neighbour-VALUE histogram: the window runs
+      // over a vertex's distinct values, never its full degree
+      val w = Window.partitionBy(col("v")).orderBy(desc("nval"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val newH = nb.groupBy("v", "nval")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .groupBy("v")
+        .agg(max(least(col("nval"), col("cum"))).cast("long").as("hval"))
+      val joined = vals.join(newH, Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("hval"), col("val")).as("val"),
+          (col("hval").isNotNull && col("hval") =!= col("val"))
+            .as("chg"))
+        .stageCkpt()
+      vals = joined.select("v", "val")
+      frontier = joined.filter(col("chg")).select("v")
+      done = joined.filter(col("chg")).isEmpty
+    }
+    require(done, s"coreness did not converge in $maxIter rounds")
+    vals
+  }
 
   /** Synchronous LPA: see the k8_lpa comment for the determinism and
     * scale shape. Returns (community, n_members) after `rounds`. */

@@ -102,6 +102,27 @@ class GraphFuzzSpec extends SparkSpec {
   }
 
   /** Iterative support peel; returns (surviving canonical edges, rounds). */
+  /** Coreness by the textbook min-degree peel: peel at k = 1, 2, … —
+    * a vertex removed while peeling at k has coreness k - 1. */
+  private def bruteCoreness(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+    var a = adj(pairs)
+    val out = scala.collection.mutable.Map[Long, Long]()
+    var k = 0
+    while (a.nonEmpty) {
+      k += 1
+      var changed = true
+      while (changed) {
+        val dead = a.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = dead.nonEmpty
+        if (changed) {
+          dead.foreach(v => out(v) = (k - 1).toLong)
+          a = a.collect { case (v, ns) if !dead(v) => v -> (ns -- dead) }
+        }
+      }
+    }
+    out.toMap
+  }
+
   private def bruteKtruss(pairs: Set[(Long, Long)],
                           k: Int): (Set[(Long, Long)], Int) = {
     var cur = pairs
@@ -226,6 +247,22 @@ class GraphFuzzSpec extends SparkSpec {
           localTail = tail).collect()
           .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
         assert(got == want, s"$c localTail=$tail")
+      }
+    }
+  }
+
+  test("fuzz: h-index coreness fixpoint matches the min-degree peel") {
+    for (i <- indicesFor(2)) {
+      val seed = baseSeed + 7000 + i // disjoint graphs from the k-core run
+      val (n, edges) = gen(seed, maxN = 60)
+      val pairs = und(edges)
+      if (pairs.nonEmpty) {
+        val c = ctx("coreness", i, seed, n, pairs.size)
+        val want = bruteCoreness(pairs)
+          .map { case (v, cn) => v.toString -> cn }
+        val got = Graph.corenessEdges(spark, symDf(pairs)).collect()
+          .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+        assert(got == want, c)
       }
     }
   }
