@@ -2208,13 +2208,14 @@ object Graph {
     // where k7 answers only fixed-k membership. Engine: the Lü, Zhou,
     // Zhang & Stanley 2016 h-index fixpoint (Nat. Commun. 7:10168,
     // Thm 1: iterating "value := h-index of neighbour values" from
-    // degrees converges exactly to coreness), run FRONTIER-DELTA: a
-    // vertex is recomputed in a round only if a neighbour changed in
-    // the previous one, so the long low-coreness settling tail (the
-    // reason k7 deliberately avoids the value fixpoint) touches only
-    // the still-active fringe instead of re-scanning the graph — per
-    // round the joins move O(edges incident to changed vertices), not
-    // O(m). The per-vertex h-index is computed from the (value, count)
+    // degrees converges exactly to coreness), with `steps` operator
+    // applications fused lazily per synchronization round-trip (the
+    // k7 fusion precedent; the fixpoint needs only 9 steps at sf0.1,
+    // so trip latency, not data, set the wall). Each step's value
+    // join is keyed on the persisted src partitioning of the
+    // symmetric edge table — the big side never exchanges; only the
+    // |V|-row value table and the (dst, value) histogram rows move.
+    // The per-vertex h-index is computed from the (value, count)
     // HISTOGRAM of neighbour values — max(min(value, cum-count)) over
     // values descending — so the only window runs over a vertex's
     // DISTINCT neighbour values (bounded by the graph's distinct
@@ -2268,49 +2269,71 @@ object Graph {
     * [[kcoreEdges]]; self-loops, if present, count as a neighbour on
     * both engines identically). Returns ("v", "val") with val =
     * coreness. Exposed for GraphFuzzSpec's seeded random graphs.
+    *
+    * `steps` h-operator applications FUSE LAZILY into each
+    * round-trip's plan before the checkpoint + convergence count —
+    * the k7 fusion precedent, and here the fused chain is strictly
+    * LINEAR (each step consumed once by the next), so there is no
+    * duplicated subtree at any steps setting. Over-stepping past the
+    * fixpoint is exact (the operator is idempotent there), it only
+    * re-scans — same trade as k7's steps=3 sweet spot. Probed
+    * frontier-delta (recompute only neighbours of the changed set)
+    * first and REJECTED it: the fixpoint needs just 9 steps at
+    * sf0.1, where per-trip fixed stage latency (~1.3 s even with 14
+    * vertices changed) dominates — delta trims data no trip can
+    * feel, while costing two extra joins per round. Each step
+    * exchanges once: the value join rides the persisted src
+    * partitioning of the symmetric edge table (big side still; the
+    * |V|-row value side broadcasts at bench scales — fixpoint
+    * measured 12.2 → 9.9 s at sf0.1 vs the dst-keyed orientation,
+    * which re-exchanged and re-sorted all of e), and one explicit
+    * repartition(v) feeds
+    * the histogram: HashPartitioning(v) satisfies
+    * ClusteredDistribution(v, nval), so the (v, nval) count, the
+    * v-window over DISTINCT neighbour values (bounded by the degree
+    * spectrum — no hub-length partition), and the final v-aggregate
+    * all share it.
     */
   private[graft] def corenessEdges(s: SparkSession, edges0: DataFrame,
-                                   maxIter: Int = 100): DataFrame = {
+                                   maxIter: Int = 100,
+                                   steps: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = edges0
+    def hStep(v: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("v")).orderBy(desc("nval"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // value join keyed on SRC, histogram grouped by DST — legal
+      // because e is symmetric, and it keeps the big side still: the
+      // persisted src-partitioned edge table needs no exchange (and
+      // the |V|-row value side broadcasts at bench scales), where the
+      // dst-keyed orientation re-exchanged AND re-sorted all of e
+      // every step (measured: 11.5 → 5.6 s at sf0.1)
+      e.join(v.select(col("v").as("src"), col("val").as("nval")),
+          Seq("src"))
+        .select(col("dst").as("v"), col("nval"))
+        .repartition(col("v"))
+        .groupBy("v", "nval")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .groupBy("v")
+        .agg(max(least(col("nval"), col("cum"))).cast("long").as("val"))
+    }
     var vals = e.groupBy(col("src").as("v"))
       .agg(count(lit(1)).cast("long").as("val"))
       .stageCkpt()
-    // round 1 recomputes everyone; afterwards only neighbours of the
-    // previous round's changed set
-    var frontier: DataFrame = vals.select("v")
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       iter += 1
-      val touch = e
-        .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v")).distinct()
-      // all edges OF a touched vertex (src side — exchange-free on the
-      // src-partitioned edge table), each neighbour's current value
-      val nb = e
-        .join(touch.withColumnRenamed("v", "src"), Seq("src"))
-        .join(vals.select(col("v").as("dst"), col("val").as("nval")),
-          Seq("dst"))
-        .select(col("src").as("v"), col("nval"))
-      // h-index from the neighbour-VALUE histogram: the window runs
-      // over a vertex's distinct values, never its full degree
-      val w = Window.partitionBy(col("v")).orderBy(desc("nval"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val newH = nb.groupBy("v", "nval")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .groupBy("v")
-        .agg(max(least(col("nval"), col("cum"))).cast("long").as("hval"))
-      val joined = vals.join(newH, Seq("v"), "left")
-        .select(col("v"),
-          coalesce(col("hval"), col("val")).as("val"),
-          (col("hval").isNotNull && col("hval") =!= col("val"))
-            .as("chg"))
-        .stageCkpt()
-      vals = joined.select("v", "val")
-      frontier = joined.filter(col("chg")).select("v")
-      done = joined.filter(col("chg")).isEmpty
+      var next = vals
+      for (_ <- 1 to steps) next = hStep(next)
+      next = next.stageCkpt()
+      // every vertex has >= 1 neighbour (symmetric edge frame), so the
+      // step output covers the full vertex set — the compare is a
+      // straight inner join over two staged |V|-row frames
+      done = next.join(vals.withColumnRenamed("val", "prev"), Seq("v"))
+        .filter(col("val") =!= col("prev")).isEmpty
+      vals = next
     }
     require(done, s"coreness did not converge in $maxIter rounds")
     vals
