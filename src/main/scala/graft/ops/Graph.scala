@@ -1064,11 +1064,15 @@ object Graph {
     // is the proof the optimization preserves semantics.
     Q("k4b_triangle_degree",
       (s, d) => {
+        // staged: consumed by BOTH degree-union arms and BOTH
+        // orientation-join sides — unstaged, the capped distinct
+        // shuffle re-ran once per consumer (the before-plan showed 61
+        // scan instances / 90 Exchanges for this one query)
         val und = cappedEdges(s, d)
           .filter(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
-          .distinct()
+          .distinct().stageCkpt()
         val deg = und.select(col("a").as("v"))
           .unionAll(und.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -1090,6 +1094,9 @@ object Graph {
                 col("da").as("dw"))).as("e"))
           .select(col("e.u").as("u"), col("e.w").as("w"),
             col("e.dw").as("dw"))
+          // staged: three consumers (two wedge sides + the closing
+          // edge-existence join) — the k26 clique4Counts discipline
+          .stageCkpt()
         val wedges = e.select(col("u"), col("w").as("x"), col("dw").as("dx"))
           .join(e.select(col("u"), col("w").as("y"), col("dw").as("dy")),
             Seq("u"))
@@ -2841,6 +2848,10 @@ object Graph {
               col("da").as("dw"))).as("e"))
         .select(col("e.u").as("u"), col("e.w").as("w"),
           col("e.dw").as("dw"))
+        // staged per round: three consumers (two wedge sides + the
+        // closing edge-existence join) re-ran the degree join chain
+        // once each before the cut (the k26 clique4Counts discipline)
+        .stageCkpt()
       val wedges = e
         .select(col("u"), col("w").as("x"), col("dw").as("dx"))
         .join(e.select(col("u"), col("w").as("y"), col("dw").as("dy")),

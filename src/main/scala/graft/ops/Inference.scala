@@ -363,10 +363,16 @@ object Inference {
     // windows over distinct levels; no global sort, no collect.
     Q("m_mad",
       (s, d) => {
+        // staged: e feeds the frequency table AND the final outlier
+        // count; freq feeds the cum window, the per-type totals and
+        // the deviation re-contraction — one materialization each in
+        // place of a re-run per consumer (the m_copurchase plan audit)
         val e = Tables.events(s, d).select(col("event_type"),
           floor(col("value")).cast("long").as("v"))
+          .stageCkpt()
         val freq = e.groupBy("event_type", "v")
           .agg(count(lit(1)).as("t"))
+          .stageCkpt()
         val w = Window.partitionBy("event_type").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = freq.withColumn("cum", sum("t").over(w))
@@ -960,12 +966,16 @@ object Inference {
     // two map-side moment passes + one grid-bounded cum window.
     Q("m_conformal",
       (s, d) => {
+        // staged: the projected table feeds the train-half moment pass
+        // and the calibration-half residual pass (two full scans of
+        // the same five derived columns before the cut)
         val li = Tables.lineitem(s, d).select(
           col("l_returnflag").as("flag"),
           (col("l_orderkey") % 2 === 0).as("train"),
           floor(col("l_extendedprice") * 100.0).cast("long").as("yv"),
           floor(col("l_quantity")).cast("long").as("x1"),
           floor(col("l_discount") * 100.0).cast("long").as("x2"))
+          .stageCkpt()
         val m = li.filter(col("train")).groupBy("flag").agg(
           count(lit(1)).as("n_train"),
           sum("x1").as("s1"), sum("x2").as("s2"),
@@ -999,8 +1009,13 @@ object Inference {
               (col("d0") + col("d1") * col("x1") +
                 col("d2") * col("x2")) / col("deta"))).cast("long")
               .as("r"))
+        // staged: the residual frequency table feeds the per-flag
+        // totals, the coarse bucket subtotals AND the in-bucket
+        // selection — three re-runs of the scan+fit+residual subtree
+        // before the cut
         val freq = cal.groupBy("flag", "n_train", "r")
           .agg(count(lit(1)).as("t"))
+          .stageCkpt()
         val nc = freq.groupBy("flag").agg(sum("t").as("n_cal"))
         // Order-statistic selection WITHOUT a full per-flag cum window:
         // `flag` has 3 distinct values, so a window over the raw

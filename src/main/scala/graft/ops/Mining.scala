@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Ckpt.StageOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -666,10 +667,16 @@ object Mining {
     // w_anomaly's detection).
     Q("m_winsorize",
       (s, d) => {
+        // staged: li feeds both the frequency table and the final
+        // clipped-mean pass; freq feeds the cum window and the
+        // per-flag totals — each duplicate subtree re-ran its full
+        // shuffle before the cut (the m_copurchase plan audit)
         val li = Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .stageCkpt()
         val freq = li.groupBy("l_returnflag", "v")
           .agg(count(lit(1)).as("t"))
+          .stageCkpt()
         val w = Window.partitionBy("l_returnflag").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = freq.withColumn("cum", sum("t").over(w))
@@ -900,6 +907,9 @@ object Mining {
             floor(col("value") * 100.0).cast("long").as("cents"))
           .groupBy("event_type", "day")
           .agg(sum("cents").as("r"))
+          // staged: three consumers (both slope-pair sides + the
+          // per-type day count) re-ran the event scan+agg each
+          .stageCkpt()
         val slopes = daily.as("a")
           .join(daily.select(col("event_type"),
             col("day").as("day2"), col("r").as("r2")).as("b"),
@@ -910,6 +920,9 @@ object Mining {
               (col("day2") - col("day"))).as("slope"))
         val freq = slopes.groupBy("event_type", "slope")
           .agg(count(lit(1)).as("t"))
+          // staged: the cum window and the pair totals each re-ran
+          // the quadratic slope-pair expansion before the cut
+          .stageCkpt()
         val w = Window.partitionBy("event_type").orderBy("slope")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = freq.withColumn("cum", sum("t").over(w))
@@ -987,8 +1000,12 @@ object Mining {
         val v = Tables.events(s, d)
           .select(col("event_type"),
             floor(col("value") * 100.0).cast("long").as("cents"))
+        // staged: four consumers (cum window, per-type totals, and the
+        // final tail-mass count — with the cum subtree feeding both
+        // quartile selections) re-ran the event scan+agg per consumer
         val freq = v.groupBy("event_type", "cents")
           .agg(count(lit(1)).as("t"))
+          .stageCkpt()
         val w = Window.partitionBy("event_type").orderBy("cents")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = freq.withColumn("cum", sum("t").over(w))
@@ -1082,14 +1099,24 @@ object Mining {
     // discipline). Top-50 by count is a TakeOrdered — no global sort.
     Q("m_copurchase",
       (s, d) => {
+        // staged: the distinct (o,p) table has FIVE consumers (both
+        // self-join sides, per-part support, the order count) — each
+        // re-ran the full lineitem distinct shuffle before the cut
+        // (plan showed 5 identical Exchange+HashAggregate subtrees)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
+          .distinct().stageCkpt()
         val nOrders = li.select("o").distinct()
           .agg(count(lit(1)).as("n_orders"))
         val supp = li.groupBy("p").agg(count(lit(1)).as("s"))
+        // NO broadcast hint on the self-join: the distinct (o,p) table
+        // grows with the corpus (6M rows at sf10 — a broadcast there
+        // would be hundreds of MB against the 8 GB relation cap), and
+        // the two sides are the same staged frame, so the sort-merge
+        // path shuffles each side once on the co-partitioned order key
+        val li2 = li.select(col("o"), col("p").as("p2"))
         li.as("a")
-          .join(li.select(col("o"), col("p").as("p2")).as("b"), Seq("o"))
+          .join(li2.as("b"), Seq("o"))
           .filter(col("p") < col("p2"))
           .groupBy(col("p").as("p1"), col("p2"))
           .agg(count(lit(1)).as("n_both"))
@@ -1160,8 +1187,16 @@ object Mining {
           .select(col("event_type"),
             expr("(unix_micros(ts) - unix_micros(prev)) div 1000000")
               .as("gap"))
+          // staged: the per-user lag window over the full event table
+          // has two consumers (the gap frequency table + the moment
+          // sums) and re-ran once per consumer before the cut
+          .stageCkpt()
         val freq = gaps.groupBy("event_type", "gap")
           .agg(count(lit(1)).as("t"))
+          // staged: three consumers (cum window, per-type totals —
+          // and the cum subtree itself feeds both the median and the
+          // P90 rank selections)
+          .stageCkpt()
         val cw = Window.partitionBy("event_type").orderBy("gap")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = freq.withColumn("cum", sum("t").over(cw))

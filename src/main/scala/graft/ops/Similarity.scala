@@ -2562,6 +2562,12 @@ object Similarity {
               when(abs(col("b1") - col("b2")) <= erBalTol, 2).otherwise(0))
           .filter(col("score") >= erThresh)
           .select(col("r1").as("src"), col("r2").as("dst"))
+          // staged BEFORE wcc: wcc derives both its canonical edge set
+          // and its vertex universe from the frame it is handed, so an
+          // unstaged edge frame re-executes the whole blocking +
+          // levenshtein-verify subtree once per derivation (measured:
+          // the duplicate pass was ~1s of the query's 4.7s steady)
+          .stageCkpt()
         val labels = Graph.wcc(s, edges)
         // staged: the whole WCC fixpoint hangs off this frame and it
         // has two consumers (the size rollup + the final projection) —
