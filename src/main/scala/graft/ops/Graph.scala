@@ -218,7 +218,9 @@ object Graph {
     * GraphFuzzSpec's seeded random bipartite graphs.
     */
   def butterflyCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("o"), col("p")).distinct()
+    // staged: both wedge self-join sides consume the distinct table —
+    // unstaged, the full bipartite distinct shuffle ran twice
+    val e = edges.select(col("o"), col("p")).distinct().stageCkpt()
     val pairs = e.as("a")
       .join(e.select(col("o"), col("p").as("p2")).as("b"), Seq("o"))
       .filter(col("p") < col("p2"))
@@ -1331,12 +1333,20 @@ object Graph {
     // membership, id tie-break.
     Q("k26_clique4",
       (s, d) => {
+        // staged: both projection-join sides consume the capped
+        // distinct (the butterflyCounts discipline)
         val li = Tables.lineitem(s, d)
           .filter(col("l_partkey") < cap)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
+          .distinct().stageCkpt()
+        // broadcast is deliberate AND scale-safe here: the capped
+        // distinct is ~60k rows at EVERY sf (partkey < cap keeps a
+        // fixed slice of a keyspace that grows with the corpus), and
+        // the staged frame no longer carries size stats for the
+        // planner to find the broadcast on its own
         val copurchase = li.as("a")
-          .join(li.select(col("o"), col("p").as("p2")).as("b"), Seq("o"))
+          .join(broadcast(li.select(col("o"), col("p").as("p2"))).as("b"),
+            Seq("o"))
           .filter(col("p") < col("p2"))
           .select(col("p").as("src"), col("p2").as("dst"))
         clique4Counts(copurchase)
@@ -1770,20 +1780,25 @@ object Graph {
     // bit-identical on both engines; no floats feed any decision.
     Q("k15_link_predict",
       (s, d) => {
+        // staged: und has ~6 transitive consumers (both symmetrize
+        // arms, the non-edge anti-join, and everything downstream of
+        // adj/deg) — unstaged, the capped distinct re-ran per consumer
         val und = cappedEdges(s, d)
           .filter(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
-          .distinct()
+          .distinct().stageCkpt()
         val adj = und.unionByName(
           und.select(col("b").as("a"), col("a").as("b")))
         val deg = adj.groupBy(col("a").as("v"))
           .agg(count(lit(1)).as("dg"))
         // wedge centers: w with deg(w) <= 64 (hub cap); adjW keyed by
-        // the center so both wedge legs read one shuffle of it
+        // the center so both wedge legs read one shuffle of it —
+        // staged so the self-join's two legs share the semi-join pass
         val adjW = adj.select(col("a").as("w"), col("b").as("u"))
           .join(deg.filter(col("dg") <= 64).select(col("v").as("w")),
             Seq("w"), "left_semi")
+          .stageCkpt()
         val pairs = adjW
           .join(adjW.select(col("w"), col("u").as("v")), Seq("w"))
           .filter(col("u") < col("v"))

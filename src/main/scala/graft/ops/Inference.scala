@@ -575,6 +575,11 @@ object Inference {
     // of the final iterate, one exact-integer ratio rounded 4dp.
     Q("m_pca_power",
       (s, d) => {
+        // NOT staged (probed round-12): the Gram self-join's two sides
+        // are IDENTICAL subplans, so ReuseExchange already shares one
+        // shuffle of the exploded table (the before-plan carried just
+        // 6 Exchanges); a localCheckpoint here only added its own
+        // materialization pass and cost stats the planner had
         val ex = Tables.embeddings(s, d)
           .select(col("vec_id"), posexplode(col("embedding")))
           .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),

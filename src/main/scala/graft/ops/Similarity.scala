@@ -1077,14 +1077,22 @@ object Similarity {
               Seq("b"))
             .groupBy("a").agg(min(col("nl")).as("nmin"))
             .select(col("a").as("node"), col("nmin"))
+          // the changed-row count rides the staging action as an
+          // observed metric (the k28 corenessEdges discipline): the
+          // old label is already in hand from the join, so the
+          // separate per-round compare join + count job is gone
+          val obs = org.apache.spark.sql.Observation()
           val next = labels.join(nbr, Seq("node"), "left")
-            .select(col("node"),
+            .select(col("node"), col("lbl").as("old"),
               least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+            .observe(obs, sum(when(col("lbl") < col("old"), 1L)
+              .otherwise(0L)).as("chg"))
+            .select(col("node"), col("lbl"))
             .stageCkpt()
-          changed = next
-            .join(labels.select(col("node"), col("lbl").as("old")),
-              Seq("node"))
-            .filter(col("lbl") < col("old")).count()
+          changed = obs.get("chg") match {
+            case null => 0L
+            case l: java.lang.Long => l.longValue()
+          }
           labels = next
         }
         labels.groupBy(col("lbl"))

@@ -1723,8 +1723,17 @@ object Text {
           .unionByName(pairs.select(col("b").as("src"),
             col("a").as("dst")))
           .stageCkpt()
+        // deg/verts staged ONCE (each is referenced in all 4 rounds —
+        // unstaged they re-aggregated from edges per reference). The
+        // rounds stay per-round-checkpointed: a fully lazy 4-round
+        // fusion was probed this round and REGRESSED (~+30%
+        // calibration-normalized — the 4-deep join chain replans and
+        // runs as one long sequential stage chain), unlike k3 whose
+        // fused rounds stay broadcast-shaped.
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .stageCkpt()
         val verts = edges.select(col("src").as("v")).distinct()
+          .stageCkpt()
         var ranks = verts.withColumn("rank", lit(1.0))
         for (_ <- 1 to 4) {
           val contribs = edges.join(deg, Seq("src"))
