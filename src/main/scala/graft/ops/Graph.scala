@@ -634,19 +634,40 @@ object Graph {
     // so a centers∩leaves test alone would declare victory early and
     // mislabel. The probe is one map-side-combinable aggregate over
     // vertex roles — no join, no sort.
-    def isStarForest(df: DataFrame): Boolean =
-      df.select(col("a").as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
-        .unionByName(df.select(col("b").as("v"), lit(0L).as("ca"),
-          lit(1L).as("cb")))
-        .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
-        .filter(col("cb") > 1 || (col("ca") > 0 && col("cb") > 0))
-        .isEmpty
-    var done = isStarForest(e)
+    // Round-12: the star-forest probe no longer runs as its own job.
+    // The per-vertex role counts it needs (ca = #rows where v is the
+    // center column, cb = #rows where v is the leaf column) fall out
+    // of the SAME per-vertex aggregate the round's large-star step
+    // already computes — tag each sym row with its direction and add
+    // two sums to m1's aggregate, collected as OBSERVED METRICS on
+    // the round's staging action. Semantics shift by one round: the
+    // probe now certifies the round's INPUT was the fixed point
+    // (instead of probing the output before the next round), so a
+    // converged graph pays one cheap extra contraction round on the
+    // final (smallest) edge set in exchange for zero probe jobs on
+    // every round. FAIL-SAFE: metrics that somehow never fire leave
+    // nv = 0, which reads as not-done — the loop can only run long
+    // and trip the maxIter require, never terminate early on a
+    // non-converged state. The empty graph (nv = 0 forever) is
+    // settled by one upfront isEmpty on the staged frame.
+    def metric(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get(k) match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+      }
+    var done = e.isEmpty
     while (iter < maxIter && !done) {
       // large-star: every neighbor v > u links to u's minimum neighbor
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-      val m1 = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val obs = org.apache.spark.sql.Observation()
+      val sym = e.select(col("a").as("u"), col("b").as("v"),
+          lit(1L).as("ia"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v"),
+          lit(0L).as("ia")))
+      val m1 = sym.groupBy("u").agg(min(col("v")).as("mn"),
+          sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+        .observe(obs, count(lit(1)).as("nv"),
+          sum(when(col("cb") > 1 || (col("ca") > 0 && col("cb") > 0),
+            1L).otherwise(0L)).as("bad"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       // NOT deduped: the only consumers are m2's min (duplicate-immune)
       // and the small-star emission, whose output the final distinct
@@ -666,7 +687,10 @@ object Graph {
         .unionByName(m2.select(col("m").as("a"), col("b")))
         .distinct()
         .stageCkpt()
-      done = isStarForest(ss)
+      // the observed role counts describe e (this round's INPUT): a
+      // nonempty input with no bad vertex was already the star-forest
+      // fixed point, and ss == e by idempotence of both steps
+      done = metric(obs, "nv") > 0 && metric(obs, "bad") == 0L
       e = ss
       iter += 1
     }
@@ -2845,8 +2869,12 @@ object Graph {
                  db: org.apache.spark.sql.Column,
                  b: org.apache.spark.sql.Column) =>
       da < db || (da === db && a < b)
-    var cur = und0.stageCkpt()
-    var prevN = cur.count()
+    val obs0 = org.apache.spark.sql.Observation()
+    var cur = und0.observe(obs0, count(lit(1)).as("c")).stageCkpt()
+    var prevN = obs0.get("c") match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+    }
     var done = false
     var i = 0
     while (i < maxIter && !done) {
@@ -2886,8 +2914,16 @@ object Graph {
         .groupBy("a", "b")
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= k - 2)
-      val nxt = cur.join(sup, Seq("a", "b"), "left_semi").stageCkpt()
-      val n = nxt.count()
+      // surviving-edge count observed on the staging action (k28
+      // discipline) instead of a separate count job per round
+      val obs = org.apache.spark.sql.Observation()
+      val nxt = cur.join(sup, Seq("a", "b"), "left_semi")
+        .observe(obs, count(lit(1)).as("c"))
+        .stageCkpt()
+      val n = obs.get("c") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+      }
       if (n == prevN) done = true else { cur = nxt; prevN = n }
       i += 1
     }
@@ -2939,12 +2975,20 @@ object Graph {
       val cand0 = sub.groupBy("src").agg(count(lit(1)).as("h"))
         .filter(col("h") >= k).select("src")
       val members = (1 to steps).foldLeft(cand0)((c, _) => bStep(c))
+      // the surviving-edge count rides the staging action as an
+      // observed metric (round-12, the k28 discipline) — the separate
+      // per-round count job over the staged frame is gone
+      val obs = org.apache.spark.sql.Observation()
       val sub2 = sub
         .join(members, Seq("src"), "left_semi")
         .join(members.withColumnRenamed("src", "dst"), Seq("dst"),
           "left_semi")
+        .observe(obs, count(lit(1)).as("c"))
         .stageCkpt()
-      val e2 = sub2.count()
+      val e2 = obs.get("c") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+      }
       if (e2 == prevE) done = true
       else { sub = sub2; prevE = e2 }
       iter += 1
