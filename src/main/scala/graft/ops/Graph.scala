@@ -634,40 +634,26 @@ object Graph {
     // so a centers∩leaves test alone would declare victory early and
     // mislabel. The probe is one map-side-combinable aggregate over
     // vertex roles — no join, no sort.
-    // Round-12: the star-forest probe no longer runs as its own job.
-    // The per-vertex role counts it needs (ca = #rows where v is the
-    // center column, cb = #rows where v is the leaf column) fall out
-    // of the SAME per-vertex aggregate the round's large-star step
-    // already computes — tag each sym row with its direction and add
-    // two sums to m1's aggregate, collected as OBSERVED METRICS on
-    // the round's staging action. Semantics shift by one round: the
-    // probe now certifies the round's INPUT was the fixed point
-    // (instead of probing the output before the next round), so a
-    // converged graph pays one cheap extra contraction round on the
-    // final (smallest) edge set in exchange for zero probe jobs on
-    // every round. FAIL-SAFE: metrics that somehow never fire leave
-    // nv = 0, which reads as not-done — the loop can only run long
-    // and trip the maxIter require, never terminate early on a
-    // non-converged state. The empty graph (nv = 0 forever) is
-    // settled by one upfront isEmpty on the staged frame.
-    def metric(o: org.apache.spark.sql.Observation, k: String): Long =
-      o.get(k) match {
-        case null => 0L
-        case l: java.lang.Long => l.longValue()
-      }
-    var done = e.isEmpty
+    // Round-12 note: fusing this probe into the next round's m1
+    // aggregate (the k28/kcore observed-metric pattern) was
+    // implemented, measured, and REVERTED — it certifies the round's
+    // INPUT, i.e. it re-admits exactly the redundant final
+    // contraction round (1.5-2.8 s at sf0.1, r11 measurement) that
+    // this output-probe (~0.3 s) exists to avoid. The probe stays a
+    // separate cheap job per round by deliberate trade.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("a").as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
+        .unionByName(df.select(col("b").as("v"), lit(0L).as("ca"),
+          lit(1L).as("cb")))
+        .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+        .filter(col("cb") > 1 || (col("ca") > 0 && col("cb") > 0))
+        .isEmpty
+    var done = isStarForest(e)
     while (iter < maxIter && !done) {
       // large-star: every neighbor v > u links to u's minimum neighbor
-      val obs = org.apache.spark.sql.Observation()
-      val sym = e.select(col("a").as("u"), col("b").as("v"),
-          lit(1L).as("ia"))
-        .unionByName(e.select(col("b").as("u"), col("a").as("v"),
-          lit(0L).as("ia")))
-      val m1 = sym.groupBy("u").agg(min(col("v")).as("mn"),
-          sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
-        .observe(obs, count(lit(1)).as("nv"),
-          sum(when(col("cb") > 1 || (col("ca") > 0 && col("cb") > 0),
-            1L).otherwise(0L)).as("bad"))
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val m1 = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       // NOT deduped: the only consumers are m2's min (duplicate-immune)
       // and the small-star emission, whose output the final distinct
@@ -687,10 +673,7 @@ object Graph {
         .unionByName(m2.select(col("m").as("a"), col("b")))
         .distinct()
         .stageCkpt()
-      // the observed role counts describe e (this round's INPUT): a
-      // nonempty input with no bad vertex was already the star-forest
-      // fixed point, and ss == e by idempotence of both steps
-      done = metric(obs, "nv") > 0 && metric(obs, "bad") == 0L
+      done = isStarForest(ss)
       e = ss
       iter += 1
     }
